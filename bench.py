@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default 32)
+
+Each query is fully materialized via a count-style action
+(``df.write.format("noop")``) so timing covers the whole plan without
+driver-side collect overhead. A warmup run of the first query absorbs
+JVM/session startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cqdg_etl_spark.queries import REGISTRY
+    from cqdg_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="cqdg-etl-spark-bench")
+
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+    # Warmup: session + codegen + parquet footer caches.
+    next(iter(bench_queries.values())).fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,15 @@
+"""Query registry package — importing this populates REGISTRY."""
+
+from cqdg_etl_spark.queries.registry import REGISTRY, Query, load, query
+
+# Importing for registration side effects.
+from cqdg_etl_spark.queries import tpch as _tpch  # noqa: F401,E402
+from cqdg_etl_spark.queries import ops as _ops  # noqa: F401,E402
+from cqdg_etl_spark.queries import events as _events  # noqa: F401,E402
+
+try:  # training-data operators (added incrementally)
+    from cqdg_etl_spark.queries import datapipe as _datapipe  # noqa: F401,E402
+except ImportError:
+    pass
+
+__all__ = ["REGISTRY", "Query", "query", "load"]

@@ -1,0 +1,592 @@
+"""SURVEY.md §2 operator inventory exercised on the harness tables.
+
+Each query isolates one operator family from the reference engine
+(citations inline) and pairs it with an exact DuckDB oracle. Naming
+convention: the §2 row id prefixes the query name (j2 = §2.3 J2, ...).
+
+Spark↔SQL comparability rules (see queries/registry.py docstring):
+sorted-array serialization for collected lists/sets, explicit rounding,
+timestamps formatted to strings, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.functions.columns import not_null_col
+from cqdg_etl_spark.queries.registry import dec_sum, load, query
+
+
+def _arr_str(col):
+    """array<numeric|string> → sorted 'a,b,c' string (hash-stable)."""
+    return F.concat_ws(",", F.transform(F.array_sort(col), lambda x: x.cast("string")))
+
+
+# ---------------------------------------------------------------- joins
+
+
+@query(
+    "j2_left_join_order_counts",
+    tags=("join",),
+    oracle="""
+        SELECT c_custkey,
+               count(o_orderkey)                    AS n_orders,
+               coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS total_spend
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+)
+def j2_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left-outer USING join (reference: ProcessETL.scala:88 et al.) —
+    customers keep a row even with zero orders."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "j5_full_outer_summary_merge",
+    tags=("join",),
+    oracle="""
+        WITH c AS (
+          SELECT c_nationkey AS nationkey, count(*) AS n_customers
+          FROM customer WHERE c_acctbal > 0 GROUP BY 1
+        ), s AS (
+          SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 0 GROUP BY 1
+        )
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def j5_full_outer_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 full-outer summary merge (reference: indexes/Summary.scala:113-121)
+    — neither side's keys may be dropped."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cust.join(supp, ["nationkey"], "full").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "j6_cross_domain_zero_fill",
+    tags=("join", "crossjoin"),
+    oracle="""
+        WITH dom AS (
+          SELECT r_name, o_orderpriority
+          FROM (SELECT DISTINCT r_name FROM region)
+          CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+        ), actual AS (
+          SELECT r_name, o_orderpriority, count(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY 1, 2
+        )
+        SELECT dom.r_name, dom.o_orderpriority,
+               coalesce(actual.n_orders, 0) AS n_orders
+        FROM dom
+        LEFT JOIN actual ON dom.r_name = actual.r_name
+                        AND dom.o_orderpriority = actual.o_orderpriority
+    """,
+)
+def j6_cross_domain_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cross-join of key domains to keep empty combinations
+    (reference: indexes/Summary.scala:24-25,38-39 — which repartition(1)s
+    both sides; we broadcast the tiny domains instead, the scale-correct
+    fix for its 'infinite loop' workaround)."""
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dom = F.broadcast(region.select("r_name").distinct()).crossJoin(
+        F.broadcast(orders.select("o_orderpriority").distinct())
+    )
+    actual = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return dom.join(actual, ["r_name", "o_orderpriority"], "left").select(
+        "r_name",
+        "o_orderpriority",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "j_semi_anti_customers",
+    tags=("join",),
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) FILTER (WHERE EXISTS (
+                 SELECT 1 FROM orders
+                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+               )) AS n_with_urgent,
+               count(*) FILTER (WHERE NOT EXISTS (
+                 SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               )) AS n_no_orders
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def j_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS) — absent from the reference
+    but core engine surface; expressed as left_semi / left_anti."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_urgent"))
+    )
+    no_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_no_orders"))
+    )
+    base = cust.select("c_mktsegment").distinct()
+    return (
+        base.join(with_urgent, ["c_mktsegment"], "left")
+        .join(no_orders, ["c_mktsegment"], "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
+            F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"),
+        )
+    )
+
+
+# ------------------------------------------------------------ aggregates
+
+
+@query(
+    "a1_nest_orders_per_customer",
+    tags=("agg", "nest"),
+    oracle="""
+        SELECT o_custkey,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    """,
+)
+def a1_nest_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 groupBy+collect_list — THE reference denormalization operator
+    (ProcessETLUtils.scala:194-216 et al.); serialized sorted for the
+    order-insensitive hash. The real nested (array<struct>) form is
+    exercised by the pipeline golden tests."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        _arr_str(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "a2_collect_set_segments",
+    tags=("agg",),
+    oracle="""
+        SELECT n_name,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                 AS segments
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def a2_collect_set_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 collect_set (reference: indexes/DataAccess.scala:33)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(_arr_str(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
+@query(
+    "a3_count_distinct_customers",
+    tags=("agg",),
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def a3_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 exact countDistinct (reference: indexes/Summary.scala:46-47)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "a7_array_normalize_months",
+    tags=("agg", "array"),
+    oracle="""
+        SELECT o_custkey,
+               array_to_string(
+                 list_sort(list_distinct(flatten(list([month(o_orderdate)])))),
+                 ','
+               ) AS active_months
+        FROM orders
+        GROUP BY o_custkey
+    """,
+)
+def a7_array_normalize_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 array_distinct(sort_array(flatten(collect_list(array(x)))))
+    (reference: ProcessETLUtils.scala:311-317)."""
+    orders = load(spark, sf_dir, "orders")
+    months = F.collect_list(F.array(F.month("o_orderdate")))
+    return orders.groupBy("o_custkey").agg(
+        _arr_str(F.array_distinct(F.flatten(months))).alias("active_months")
+    )
+
+
+@query(
+    "a6_distinct_union_nations",
+    tags=("agg", "setop"),
+    oracle="""
+        SELECT DISTINCT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey FROM supplier
+        )
+    """,
+)
+def a6_distinct_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 distinct + §2.5 union set-op (reference:
+    ProcessETLUtils.scala:297; PreProcessETL.scala:54)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+@query(
+    "agg_rollup_status_priority",
+    tags=("agg", "rollup"),
+    oracle="""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL')   AS status,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-level aggregate — beyond the reference's surface but a
+    first-class Spark groupingSets capability."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_pivot_status",
+    tags=("agg", "pivot"),
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS open_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS finished_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS partial_cnt
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (avoids the extra distinct-scan
+    Spark needs to discover pivot values at scale)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("open_cnt"),
+            F.coalesce("F", F.lit(0)).alias("finished_cnt"),
+            F.coalesce("P", F.lit(0)).alias("partial_cnt"),
+        )
+    )
+
+
+# ------------------------------------------------- scalar functions
+
+
+@query(
+    "f1_business_key_hash",
+    tags=("function", "hash"),
+    oracle="""
+        SELECT c_custkey,
+               sha256(concat_ws('_', 'customer', c_custkey)) AS cqdg_hash,
+               md5(concat_ws('_', 'customer', c_custkey))    AS md5_hash
+        FROM customer
+    """,
+)
+def f1_business_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 deterministic business-key hash (reference:
+    PreProcessUtils.scala:17-91 uses sha1; sha256 here because the oracle
+    engine lacks sha1 — pipeline/preprocess.py keeps sha1 for parity)."""
+    cust = load(spark, sf_dir, "customer")
+    key = F.concat_ws("_", F.lit("customer"), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.sha2(key, 256).alias("cqdg_hash"),
+        F.md5(key).alias("md5_hash"),
+    )
+
+
+@query(
+    "f3_split_explode_tokens",
+    tags=("function", "explode"),
+    oracle="""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+        GROUP BY token
+    """,
+)
+def f3_split_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 split+explode unnesting (reference: indexes/DataAccess.scala:16)."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "f5_regexp_extract_priority",
+    tags=("function", "regexp"),
+    oracle="""
+        SELECT regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 1) AS prio_num,
+               regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 2) AS prio_word,
+               count(*) AS n
+        FROM orders
+        GROUP BY prio_num, prio_word
+    """,
+)
+def f5_regexp_extract_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 regexp_extract group capture (reference:
+    ProcessETLUtils.scala:114-120 splits 'A00|1' ICD ids the same way)."""
+    orders = load(spark, sf_dir, "orders")
+    pat = r"^([0-9]+)-(.*)$"
+    return (
+        orders.select(
+            F.regexp_extract("o_orderpriority", pat, 1).alias("prio_num"),
+            F.regexp_extract("o_orderpriority", pat, 2).alias("prio_word"),
+        )
+        .groupBy("prio_num", "prio_word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "f6_rlike_part_filter",
+    tags=("function", "regexp"),
+    oracle="""
+        SELECT p_brand, count(*) AS n_color_parts
+        FROM part
+        WHERE regexp_matches(p_name, '^(red|blue) ')
+        GROUP BY p_brand
+    """,
+)
+def f6_rlike_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 rlike predicate (reference: ProcessETLUtils.scala:247 detects
+    ICD block ids with the same construct)."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").rlike(r"^(red|blue) "))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_color_parts"))
+    )
+
+
+@query(
+    "f9_truthy_conversion_flag",
+    tags=("function", "bool"),
+    oracle="""
+        SELECT (event_type IN ('purchase', 'signup')) AS is_conversion,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY is_conversion
+    """,
+)
+def f9_truthy_conversion_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 when/isin boolean derivation (reference:
+    ProcessETLUtils.scala:509-517 value-set truthiness)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("event_type").isin("purchase", "signup").alias("is_conversion"),
+            "value",
+        )
+        .groupBy("is_conversion")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "p7_null_default_status",
+    tags=("projection", "null"),
+    oracle="""
+        SELECT CASE WHEN o_orderstatus IS NOT NULL THEN o_orderstatus
+                    ELSE 'no-data' END AS status,
+               count(*) AS n
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY status
+    """,
+)
+def p7_null_default_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 null-default column (reference: ProcessETLUtils.scala:491-493) —
+    orderless customers surface as 'no-data'."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(not_null_col(F.col("o_orderstatus")).alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "f13_monthly_order_buckets",
+    tags=("function", "date"),
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY order_month
+    """,
+)
+def f13_monthly_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 date bucketing (reference parses dates via UDF,
+    EtlUtils.scala:9-27; here the typed path: date_format on timestamp)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ------------------------------------------------------------- windows
+
+
+@query(
+    "w1_top_order_per_customer",
+    tags=("window", "topk"),
+    oracle="""
+        SELECT c_custkey, top_orderkey, top_price
+        FROM (
+          SELECT o_custkey AS c_custkey,
+                 o_orderkey AS top_orderkey,
+                 round(o_totalprice, 2) AS top_price,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def w1_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group — the reference's groupBy+first (A4) done
+    right: deterministic ordering instead of arbitrary first()."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+@query(
+    "w2_running_customer_spend",
+    tags=("window",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_spend
+        FROM orders
+    """,
+)
+def w2_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total window — deterministic accumulation order makes the
+    rounded double bit-stable across engines."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )

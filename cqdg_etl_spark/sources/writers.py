@@ -1,0 +1,39 @@
+"""Sink connectors (SURVEY.md §2.1, S6-S9).
+
+- S6 parquet sink, overwrite per dataset
+  (reference: processes/processes.scala:21-39).
+- S7 partitioned JSON sink for the index documents — partition columns
+  enable downstream partition pruning
+  (reference: processes/ProcessETLConfig.scala:36-38).
+- S8/S9 single-file coalesce for small CSV/JSON outputs
+  (reference: processes/processes.scala:28-30).
+
+Scale note: `coalesce(1)` is only for *small* human-facing outputs; the
+parquet and partitioned-JSON paths keep natural parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_partitioned_json(df: DataFrame, path: str, partition_by: Sequence[str]) -> None:
+    """Index-document sink: JSON partitioned by release/study columns."""
+    df.write.partitionBy(*partition_by).mode("overwrite").json(path)
+
+
+def write_single_json(df: DataFrame, path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_single_tsv(df: DataFrame, path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)

@@ -1,0 +1,41 @@
+"""Every oracle-bearing registry query must hash-match DuckDB at sf0.001.
+
+This mirrors the driver's t2 gate (which runs at sf0.01); run
+``SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest tests/test_correctness.py``
+before shipping to check the exact driver scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cqdg_etl_spark.queries import REGISTRY
+from tests.oracle_harness import compare_query
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+NO_ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_dir, name):
+    compare_query(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+def test_rows_only(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
