@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five strategies, all expressed as declarative DataFrame plans:
+
+- exact:      md5 of whitespace/case-normalized text, hash-groupBy.
+- ngram-jaccard: word-shingle inverted index → self-join on shingle →
+               exact Jaccard on candidate pairs.
+- minhash+LSH: portable 32-bit token hashes → k permutations →
+               banded signatures → bucket join for candidates →
+               (optionally) exact verify.
+- simhash:    64-bit sign-aggregated fingerprint, banded for candidates,
+               hamming-distance verify via xor+bit_count.
+- embedding:  cosine over an embedding column (see similarity.py) with a
+               threshold join.
+
+Scale design: every strategy is shuffle-bounded by (doc, feature)
+inverted-index joins, never an O(n²) cross join. The classic guards for
+100 TB corpora are built in: common-shingle suppression (`max_df`),
+per-bucket pair caps via distinct doc ids, and band-hash grouping that
+partitions cleanly by (band_index, band_hash).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.functions.text import (
+    fingerprint,
+    normalize_ws,
+    token_hash,
+    word_shingles,
+)
+
+# Mersenne prime 2^61-1: modulus for the universal-hash permutation
+# family h_i(x) = (a_i*x + b_i) mod P. Fits comfortably in a Spark
+# LongType with 32-bit inputs (a*x < 2^93 would overflow — so inputs are
+# first folded to < 2^32 and a_i < 2^30, keeping a*x < 2^62).
+MINHASH_P = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_perm)
+    ]
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup → one row per distinct normalized text:
+    (fingerprint, n_docs, keep_id = min id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Distinct (id, shingle) inverted index; optionally drop shingles
+    appearing in more than ``max_df`` docs (stop-shingle suppression —
+    at corpus scale the hot shingles create quadratic bucket blowup)."""
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        counts = idx.groupBy("shingle").agg(F.count("*").alias("df"))
+        idx = (
+            idx.join(counts.filter(F.col("df") <= max_df), "shingle")
+            .select("doc", "shingle")
+        )
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Candidate generation = equi-join on shingle (shuffle on shingle key,
+    no cross join); |A∩B| = count of shared shingles; |A∪B| = |A|+|B|-∩.
+    Returns (doc_a < doc_b, jaccard) for pairs ≥ threshold.
+    """
+    idx = shingle_index(df, text_col, id_col, n, max_df)
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: array<bigint> of length num_perm.
+
+    One explode + one groupBy with num_perm min() aggregates — a single
+    shuffle keyed on the doc id, partial-aggregated map-side.
+    """
+    params = _perm_params(num_perm, seed)
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    ).select("doc", token_hash(F.col("shingle")).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = idx.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows of
+    num_perm/bands values, bucket-join docs sharing any band.
+
+    Returns distinct candidate pairs (doc_a < doc_b, n_shared_bands).
+    Pair generation shuffles on (band_idx, band_key) — the classic
+    scale-safe MinHash-LSH plan.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band_idx"),
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def _hash64_halves(col: Column) -> tuple[Column, Column]:
+    """Portable 64-bit token hash as two 32-bit halves (md5-derived, so
+    any engine can reproduce it)."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+    return hi, lo
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (token-frequency weighted).
+
+    For each bit position the signed token contributions are summed in
+    one groupBy (64 conditional-sum aggregates — map-side combined);
+    the signature is reassembled as two 32-bit ints packed in a bigint.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_ws(F.col(text_col)), " ")).alias("tok"),
+    )
+    hi, lo = _hash64_halves(F.col("tok"))
+    toks = toks.select("doc", hi.alias("hi"), lo.alias("lo"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hi" if b < 32 else "lo"), b % 32) % 2 == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("decimal(20,0)")).otherwise(
+            F.lit(0).cast("decimal(20,0)")
+        )
+        for b in range(63)  # bit 63 kept clear: signature stays a positive bigint
+    ]
+    sig = agg.select(
+        "doc",
+        sum(bit_terms[1:], bit_terms[0]).cast("bigint").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 63-bit signature into 4 chunks
+    (pigeonhole: ≤3 differing bits → ≥1 identical chunk), bucket-join,
+    then exact hamming via xor + bit_count."""
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        (F.shiftright(F.col("simhash"), i * 16) % (1 << 16)).alias(
+                            "chunk_val"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

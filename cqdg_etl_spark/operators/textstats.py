@@ -1,0 +1,108 @@
+"""Text analysis operators: quality scoring, language ID, token stats.
+
+Pure built-in expressions (regexp/length/filter arithmetic) — identical
+semantics are expressible in any SQL engine, which is how the oracle
+checks these exactly. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# language heuristic. Order below is the deterministic tiebreak order.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features: char count, whitespace-token count, mean token length,
+    punctuation ratio, digit ratio, English-stopword ratio. Score is the
+    standard heuristic blend used as a pre-training quality filter.
+    """
+    text = F.col(text_col)
+    toks = tokens(normalize_ws(text))
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_stop = stopword_hits(toks, "en")
+    avg_tok_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    digit_ratio = F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_toks, F.lit(1)), 6)
+    score = F.round(
+        (F.lit(1.0) - punct_ratio) * (F.lit(1.0) - digit_ratio) * stop_ratio, 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_toks.cast("long").alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: CJK character presence → zh, else argmax of
+    per-language stopword hits (ties broken by the fixed language order).
+    """
+    text = F.col(text_col)
+    toks = tokens(normalize_ws(text))
+    cjk = F.length(text) - F.length(
+        F.regexp_replace(text, "[^一-鿿]", "")
+    )
+    hits = {lang: stopword_hits(toks, lang) for lang in LANG_STOPWORDS}
+    pred = F.when(cjk > 0, F.lit("zh"))
+    langs = list(LANG_STOPWORDS)
+    for lang in langs:
+        others = [hits[o] for o in langs if o != lang]
+        cond = hits[lang] > 0
+        for o in others:
+            cond = cond & (hits[lang] >= o)
+        pred = pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in langs],
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Corpus token accounting per group: whitespace tokens + BPE-ish
+    sub-tokens + chars. The sizing query every training-data pipeline
+    runs first."""
+    text = F.col(text_col)
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(normalize_ws(text)))).alias("ws_tokens"),
+        F.sum(F.regexp_count(text, F.lit(BPE_TOKEN_RE))).alias("bpe_tokens"),
+        F.sum(F.length(text)).alias("n_chars"),
+    )

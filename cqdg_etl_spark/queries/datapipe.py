@@ -1,0 +1,345 @@
+"""Training-data pipeline queries over documents/embeddings.
+
+Operators from operators/{dedup,similarity,textstats,multimodal}.py wired
+to the registry. Where the semantics are SQL-expressible the oracle
+mirrors the computation EXACTLY (same normalization, same fold order for
+double sums — Spark's aggregate() and DuckDB's list_sum both accumulate
+left-to-right, giving bitwise-equal doubles), so thresholds and rankings
+can't diverge. LSH-banded variants are declared without an oracle
+(rows-only check) and are instead recall-tested against their exact
+baselines in tests/test_datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators import dedup, multimodal, similarity, textstats
+from cqdg_etl_spark.queries.registry import load, query
+
+# --- SQL fragments mirroring functions/text.py and functions/vectors.py ---
+
+SQL_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+
+def _sql_shingles(c: str, n: int = 3) -> str:
+    toks = SQL_TOKS.format(c=c)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+def _sql_cos(a: str, b: str, dim: int = 64) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
+        )
+    return f"({dot} / ({norm(a)} * {norm(b)}))"
+
+
+# ------------------------------------------------------------- dedup
+
+
+@query(
+    "dd_exact_fingerprint_groups",
+    tags=("datapipe", "dedup"),
+    oracle=f"""
+        SELECT md5({SQL_NORM.format(c='text')}) AS fingerprint,
+               count(*) AS n_docs,
+               min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY fingerprint
+    """,
+)
+def dd_exact_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "text", "doc_id")
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    bench=True,
+    tags=("datapipe", "dedup"),
+    oracle=f"""
+        WITH s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, count(*) AS n_shingles FROM s GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.8
+    """,
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (inverted-index
+    self-join — no cross join; see operators/dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+@query(
+    "dd_minhash_lsh_candidates",
+    tags=("datapipe", "dedup", "lsh"),
+)
+def dd_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands × 4 rows) candidate pairs.
+    No SQL oracle (banding is not reasonably SQL-expressible); recall vs
+    exact Jaccard is asserted in tests/test_datapipe.py."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+@query(
+    "dd_simhash_near_pairs",
+    tags=("datapipe", "dedup", "simhash"),
+)
+def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3 via 4×16-bit pigeonhole
+    banding). Rows-only check; recall-tested in tests."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dd_embedding_cosine_pairs",
+    tags=("datapipe", "dedup", "vector"),
+    oracle=f"""
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: pairwise cosine ≥ 0.4 (exact baseline;
+    the LSH-bucketed scale path is ann_lsh_topk's bucketing)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------- similarity
+
+
+@query(
+    "ann_topk_bruteforce",
+    bench=True,
+    tags=("datapipe", "ann"),
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+                   FROM embeddings WHERE vec_id >= 10),
+             scored AS (
+               SELECT query_id, neighbor_id,
+                      {_sql_cos('qe', 'ce')} AS cos
+               FROM q CROSS JOIN c
+             )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rank FROM scored)
+        WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10) over the rest."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_topk_lsh",
+    tags=("datapipe", "ann", "lsh"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH top-5 (approximate; single-probe).
+    Recall vs ann_topk_bruteforce asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucket_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ------------------------------------------------------ text analysis
+
+
+_PUNCT_SQL = """[.,!?;:''"()\\[\\]{}-]"""  # doubled quote for SQL literal
+
+
+@query(
+    "tx_quality_features",
+    tags=("datapipe", "text"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, text, {SQL_TOKS.format(c='text')} AS toks,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars_calc,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS avg_token_len,
+               round(CAST(n_chars - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS DOUBLE)
+                     / greatest(n_chars, 1), 6) AS punct_ratio,
+               round(CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(n_chars, 1), 6) AS digit_ratio,
+               round(CAST(len(list_filter(toks, x -> x IN
+                     ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS stopword_ratio,
+               round((1.0 - round(CAST(n_chars - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS DOUBLE)
+                     / greatest(n_chars, 1), 6))
+                   * (1.0 - round(CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(n_chars, 1), 6))
+                   * round(CAST(len(list_filter(toks, x -> x IN
+                     ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+                     / greatest(len(toks), 1), 6), 6) AS quality_score
+        FROM t
+    """,
+)
+def tx_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.quality_features(docs, "text", "doc_id")
+
+
+@query(
+    "tx_language_id",
+    tags=("datapipe", "text"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 length(text) - length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+                 CAST(len(list_filter({SQL_TOKS.format(c='text')}, x -> x IN
+                   ('the','and','of','to','in','is','that','it','was','for'))) AS BIGINT) AS hits_en,
+                 CAST(len(list_filter({SQL_TOKS.format(c='text')}, x -> x IN
+                   ('el','la','de','que','y','en','los','se','del','las'))) AS BIGINT) AS hits_es,
+                 CAST(len(list_filter({SQL_TOKS.format(c='text')}, x -> x IN
+                   ('le','la','de','et','les','des','en','un','du','une'))) AS BIGINT) AS hits_fr,
+                 CAST(len(list_filter({SQL_TOKS.format(c='text')}, x -> x IN
+                   ('der','die','und','das','von','zu','mit','den','im','ein'))) AS BIGINT) AS hits_de
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+                    WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+                    WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+                    WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                    ELSE 'unknown' END AS pred_lang,
+               hits_en, hits_es, hits_fr, hits_de
+        FROM t
+    """,
+)
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language identification."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "text", "doc_id")
+
+
+@query(
+    "tx_token_counts_by_source",
+    bench=True,
+    tags=("datapipe", "text"),
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len({SQL_TOKS.format(c='text')})) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY source
+    """,
+)
+def tx_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (whitespace + BPE-ish regex)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.token_counts(docs, "text", "source")
+
+
+@query(
+    "tx_fingerprints",
+    tags=("datapipe", "text"),
+    oracle=f"""
+        SELECT doc_id, md5({SQL_NORM.format(c='text')}) AS fingerprint
+        FROM documents
+    """,
+)
+def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document fingerprint (md5 of normalized text)."""
+    from cqdg_etl_spark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------- multimodal
+
+
+@query(
+    "mm_media_meta",
+    tags=("datapipe", "multimodal"),
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(unhex(repeat(md5(text), 8))) AS BIGINT) AS byte_len,
+               substr(md5(text), 1, 16) AS payload_prefix
+        FROM documents
+    """,
+)
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column plumbing: payload bytes + metadata
+    (the engine-checkable part; decode is stubbed, see
+    operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, "text", "doc_id")
+    return media.select(
+        "doc_id",
+        F.octet_length("media_bytes").cast("long").alias("byte_len"),
+        F.substring(F.md5(F.hex("media_bytes")), 1, 16).alias("_ignore"),
+    ).drop("_ignore").join(
+        docs.select("doc_id", F.substring(F.md5("text"), 1, 16).alias("payload_prefix")),
+        "doc_id",
+    )
+
+
+@query(
+    "mm_media_features",
+    tags=("datapipe", "multimodal"),
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary media (deterministic
+    fake decode). Rows-only check; shape/determinism tested in tests."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, "text", "doc_id")
+    feats = multimodal.extract_media_features(media, dim=16)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )

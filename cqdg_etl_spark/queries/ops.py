@@ -590,3 +590,179 @@ def w2_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
     )
+
+
+# --------------------------------------------- remaining §2 rows
+
+
+@query(
+    "j1_hash_id_resolution",
+    tags=("join", "hash"),
+    oracle="""
+        WITH hashed AS (
+          SELECT c_custkey,
+                 sha256(concat_ws('_', 'customer', c_custkey)) AS cqdg_hash
+          FROM customer
+        ), id_map AS (
+          SELECT DISTINCT cqdg_hash AS hash,
+                 concat('customer_internal_', substr(cqdg_hash, 1, 12)) AS internal_id
+          FROM hashed
+        )
+        SELECT c_custkey, internal_id
+        FROM hashed JOIN id_map ON hashed.cqdg_hash = id_map.hash
+    """,
+)
+def j1_hash_id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 hash→internal-id resolution join (reference:
+    PreProcessUtils.scala:94-98 collects hashes to the driver for an HTTP
+    ID service then joins the response back; here the id map is itself a
+    frame and the join is pure Spark — the scale-safe design)."""
+    cust = load(spark, sf_dir, "customer")
+    hashed = cust.select(
+        "c_custkey",
+        F.sha2(F.concat_ws("_", F.lit("customer"), F.col("c_custkey")), 256).alias(
+            "cqdg_hash"
+        ),
+    )
+    id_map = hashed.select(
+        F.col("cqdg_hash").alias("hash"),
+        F.concat(
+            F.lit("customer_internal_"), F.substring("cqdg_hash", 1, 12)
+        ).alias("internal_id"),
+    ).distinct()
+    return hashed.join(id_map, hashed.cqdg_hash == id_map.hash).select(
+        "c_custkey", "internal_id"
+    )
+
+
+@query(
+    "j3_theta_left_lookup",
+    tags=("join",),
+    oracle="""
+        SELECT p_size,
+               count(l_orderkey) AS n_lines,
+               count(*) AS n_rows
+        FROM part
+        LEFT JOIN lineitem ON l_partkey = p_partkey AND p_size > 40
+        GROUP BY p_size
+    """,
+)
+def j3_theta_left_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-outer expression join (reference: ProcessETLUtils.scala:238
+    ontology-term lookup with a non-USING condition)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(
+            li,
+            (li.l_partkey == part.p_partkey) & (part.p_size > 40),
+            "left_outer",
+        )
+        .groupBy("p_size")
+        .agg(F.count("l_orderkey").alias("n_lines"), F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "a4_first_per_group",
+    tags=("agg",),
+    oracle="""
+        SELECT c_nationkey,
+               min_by(c_name, c_custkey) AS first_customer,
+               max_by(c_name, c_acctbal) AS richest_customer
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+)
+def a4_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-group single-value pick (reference: StudyIndex.scala:47-54
+    uses non-deterministic first(); min_by/max_by is the deterministic
+    engine equivalent). max_by tie-safety: c_acctbal ties broken by
+    min_by on key? No — acctbal ties are possible, so max_by uses the
+    (acctbal, name) pair ordering via a struct in the Spark plan and
+    plain max_by in SQL; both deterministic because c_name is unique
+    per nation in this schema only when acctbal unique — so we make the
+    ordering value unique by appending the key."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.min_by("c_name", "c_custkey").alias("first_customer"),
+        F.max_by("c_name", F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias(
+            "richest_customer"
+        ),
+    )
+
+
+@query(
+    "f2_f11_display_wrap",
+    tags=("function",),
+    oracle="""
+        SELECT n_nationkey,
+               concat(n_name, ' (', CAST(n_nationkey AS VARCHAR), ')') AS display_name,
+               to_json([concat(n_name, ' (', CAST(n_nationkey AS VARCHAR), ')')])
+                 AS wrapped
+        FROM nation
+    """,
+)
+def f2_f11_display_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 display-name concat + F11 scalar→1-element-array wrap
+    (reference: ProcessETLUtils.scala:284-288, :79) — array serialized
+    as JSON for hash stability."""
+    nation = load(spark, sf_dir, "nation")
+    disp = F.concat(
+        F.col("n_name"), F.lit(" ("), F.col("n_nationkey").cast("string"), F.lit(")")
+    )
+    return nation.select(
+        "n_nationkey",
+        disp.alias("display_name"),
+        F.to_json(F.array(disp)).alias("wrapped"),
+    )
+
+
+@query(
+    "f7_array_contains_tokens",
+    tags=("function", "array"),
+    oracle="""
+        SELECT p_type, count(*) AS n_red_parts
+        FROM part
+        WHERE list_contains(string_split(p_name, ' '), 'red')
+        GROUP BY p_type
+    """,
+)
+def f7_array_contains_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 array_contains membership predicate (reference:
+    ProcessETLUtils.scala:242-244 root-category detection)."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.array_contains(F.split("p_name", " "), "red"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_red_parts"))
+    )
+
+
+@query(
+    "u1_age_years",
+    tags=("function", "date"),
+    oracle="""
+        SELECT o_orderkey,
+               (year(TIMESTAMP '2002-06-15') - year(o_orderdate)
+                - CASE WHEN (month(o_orderdate), day(o_orderdate))
+                            > (month(TIMESTAMP '2002-06-15'), day(TIMESTAMP '2002-06-15'))
+                       THEN 1 ELSE 0 END) AS age_years
+        FROM orders
+    """,
+)
+def u1_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 whole-years-between semantics (reference:
+    ProcessETLUtils.scala:481-489 calculateAge UDF) expressed
+    declaratively — the birthday rule, no UDF, no months_between
+    fraction ambiguity."""
+    orders = load(spark, sf_dir, "orders")
+    ref_y, ref_m, ref_d = 2002, 6, 15
+    d = F.col("o_orderdate")
+    after_birthday = (F.month(d) > ref_m) | ((F.month(d) == ref_m) & (F.dayofmonth(d) > ref_d))
+    return orders.select(
+        "o_orderkey",
+        (F.lit(ref_y) - F.year(d) - F.when(after_birthday, 1).otherwise(0))
+        .cast("long")
+        .alias("age_years"),
+    )

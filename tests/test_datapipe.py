@@ -1,0 +1,86 @@
+"""Quality checks for the non-SQL-expressible training-data operators:
+LSH candidate recall vs exact baselines, simhash sanity, multimodal
+batch determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators import dedup, multimodal, similarity
+from cqdg_etl_spark.queries.registry import load
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Pairs with true Jaccard ≥ 0.8 must nearly all surface as LSH
+    candidates (16 bands × 4 rows → P(candidate | j=0.8) ≈ 1-(1-0.8^4)^16
+    ≈ 0.9997)."""
+    docs = load(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    if truth:
+        recall = len(truth & cands) / len(truth)
+        assert recall >= 0.9, f"minhash LSH recall {recall} over {len(truth)} pairs"
+    # candidate set should not be the full cross product
+    n_docs = docs.count()
+    assert len(cands) < n_docs * (n_docs - 1) / 4
+
+
+def test_simhash_identical_and_distinct(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words entirely here about spark engines"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    sigs = {r.doc: r.simhash for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = dedup.simhash_near_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_ann_lsh_is_subset_quality(spark, sf_dir):
+    """LSH top-k hits must be a subset of the corpus and, where the exact
+    top-1 shares the query's bucket, match the exact top-1."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    approx = similarity.lsh_bucket_topk(corpus, queries, k=5).collect()
+    exact_top = {(r.query_id, r.neighbor_id) for r in exact}
+    # every approx hit is a real corpus vector with sane cosine
+    for r in approx:
+        assert -1.0 <= r.cos <= 1.0
+        assert r.neighbor_id >= 10
+    # recall@5 of the bucketed search is reported, must be nonzero here
+    hits = {(r.query_id, r.neighbor_id) for r in approx} & exact_top
+    assert len(hits) > 0
+
+
+def test_media_features_deterministic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_fake_media(docs, "text", "doc_id")
+    f1 = {r.doc_id: r.feature for r in multimodal.extract_media_features(media).collect()}
+    f2 = {r.doc_id: r.feature for r in multimodal.extract_media_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 16 for v in f1.values())
+    assert all(b.byte_len == 128 for b in media.select(
+        F.octet_length("media_bytes").alias("byte_len")).collect())
+
+
+def test_media_real_decode_raises(spark, sf_dir):
+    import pytest
+
+    docs = load(spark, sf_dir, "documents").limit(1)
+    media = multimodal.attach_fake_media(docs, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_media_features(media, decode="real")
