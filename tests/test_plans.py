@@ -1,0 +1,129 @@
+"""Performance-regression tests: lock in the physical plans we want.
+
+Correctness tests (test_correctness.py) prove the queries compute the
+right answers; these prove they compute them with plans that survive a
+100×–1000× scale-up: filters pushed to the parquet scan, read schemas
+pruned to the projected columns, dimension joins broadcast instead of
+shuffled, and no more exchanges than the semantics require.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cqdg_etl_spark.plans import (
+    assert_plan,
+    codegen_span_count,
+    count_broadcast_joins,
+    count_shuffles,
+    explain_str,
+    scan_reports,
+)
+from cqdg_etl_spark.queries import REGISTRY
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q6_full_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is scan→filter→agg: every predicate pushes down, 4-col read."""
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    assert_plan(
+        df,
+        # single exchange for the global aggregate
+        max_shuffles=1,
+        pushed_filter_on=["l_shipdate", "l_discount", "l_quantity"],
+        max_scan_columns={"lineitem": 4},
+    )
+
+
+def test_q1_single_shuffle_agg(spark, sf_dir):
+    """Q1 groups by 2 keys: partial agg + one exchange + final agg."""
+    df = q("q1_pricing_summary", spark, sf_dir)
+    # 1 exchange for groupBy + 1 rangepartitioning exchange for orderBy
+    plan = assert_plan(
+        df,
+        max_shuffles=2,
+        pushed_filter_on=["l_shipdate"],
+        max_scan_columns={"lineitem": 7},
+    )
+    assert "HashAggregate" in plan
+    # AQE hides codegen stages until the plan is finalized by an action.
+    df.collect()
+    assert codegen_span_count(df) >= 1
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, sf_dir):
+    """Q5 joins 4 dimension tables: all must broadcast; only the
+    orders⋈lineitem fact-fact join plus the agg/sort may shuffle."""
+    df = q("q5_local_supplier_volume", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_broadcast_joins(df, plan) >= 3, plan
+    # fact-fact join (2 exchanges) + agg (1) + orderBy (1)
+    assert count_shuffles(df, plan) <= 4, plan
+
+
+def test_q3_broadcast_filtered_customer(spark, sf_dir):
+    """Q3's filtered customer side is small → broadcast, not sort-merge."""
+    df = q("q3_shipping_priority", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_broadcast_joins(df, plan) >= 1, plan
+    # orders⋈lineitem may shuffle; group agg adds one; TakeOrderedAndProject
+    # replaces a global sort exchange.
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q10_topk_uses_take_ordered(spark, sf_dir):
+    """LIMIT after ORDER BY must plan as TakeOrderedAndProject, never a
+    global sort of the whole aggregate output."""
+    df = q("q10_returned_items", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scan_reports_parse(spark, sf_dir):
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    scans = scan_reports(df)
+    assert len(scans) == 1
+    assert "lineitem" in scans[0].location
+    assert scans[0].read_columns, "ReadSchema should parse to column names"
+    assert scans[0].pushed_filters, "PushedFilters should be non-empty"
+
+
+def test_w1_window_topk_single_shuffle(spark, sf_dir):
+    """Ranked-window top-1 per customer needs exactly one hash exchange."""
+    df = q("w1_top_order_per_customer", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= 1, plan
+
+
+def test_nest_orders_single_shuffle(spark, sf_dir):
+    """collect_list(struct(...)) denormalization = one exchange on the
+    group key (the reference's A1 core operator)."""
+    df = q("a1_nest_orders_per_customer", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= 1, plan
+
+
+def test_ann_bruteforce_no_extra_exchange(spark, sf_dir):
+    """Brute-force cosine top-k: probe broadcast, per-partition score,
+    TakeOrdered — the scan side must not shuffle before scoring."""
+    df = q("ann_topk_bruteforce", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "j2_left_join_order_counts",
+        "j1_hash_id_resolution",
+        "j3_theta_left_lookup",
+    ],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    """Small-side joins from the reference inventory broadcast cleanly."""
+    df = q(name, spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_broadcast_joins(df, plan) >= 1, plan
