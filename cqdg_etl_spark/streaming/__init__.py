@@ -1,0 +1,23 @@
+"""Structured Streaming surface (SURVEY.md §2.8: reference has none —
+this is the engine's forward-looking stream story).
+
+- sources: schema-pinned file streams (swap for Kafka in production)
+- windowed: watermarked tumbling windows, built-in session windows
+- stateful: ``applyInPandasWithState`` custom per-key state
+"""
+
+from cqdg_etl_spark.streaming.sources import read_event_stream
+from cqdg_etl_spark.streaming.stateful import running_user_totals
+from cqdg_etl_spark.streaming.windowed import (
+    session_windows,
+    session_windows_batch,
+    tumbling_hourly,
+)
+
+__all__ = [
+    "read_event_stream",
+    "running_user_totals",
+    "session_windows",
+    "session_windows_batch",
+    "tumbling_hourly",
+]

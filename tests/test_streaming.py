@@ -1,0 +1,102 @@
+"""Stream/batch equivalence tests.
+
+Each streaming operator is run over the sf0.001 events parquet with
+``trigger(availableNow=True)`` into a memory sink, then compared against
+its batch twin (the oracle-checked batch query where one exists). This
+is the strongest check available locally: identical answers from the
+incremental and the batch plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cqdg_etl_spark.queries import REGISTRY
+from cqdg_etl_spark.queries.registry import load
+from cqdg_etl_spark.streaming import (
+    read_event_stream,
+    running_user_totals,
+    session_windows,
+    session_windows_batch,
+    tumbling_hourly,
+)
+
+
+def run_to_memory(stream_df, name: str, output_mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in row) for row in df[cols].itertuples(index=False))
+
+
+def test_tumbling_hourly_stream_matches_batch(spark, sf_dir):
+    stream = tumbling_hourly(read_event_stream(spark, sf_dir))
+    run_to_memory(stream, "t_tumbling", "complete")
+    got = spark.sql("SELECT * FROM t_tumbling").toPandas()
+    expected = REGISTRY["ev_tumbling_hourly"].fn(spark, sf_dir).toPandas()
+    assert canon(got) == canon(expected)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    stream = session_windows(read_event_stream(spark, sf_dir))
+    run_to_memory(stream, "t_sessions", "complete")
+    got = spark.sql("SELECT * FROM t_sessions").toPandas()
+    expected = session_windows_batch(load(spark, sf_dir, "events")).toPandas()
+    assert len(got) == len(expected)
+    assert canon(got) == canon(expected)
+
+
+def test_session_window_agrees_with_lag_cumsum_sessionize(spark, sf_dir):
+    """The built-in session_window must find the same number of sessions
+    as the batch lag+cumsum sessionization (oracle-checked ev_sessionize)."""
+    batch = session_windows_batch(load(spark, sf_dir, "events")).toPandas()
+    lagged = REGISTRY["ev_sessionize"].fn(spark, sf_dir).toPandas()
+    assert len(batch) == len(lagged)
+
+
+def test_running_user_totals_final_state_matches_batch(spark, sf_dir):
+    """applyInPandasWithState: after draining the stream, the last update
+    per user equals the batch per-user aggregate."""
+    stream = running_user_totals(read_event_stream(spark, sf_dir))
+    run_to_memory(stream, "t_totals", "update")
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM t_totals) WHERE rn = 1
+        """
+    ).toPandas()
+    expected = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg({"*": "count", "value": "sum"})
+        .toPandas()
+    )
+    exp = {
+        r["user_id"]: (r["count(1)"], round(float(r["sum(value)"]), 2))
+        for _, r in expected.iterrows()
+    }
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, total = exp[r["user_id"]]
+        assert r["n_events"] == n
+        assert r["total_value"] == pytest.approx(total, abs=0.05)
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    stream = tumbling_hourly(read_event_stream(spark, sf_dir))
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
