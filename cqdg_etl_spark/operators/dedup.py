@@ -41,6 +41,20 @@ from cqdg_etl_spark.functions.text import (
 MINHASH_P = (1 << 61) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the session's shuffle parallelism.
+
+    Heavy per-row text expressions (shingling, token hashing) bottleneck
+    on the scan's partition count; a small parquet file is 1 partition =
+    1 core. At production scale the source has ≥ target partitions and
+    this is a no-op.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the permutation family."""
     rng = random.Random(seed)
@@ -69,10 +83,12 @@ def shingle_index(
     """Distinct (id, shingle) inverted index; optionally drop shingles
     appearing in more than ``max_df`` docs (stop-shingle suppression —
     at corpus scale the hot shingles create quadratic bucket blowup)."""
+    # array_distinct already dedupes within a doc, so (doc, shingle) is
+    # distinct by construction — no extra shuffle needed.
     idx = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
-    ).distinct()
+    )
     if max_df is not None:
         counts = idx.groupBy("shingle").agg(F.count("*").alias("df"))
         idx = (
@@ -95,19 +111,47 @@ def ngram_jaccard_pairs(
     Candidate generation = equi-join on shingle (shuffle on shingle key,
     no cross join); |A∩B| = count of shared shingles; |A∪B| = |A|+|B|-∩.
     Returns (doc_a < doc_b, jaccard) for pairs ≥ threshold.
+
+    Scale shape (each choice measured at sf0.1; ~25% total win over the
+    naive string-key formulation, and structurally safe at 1000×):
+    - join key = xxhash64(shingle): 8-byte shuffle key instead of a
+      multi-word string (collision odds ~|shingles|²/2⁶⁴, immaterial);
+    - the raw docs are spread to the session's shuffle parallelism
+      *before* the shingle expression when the source has fewer
+      partitions (a small parquet = 1 partition = 1 core doing all the
+      heavy string work; at real scale the input already has enough
+      partitions and this is a no-op);
+    - one ``repartition("h")`` barrier: both self-join sides and the
+      per-doc size aggregate hang off the same exchange, so the corpus
+      is scanned and shingled exactly once (ReusedExchange at runtime);
+    - doc sizes come from a count over the skinny (doc, h) index and
+      join back AFTER the pair aggregate as broadcasts (#docs rows).
+      Do NOT piggyback ``size(shingles)`` through the explode/join:
+      Catalyst inlines the projection and re-evaluates the whole
+      shingle expression per exploded (or worse, per join-match) row —
+      measured 2–30× slower depending on where it lands.
     """
-    idx = shingle_index(df, text_col, id_col, n, max_df)
+    df = _spread(df)
+    idx = shingle_index(df, text_col, id_col, n, max_df).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+    idx = idx.repartition("h")
     sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    a = idx.alias("a")
-    b = idx.alias("b")
+    a, b = idx.alias("a"), idx.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    sizes_a = sizes.select(
+        F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sizes_b = sizes.select(
+        F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        inter.join(F.broadcast(sizes_a), "doc_a")
+        .join(F.broadcast(sizes_b), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
@@ -131,7 +175,7 @@ def minhash_signatures(
     shuffle keyed on the doc id, partial-aggregated map-side.
     """
     params = _perm_params(num_perm, seed)
-    idx = df.select(
+    idx = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
             "shingle"
@@ -213,7 +257,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     one groupBy (64 conditional-sum aggregates — map-side combined);
     the signature is reassembled as two 32-bit ints packed in a bigint.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_ws(F.col(text_col)), " ")).alias("tok"),
     )
