@@ -129,6 +129,86 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Train: k-means (Spark MLlib, seeded) over the corpus embeddings →
+    ``n_cells`` centroids. Index: each corpus vector is assigned to its
+    nearest centroid — ONE pass, and the (cell → vectors) assignment is
+    exactly an inverted file expressed as a DataFrame keyed by cell id.
+    Search: each query scores the (driver-side, tiny) centroid table,
+    probes its ``nprobe`` closest cells, and scores only those cells'
+    vectors with exact cosine.
+
+    At 100 TB: n_cells scales with corpus size (√n is the classic
+    choice) so each cell is a bounded partition; the query→cell explode
+    shuffles queries (small side) while the corpus shuffles once on cell
+    id at index-build time. Raising nprobe trades latency for recall —
+    measured against brute force in tests/test_datapipe.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def nearest_cells(vec_name: str, n: int):
+        """Array of the n nearest cell ids by squared L2 distance."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_name).cast("array<double>"),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        ranked = F.slice(F.array_sort(dists), 1, n)
+        return F.transform(ranked, lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest_cells(vec_col, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(vec_col, nprobe)).alias("cell"),
+    )
+    scored = q.join(c, "cell").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -183,6 +183,20 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "ann_topk_ivf",
+    tags=("datapipe", "ann", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: KMeans coarse quantizer (16 cells), nprobe=4.
+    Approximate — recall vs brute force asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ------------------------------------------------------ text analysis
 
 

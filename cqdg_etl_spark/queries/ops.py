@@ -766,3 +766,38 @@ def u1_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("age_years"),
     )
+
+
+@query(
+    "j_salted_skew_join",
+    tags=("join", "skew"),
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact join (operators/skew.py): lineitem salted 8 ways,
+    orders replicated — row-for-row equal to the plain join, which is
+    exactly what the oracle asserts. The deterministic skew fallback
+    for hot keys AQE can't pre-split."""
+    from cqdg_etl_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        salted_join(li, orders, on="o_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dec_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

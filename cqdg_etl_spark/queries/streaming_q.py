@@ -1,0 +1,58 @@
+"""Streaming queries surfaced through the batch registry.
+
+Each entry drains a bounded stream (``trigger(availableNow=True)``) into
+a memory sink and returns the sink contents as a DataFrame — so the
+driver's DuckDB oracle checks the *streaming* operator's output exactly
+like a batch query. This is the strongest correctness statement the
+incremental path can make: identical answers to the declarative batch
+SQL.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cqdg_etl_spark.queries.registry import query
+from cqdg_etl_spark.streaming import read_event_stream, tumbling_hourly
+
+_run_counter = itertools.count()
+
+
+def _drain(stream_df, name: str, output_mode: str, spark: SparkSession) -> DataFrame:
+    sink = f"{name}_{next(_run_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(sink)
+
+
+@query(
+    "ev_tumbling_hourly_stream",
+    tags=("streaming", "window-agg"),
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY hour_start, event_type
+    """,
+)
+def ev_tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_tumbling_hourly, checked against the SAME
+    DuckDB oracle: readStream → watermark → windowed agg → availableNow
+    drain. Proves the incremental plan computes the batch answer."""
+    return _drain(
+        tumbling_hourly(read_event_stream(spark, sf_dir)),
+        "ev_tumbling_stream",
+        "complete",
+        spark,
+    )

@@ -34,7 +34,7 @@ def tumbling_hourly(
             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total_value"),
-            F.size(F.collect_set("user_id")).alias("n_users"),
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),

@@ -66,6 +66,37 @@ def test_ann_lsh_is_subset_quality(spark, sf_dir):
     assert len(hits) > 0
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (16 cells, nprobe=6) must recover most exact top-5 neighbors.
+    Deterministic: seeded KMeans, so this is a fixed value, not flaky."""
+    from cqdg_etl_spark.queries import REGISTRY
+
+    bf = REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    ivf = REGISTRY["ann_topk_ivf"].fn(spark, sf_dir).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ivf_set = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert ivf_set <= {(q, n) for q, n in ivf_set}  # sanity
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF recall {recall:.3f} below floor"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change row multiplicity: salted join == plain
+    join, row for row."""
+    from cqdg_etl_spark.operators.skew import salted_join
+    from cqdg_etl_spark.queries.registry import load
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = load(spark, sf_dir, "orders")
+    plain = li.join(orders, "o_orderkey").groupBy("o_orderpriority").count()
+    salted = (
+        salted_join(li, orders, "o_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
 def test_media_features_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(20)
     media = multimodal.attach_fake_media(docs, "text", "doc_id")
