@@ -102,3 +102,134 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("value")).alias("session_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+@query(
+    "ev_hopping_halfhour",
+    tags=("events", "window-agg", "sliding"),
+    oracle="""
+        WITH slots AS (
+          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                   AS hop_start, event_type, value FROM events
+          UNION ALL
+          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                              - 1800) AS hop_start, event_type, value
+          FROM events
+        )
+        SELECT strftime(hop_start, '%Y-%m-%d %H:%M:%S') AS hop_start,
+               event_type, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM slots GROUP BY hop_start, event_type
+    """,
+)
+def ev_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window: 1-hour windows every 30 min — each event
+    lands in exactly 2 windows. ``F.window(ts, '1 hour', '30 minutes')``
+    is the streaming-compatible form; the oracle replays the hop
+    arithmetic with a 2-way UNION."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hop_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_funnel_transitions",
+    tags=("events", "window", "lag"),
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
+    """,
+)
+def ev_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix via lag() — one shuffle on
+    user_id shared by the window sort."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "ev_top3_users_per_type",
+    tags=("events", "window", "topn"),
+    oracle="""
+        WITH totals AS (
+          SELECT event_type, user_id,
+                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+          FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY total_value DESC, user_id) AS BIGINT) AS rnk
+          FROM totals
+        )
+        SELECT event_type, user_id, total_value, rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY event_type, rnk
+    """,
+)
+def ev_top3_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by spend per event type: agg then ranked window —
+    the rank's partition key reuses the aggregate's shuffle."""
+    events = load(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        dec_sum(F.col("value")).alias("total_value")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    )
+
+
+@query(
+    "ev_moving_avg_3",
+    tags=("events", "window", "rows-frame"),
+    oracle="""
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+        FROM events
+    """,
+)
+def ev_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event value per user (ROWS frame)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("avg3")
+    )
