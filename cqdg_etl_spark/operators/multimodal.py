@@ -84,3 +84,70 @@ def extract_media_features(
             )
 
     return df.select("doc_id", "media_bytes").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, media_bytes binary"
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, decode: str = "fake"
+) -> DataFrame:
+    """mapInPandas resize: the real kernel would decode → resample →
+    re-encode; the fake kernel re-derives a deterministic payload keyed
+    by (original bytes, target size) so downstream schema/partitioning
+    is exercised for real."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real media resize requires image libraries not present "
+            "in this environment; use decode='fake' for the plumbing path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "media_bytes": pdf["media_bytes"].map(
+                        lambda b: hashlib.md5(
+                            bytes(b) + f"{width}x{height}".encode()
+                        ).digest()
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "media_bytes").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_nth: int = 8, max_frames: int = 4, decode: str = "fake"
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (doc_id, frame_idx, frame_bytes) — the UNNEST shape a real
+    `av`-based kernel would produce; frame count derives from payload
+    length so it is deterministic."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real frame sampling requires video libraries not present "
+            "in this environment; use decode='fake' for the plumbing path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // 16)
+                for fi in range(0, n_frames, every_nth)[:max_frames]:
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(
+                        hashlib.md5(raw + fi.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.select("doc_id", "media_bytes").mapInPandas(batches, FRAME_SCHEMA)

@@ -70,6 +70,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH.
 
@@ -78,9 +79,11 @@ def lsh_bucket_topk(
     within-bucket scoring is exact cosine. Returns the same schema as
     brute_force_topk (rank within found candidates).
 
-    At 100 TB: n_planes tunes bucket fan-out (2^n buckets); multi-probe
-    (flipping one bit) would raise recall — kept single-probe here and
-    measured against the exact baseline in tests.
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (classic multi-probe LSH): the
+    QUERY side explodes ×(n_planes+1) — the corpus side, which is the
+    big side at 100 TB, still shuffles exactly once on its single
+    bucket key. Recall vs the exact baseline is asserted in tests.
     """
     planes = _hyperplanes(dim, n_planes, seed)
 
@@ -106,11 +109,28 @@ def lsh_bucket_topk(
             expr = expr * 2 + b
         return expr
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        bucket(vec_col).alias("bucket"),
-    )
+    if multiprobe:
+        # query bucket plus every 1-bit flip: bucket XOR 2^j
+        probes = F.array_distinct(
+            F.array(
+                bucket(vec_col),
+                *[
+                    bucket(vec_col).bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_planes)
+                ],
+            )
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            bucket(vec_col).alias("bucket"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

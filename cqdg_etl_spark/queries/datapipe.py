@@ -184,6 +184,24 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_lsh_multiprobe",
+    tags=("datapipe", "ann", "lsh"),
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: query probes its bucket + all 1-bit
+    neighbors; corpus still shuffles once. Recall > single-probe,
+    asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucket_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        multiprobe=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "ann_topk_ivf",
     tags=("datapipe", "ann", "ivf"),
 )
