@@ -55,7 +55,7 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "session", "window"),
     oracle=f"""
         WITH flagged AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                              > {SESSION_GAP_US}
                       OR lag(ts) OVER w IS NULL
@@ -64,8 +64,9 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
           SELECT user_id, ts, value,
+
                  CAST(sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS BIGINT) AS session_id
           FROM flagged
@@ -93,7 +94,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
