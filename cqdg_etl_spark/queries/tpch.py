@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cqdg_etl_spark.functions.money import micro_agg, micro_sum
 from cqdg_etl_spark.queries.registry import dec_avg, dec_sum, load, query
 
 
@@ -43,21 +44,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: pricing summary report — scan + 8-agg hash aggregate."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dec_sum(disc_price).alias("sum_disc_price"),
-            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            dec_avg(F.col("l_quantity")).alias("avg_qty"),
-            dec_avg(F.col("l_extendedprice")).alias("avg_price"),
-            dec_avg(F.col("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return micro_agg(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": F.col("l_quantity"),
+            "sum_base_price": F.col("l_extendedprice"),
+            "sum_disc_price": disc_price,
+            "sum_charge": disc_price * (1 + F.col("l_tax")),
+        },
+        avgs={
+            "avg_qty": F.col("l_quantity"),
+            "avg_price": F.col("l_extendedprice"),
+            "avg_disc": F.col("l_discount"),
+        },
+        count_star="count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @query(
@@ -98,7 +100,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            # bounded group (<= 7 lineitems per order) -> single-phase long
+            micro_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -137,7 +142,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
-    return (
+    joined = (
         F.broadcast(region)
         .join(nation, nation.n_regionkey == region.r_regionkey)
         .join(cust, cust.c_nationkey == nation.n_nationkey)
@@ -147,12 +152,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
-        .groupBy("n_name")
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+    # 5 nation groups over the whole fact table -> two-phase micro_agg
+    return micro_agg(
+        joined,
+        ["n_name"],
+        sums={"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+    ).orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
 @query(
@@ -172,17 +178,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan-filter-aggregate; every predicate pushes down."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount").between(0.02, 0.07))
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
-            F.count("*").alias("n_lines"),
-        )
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    # single global group -> two-phase micro_agg (long partials per split)
+    return micro_agg(
+        filtered,
+        [],
+        sums={"revenue": F.col("l_extendedprice") * F.col("l_discount")},
+        count_star="n_lines",
     )
 
 
@@ -227,7 +234,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
         .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            # bounded group (orders-per-customer in a 6-month window) -> long path
+            micro_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))

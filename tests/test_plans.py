@@ -31,8 +31,10 @@ def test_q6_full_pushdown_and_pruning(spark, sf_dir):
     df = q("q6_forecast_revenue", spark, sf_dir)
     assert_plan(
         df,
-        # single exchange for the global aggregate
-        max_shuffles=1,
+        # two-phase micro_agg: phase-1 exchange (rows = #partitions after
+        # map-side long partial agg) + phase-2 global merge exchange.
+        # Both carry pre-aggregated rows only.
+        max_shuffles=2,
         pushed_filter_on=["l_shipdate", "l_discount", "l_quantity"],
         max_scan_columns={"lineitem": 4},
     )
@@ -41,10 +43,11 @@ def test_q6_full_pushdown_and_pruning(spark, sf_dir):
 def test_q1_single_shuffle_agg(spark, sf_dir):
     """Q1 groups by 2 keys: partial agg + one exchange + final agg."""
     df = q("q1_pricing_summary", spark, sf_dir)
-    # 1 exchange for groupBy + 1 rangepartitioning exchange for orderBy
+    # two-phase micro_agg exchanges (pre-aggregated, #partitions x 6 groups
+    # rows) + 1 rangepartitioning exchange for orderBy
     plan = assert_plan(
         df,
-        max_shuffles=2,
+        max_shuffles=3,
         pushed_filter_on=["l_shipdate"],
         max_scan_columns={"lineitem": 7},
     )
