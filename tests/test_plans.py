@@ -16,6 +16,7 @@ from cqdg_etl_spark.plans import (
     codegen_span_count,
     count_broadcast_joins,
     count_shuffles,
+    count_sort_merge_joins,
     explain_str,
     scan_reports,
 )
@@ -130,3 +131,15 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     df = q(name, spark, sf_dir)
     plan = explain_str(df, mode="formatted")
     assert count_broadcast_joins(df, plan) >= 1, plan
+
+
+def test_pipe_customer_document_shape(spark, sf_dir):
+    """Pipeline headline: 4 stages but only the shuffles its semantics
+    require — per-order agg (1), orders->agg join reusing the agg's
+    hash partitioning (1 for the orders side), per-customer nest (1),
+    customer join (1) — and the nation/region dims broadcast."""
+    df = q("pipe_customer_document", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= 4, plan
+    assert count_broadcast_joins(df, plan) >= 2, plan
+    assert count_sort_merge_joins(df, plan) == 0, plan
