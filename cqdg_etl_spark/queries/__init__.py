@@ -5,6 +5,7 @@ from cqdg_etl_spark.queries.registry import REGISTRY, Query, load, query
 # Importing for registration side effects.
 from cqdg_etl_spark.queries import tpch as _tpch  # noqa: F401,E402
 from cqdg_etl_spark.queries import tpch_extra as _tpch_extra  # noqa: F401,E402
+from cqdg_etl_spark.queries import tpch_more as _tpch_more  # noqa: F401,E402
 from cqdg_etl_spark.queries import ops as _ops  # noqa: F401,E402
 from cqdg_etl_spark.queries import events as _events  # noqa: F401,E402
 from cqdg_etl_spark.queries import streaming_q as _streaming_q  # noqa: F401,E402
