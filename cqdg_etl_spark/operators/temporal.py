@@ -1,0 +1,135 @@
+"""Temporal joins Spark lacks as built-ins: as-of and range (interval).
+
+Both are implemented as compositions of DataFrame operators (no UDFs,
+no per-row Python), chosen for their shuffle shape at scale:
+
+- ``asof_join``: union the two sides, one window pass per key carries
+  the latest right row forward — exactly ONE shuffle on the key, no
+  join at all. The naive alternative (join on key + ts inequality,
+  then rank) shuffles both sides AND explodes key-groups into
+  per-pair rows before pruning; the union-window form stays linear.
+- ``range_join``: Spark plans a no-equi-key inequality join as
+  BroadcastNestedLoopJoin — O(|L| * |R|) comparisons. Bucketing time
+  into fixed bands and equi-joining on the band id (right rows
+  duplicated into the bands their tolerance window covers) turns it
+  into a hash join with O(matches) work; the exact predicate filters
+  band-edge false positives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    right_payload: Sequence[str],
+    how: str = "inner",
+    suffix: str = "_right",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` within the same ``on`` key group.
+
+    Ties: a right row at exactly left's timestamp matches (<=
+    semantics, like DuckDB ASOF and pandas merge_asof backward).
+    Under duplicate right timestamps the winner is the highest
+    ``right_tiebreak`` value (resolved inside the same window pass —
+    cheaper than a dedup groupBy, which would cost a second exchange
+    since it hashes on (key, ts) while the window hashes on key).
+
+    Returns left columns + right_payload columns renamed with
+    ``suffix``. ``how='inner'`` drops left rows with no match;
+    ``'left'`` keeps them with nulls.
+    """
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    tb = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        payload_struct.alias("_asof_payload"),
+        F.lit(0).alias("_asof_side"),
+        tb.cast("long").alias("_asof_tb"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(0).cast("long").alias("_asof_tb"),
+    )
+    # Right rows sort before left rows at the same timestamp so an
+    # equal-ts right row is visible to the left row (<= semantics);
+    # among right rows at the same ts the tiebreak sorts last = wins.
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(
+            F.col(ts_col).asc(), F.col("_asof_side").asc(), F.col("_asof_tb").asc()
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_asof_side") == 1)
+    out = carried.select(
+        *left_cols,
+        *[
+            F.col("_asof_match")[c].alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_payload[0]}{suffix}").isNotNull())
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+    on: Sequence[str] = (),
+    band_us: int | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with |left.ts - right.ts| <= tolerance,
+    optionally also matching equi-keys ``on``.
+
+    Band width defaults to the tolerance: each right row lands in the
+    bands covering [ts - tol, ts + tol] (at most 3), each left row
+    probes its own band only — every qualifying pair shares a band, so
+    an equi hash join + exact filter finds all of them. Band ids are
+    epoch-microsecond integers divided by band width: uniform time
+    distribution -> uniform partitioning; hot bands fall to AQE skew
+    splitting.
+    """
+    band_us = band_us or tolerance_us
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    # floor division keeps negative epochs on the right band boundary
+    l = left.withColumn("_band", F.floor(l_us / band_us))
+    lo = F.floor((r_us - tolerance_us) / band_us)
+    hi = F.floor((r_us + tolerance_us) / band_us)
+    r = right.withColumn("_band", F.explode(F.sequence(lo, hi)))
+    cond = l["_band"] == r["_band"]
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    return (
+        l.join(r, cond, "inner")
+        .filter(
+            F.abs(F.unix_micros(l[left_ts]) - F.unix_micros(r[right_ts]))
+            <= tolerance_us
+        )
+        .drop("_band")
+    )

@@ -143,3 +143,22 @@ def test_pipe_customer_document_shape(spark, sf_dir):
     assert count_shuffles(df, plan) <= 4, plan
     assert count_broadcast_joins(df, plan) >= 2, plan
     assert count_sort_merge_joins(df, plan) == 0, plan
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    """As-of join = union + window carry: exactly one hash exchange on
+    the key, and no join operator at all in the plan."""
+    df = q("ev_asof_purchase_view", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
+    """No-equi-key range join must band-bucket into a hash join — a
+    BroadcastNestedLoopJoin/CartesianProduct is the O(n^2) failure."""
+    df = q("ev_range_error_near_signup", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
