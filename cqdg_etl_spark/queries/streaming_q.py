@@ -56,3 +56,28 @@ def ev_tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
         spark,
     )
+
+
+@query(
+    "ev_stream_dedup_keys",
+    tags=("streaming", "dedup"),
+    oracle="""
+        SELECT user_id, event_type, CAST(1 AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    """,
+)
+def ev_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, projected to its deterministic contract:
+    exactly one row per (user_id, event_type) key. (Which physical row
+    survives is arrival-order dependent — see streaming/dedup_stream.py —
+    so the oracle checks the key set + multiplicity, the property dedup
+    promises.)"""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.streaming import first_occurrence_stream, read_event_stream
+
+    deduped = first_occurrence_stream(
+        read_event_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    drained = _drain(deduped, "ev_stream_dedup", "append", spark)
+    return drained.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))

@@ -100,3 +100,46 @@ def test_watermark_present_in_plan(spark, sf_dir):
     assert stream.isStreaming
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stream_dedup_exact_matches_batch_distinct(spark, sf_dir):
+    """Global streaming dedup: key set equals batch DISTINCT, and
+    exactly one surviving row per key (the dedup contract)."""
+    from cqdg_etl_spark.queries.registry import load
+    from cqdg_etl_spark.streaming import first_occurrence_stream, read_event_stream
+
+    deduped = first_occurrence_stream(
+        read_event_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    run_to_memory(deduped, "dedup_exact_sink", "append")
+    got = spark.table("dedup_exact_sink").toPandas()
+    assert got.groupby(["user_id", "event_type"]).size().max() == 1
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(zip(got.user_id, got.event_type)) == batch_keys
+
+
+def test_stream_dedup_within_watermark_bounded_superset(spark, sf_dir):
+    """Watermark-bounded dedup re-emits keys across horizons: it must
+    cover every key at least once, still dedupe within a micro-batch
+    horizon, and never exceed the raw event count."""
+    from cqdg_etl_spark.queries.registry import load
+    from cqdg_etl_spark.streaming import (
+        first_occurrence_within_watermark,
+        read_event_stream,
+    )
+
+    deduped = first_occurrence_within_watermark(
+        read_event_stream(spark, sf_dir), ["user_id", "event_type"], "2 hours"
+    )
+    run_to_memory(deduped, "dedup_wm_sink", "append")
+    got = spark.table("dedup_wm_sink").toPandas()
+    ev = load(spark, sf_dir, "events")
+    n_keys = ev.select("user_id", "event_type").distinct().count()
+    assert len(set(zip(got.user_id, got.event_type))) == n_keys
+    assert n_keys <= len(got) <= ev.count()
