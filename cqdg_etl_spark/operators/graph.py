@@ -1,0 +1,81 @@
+"""Connected components — duplicate-cluster resolution over pair graphs.
+
+Near-dup detection (dedup.py) emits *pairs*; deduplication needs
+*clusters* (keep one doc per component). This is the canonical iterative
+Spark algorithm, expressed with DataFrame ops only:
+
+min-label propagation: every node starts labeled with its own id; each
+iteration every node takes the min label among itself and its
+neighbors; fixpoint = components labeled by their min member.
+
+Scale design:
+- each iteration is one shuffle join (edges x labels on node id) + one
+  groupBy — both hash on the node id, so AQE reuses the partitioning;
+- iteration count is the graph diameter. Dup clusters are
+  near-cliques (diameter 2-3), so convergence is fast; for adversarial
+  long-chain graphs switch to the large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce", SOCC'14),
+  which converges in O(log n) rounds — same join/groupBy building
+  blocks, just alternating star operations.
+- lineage is truncated every round (localCheckpoint) — without it the
+  plan doubles per iteration and the driver OOMs planning round ~15.
+  On a cluster, set a checkpoint dir and use checkpoint() instead
+  (localCheckpoint pins executor-local blocks, which are lost on
+  executor failure — acceptable in local mode, not on 1000 nodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component label (min member id) per node of the undirected graph.
+
+    Returns (node, component). Nodes are those appearing in edges;
+    callers wanting singleton components union isolated ids afterward.
+    Raises if max_iter rounds don't converge (diameter > max_iter).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nmin"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(graph diameter too large — use star-contraction)"
+    )

@@ -375,3 +375,45 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
     )
+
+
+@query(
+    "dd_duplicate_clusters",
+    tags=("datapipe", "dedup", "graph"),
+    oracle=f"""
+        WITH RECURSIVE s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, count(*) AS n_shingles FROM s GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc = doc_a
+          JOIN sizes sb ON sb.doc = doc_b
+          WHERE CAST(n_inter AS DOUBLE)
+                / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.8
+        ), sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ), walk(node, label) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT s2.b, w.label FROM walk w JOIN sym s2 ON s2.a = w.node
+        )
+        SELECT node, min(label) AS component FROM walk GROUP BY node
+    """,
+)
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (exact 3-gram
+    Jaccard >= 0.8) -> connected components (iterative min-label
+    propagation, operators/graph.py) -> (node, component=min member).
+    The oracle computes the same closure with a recursive CTE."""
+    from cqdg_etl_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return connected_components(pairs, "doc_a", "doc_b")

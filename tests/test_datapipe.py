@@ -171,3 +171,32 @@ def test_media_real_decode_raises(spark, sf_dir):
     media = multimodal.attach_fake_media(docs, "text", "doc_id")
     with pytest.raises(NotImplementedError):
         multimodal.extract_media_features(media, decode="real")
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation over a 6-node chain (diameter 5 — forces
+    several iterations), a triangle, and an isolated pair."""
+    from cqdg_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain
+         (10, 11), (11, 12), (10, 12),                 # triangle
+         (20, 21)],                                    # pair
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_diameter_guard(spark):
+    from cqdg_etl_spark.operators.graph import connected_components
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=2)
