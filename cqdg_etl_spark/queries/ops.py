@@ -801,3 +801,27 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_exact_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, verified bit-equal after 6dp rounding). At 100 TB
+    exact percentiles require a per-group sort — swap in
+    `approx_percentile` (t-digest, fixed-size sketch, mergeable
+    map-side) when groups stop fitting; kept exact here because the
+    oracle contract demands determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    )

@@ -81,3 +81,62 @@ def ev_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = _drain(deduped, "ev_stream_dedup", "append", spark)
     return drained.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "ev_stream_view_purchase_join",
+    tags=("streaming", "stream-stream-join"),
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def ev_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: every view within the hour
+    preceding a purchase by the same user. Both sides carry watermarks
+    and the join condition bounds event-time distance, so join state is
+    evicted once the watermark passes — the required shape for an
+    unbounded stream-stream join. Drained with availableNow and checked
+    against the identical batch interval join in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.streaming import read_event_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    return _drain(joined, "ev_stream_ssjoin", "append", spark)
