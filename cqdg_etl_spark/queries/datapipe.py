@@ -417,3 +417,50 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+@query(
+    "tx_tfidf_term_stats",
+    tags=("datapipe", "text", "tfidf"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS term
+          FROM documents
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        stats AS (
+          SELECT term, count(*) AS tf_total,
+                 count(DISTINCT doc_id) AS doc_freq
+          FROM toks GROUP BY term
+        )
+        SELECT term, CAST(tf_total AS BIGINT) AS tf_total, doc_freq,
+               round(ln((SELECT n_docs FROM n) / CAST(doc_freq AS DOUBLE)), 6)
+                 AS idf
+        FROM stats
+    """,
+)
+def tx_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF statistics: term frequency, document frequency,
+    ln-idf — the vocabulary table a scoring pass broadcasts. One
+    explode + one groupBy (countDistinct adds its expand internally);
+    the corpus size joins in as a broadcast scalar, not a driver
+    collect."""
+    docs = load(spark, sf_dir, "documents")
+    from cqdg_etl_spark.functions.text import tokens as _tokens
+    from cqdg_etl_spark.operators.dedup import _spread
+
+    toks = _spread(docs).select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.count("*").alias("tf_total"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return stats.join(F.broadcast(n)).select(
+        "term",
+        "tf_total",
+        "doc_freq",
+        F.round(F.log(F.col("n_docs") / F.col("doc_freq").cast("double")), 6).alias(
+            "idf"
+        ),
+    )

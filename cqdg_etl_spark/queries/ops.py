@@ -825,3 +825,29 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
     )
+
+
+@query(
+    "agg_cube_priority_status",
+    tags=("agg", "cube"),
+    oracle="""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets in one pass —
+    Catalyst's Expand feeds a single hash aggregate, one shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+    )
