@@ -33,6 +33,7 @@ def asof_join(
     how: str = "inner",
     suffix: str = "_right",
     right_tiebreak: str | None = None,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` within the same ``on`` key group.
@@ -46,7 +47,10 @@ def asof_join(
 
     Returns left columns + right_payload columns renamed with
     ``suffix``. ``how='inner'`` drops left rows with no match;
-    ``'left'`` keeps them with nulls.
+    ``'left'`` keeps them with nulls. ``tolerance_us`` (like pandas
+    merge_asof) voids matches older than the tolerance — the match
+    becomes null/dropped, evaluated per-row after the carry (no extra
+    shuffle).
     """
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
     tb = (
@@ -60,6 +64,7 @@ def asof_join(
         payload_struct.alias("_asof_payload"),
         F.lit(0).alias("_asof_side"),
         tb.cast("long").alias("_asof_tb"),
+        F.col(ts_col).alias("_asof_rts"),
     )
     left_cols = [c for c in left.columns]
     l = left.select(
@@ -67,6 +72,7 @@ def asof_join(
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
         F.lit(1).alias("_asof_side"),
         F.lit(0).cast("long").alias("_asof_tb"),
+        F.lit(None).cast("timestamp").alias("_asof_rts"),
     )
     # Right rows sort before left rows at the same timestamp so an
     # equal-ts right row is visible to the left row (<= semantics);
@@ -79,9 +85,29 @@ def asof_join(
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Both carries run over the SAME window before the side filter (a
+    # window after the filter would no longer see the right rows);
+    # Catalyst evaluates them in one Window operator, no extra pass.
     carried = unioned.withColumn(
         "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
-    ).filter(F.col("_asof_side") == 1)
+    )
+    if tolerance_us is not None:
+        # _asof_rts's last non-null comes from the same row as the
+        # payload's (both null exactly on left rows), so this is the
+        # matched row's timestamp.
+        carried = carried.withColumn(
+            "_asof_match_ts", F.last("_asof_rts", ignorenulls=True).over(w)
+        )
+    carried = carried.filter(F.col("_asof_side") == 1)
+    if tolerance_us is not None:
+        carried = carried.withColumn(
+            "_asof_match",
+            F.when(
+                F.unix_micros(F.col(ts_col)) - F.unix_micros("_asof_match_ts")
+                <= tolerance_us,
+                F.col("_asof_match"),
+            ),
+        )
     out = carried.select(
         *left_cols,
         *[

@@ -200,3 +200,54 @@ def test_connected_components_diameter_guard(spark):
     )
     with pytest.raises(RuntimeError):
         connected_components(chain, max_iter=2)
+
+
+def test_asof_join_left_mode_and_tolerance(spark):
+    """Hand-built fixture: left-mode keeps unmatched rows with nulls;
+    tolerance voids stale matches; equal-ts right rows match (<=);
+    duplicate right timestamps resolve to the max tiebreak."""
+    import datetime as dt
+
+    from cqdg_etl_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, ts(5), "L5"), (1, ts(100), "L100"), (2, ts(1), "L1")],
+        ["k", "ts", "lval"],
+    )
+    right = spark.createDataFrame(
+        # two right rows for k=1 at the same ts=5 (ids 7 and 9): max wins
+        [(1, ts(5), 7), (1, ts(5), 9), (1, ts(3), 3)],
+        ["k", "ts", "rid"],
+    )
+    got = {
+        r.lval: r.rid_right
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_payload=["rid"],
+            how="left", right_tiebreak="rid",
+        ).collect()
+    }
+    assert got == {"L5": 9, "L100": 9, "L1": None}
+
+    got_tol = {
+        r.lval: r.rid_right
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_payload=["rid"],
+            how="left", right_tiebreak="rid", tolerance_us=10_000_000,
+        ).collect()
+    }
+    # L100 is 95s after the newest right row -> voided by 10s tolerance
+    assert got_tol == {"L5": 9, "L100": None, "L1": None}
+
+    got_inner = {
+        r.lval: r.rid_right
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_payload=["rid"],
+            how="inner", right_tiebreak="rid", tolerance_us=10_000_000,
+        ).collect()
+    }
+    assert got_inner == {"L5": 9}
