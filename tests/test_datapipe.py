@@ -251,3 +251,36 @@ def test_asof_join_left_mode_and_tolerance(spark):
         ).collect()
     }
     assert got_inner == {"L5": 9}
+
+
+def test_star_contraction_matches_min_label_random_graph(spark):
+    """large-star/small-star CC equals min-label CC on a seeded random
+    graph, and converges on a 400-node chain (diameter 399) in O(log n)
+    rounds where min-label would need ~400."""
+    import random
+
+    from cqdg_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got_star = {
+        (r.node, r.component) for r in connected_components_star(df).collect()
+    }
+    got_minl = {
+        (r.node, r.component) for r in connected_components(df, max_iter=50).collect()
+    }
+    assert got_star == got_minl
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], ["src", "dst"]
+    )
+    comp = {
+        r.node: r.component for r in connected_components_star(chain).collect()
+    }
+    assert set(comp) == set(range(401))
+    assert set(comp.values()) == {0}
