@@ -1,0 +1,83 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+``df.sample``/``sampleBy`` are seed-deterministic only per partitioning
+and per engine — useless for reproducible train/val splits that must
+survive repartitioning, backfills, or a different engine re-deriving
+the same split. These operators derive membership from a hash of the
+row's stable id instead:
+
+    bucket(id) = first 8 hex digits of md5(salt || id)  in [0, 2^32)
+
+- the same row lands in the same split forever, on any engine that can
+  compute md5 (the DuckDB oracles reproduce the exact assignment);
+- no shuffle, no state: membership is a per-row projection, fully
+  pushed into the scan stage;
+- changing ``salt`` redraws the assignment (new experiment), changing
+  rates only moves boundary buckets (splits stay nested: a 5% sample
+  is a subset of the 10% sample with the same salt).
+
+md5 (not xxhash64) is deliberate: it is the portable choice every
+engine agrees on; the cost is amortized inside the scan projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Stable uniform bucket in [0, 2^32) from a row id."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a split label ('train'/'val'/...) by cumulative bucket range.
+
+    ``splits`` maps label -> fraction; fractions must sum to <= 1 (any
+    remainder is labeled None — useful for holding data back).
+    """
+    expr: Column = F.lit(None).cast("string")
+    bucket = hash_bucket(F.col(id_col), salt)
+    cum = 0.0
+    conds = []
+    for label, frac in splits.items():
+        cum += frac
+        conds.append((bucket < int(cum * _BUCKETS), label))
+    for cond, label in reversed(conds):
+        expr = F.when(cond, F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (e.g. keep 50%
+    of lang='en', 10% of everything else). Pure projection + filter —
+    reproducible regardless of partitioning or engine."""
+    bucket = hash_bucket(F.col(id_col), salt)
+    threshold: Column = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

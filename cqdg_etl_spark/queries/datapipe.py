@@ -464,3 +464,60 @@ def tx_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idf"
         ),
     )
+
+
+@query(
+    "ds_train_val_split",
+    tags=("datapipe", "sampling"),
+    oracle="""
+        WITH b AS (
+          SELECT source,
+                 CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'train'
+                    ELSE 'val' END AS split,
+               count(*) AS n
+        FROM b GROUP BY source, split
+    """,
+)
+def ds_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split (md5-bucket assignment,
+    reproducible on any engine) — counts per (source, split)."""
+    from cqdg_etl_spark.operators.sampling import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id", {"train": 0.9, "val": 0.1})
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ds_stratified_sample",
+    tags=("datapipe", "sampling"),
+    oracle="""
+        SELECT lang, count(*) AS n_sampled
+        FROM documents
+        WHERE CAST(('0x' || substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT)
+              < CASE WHEN lang = 'en' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                     ELSE CAST(0.1 * 4294967296 AS BIGINT) END
+        GROUP BY lang
+    """,
+)
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of lang='en', 10%
+    otherwise; the filter is a pure projection (no shuffle, no RNG
+    state) so the sample is stable under repartitioning."""
+    from cqdg_etl_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )

@@ -284,3 +284,22 @@ def test_star_contraction_matches_min_label_random_graph(spark):
     }
     assert set(comp) == set(range(401))
     assert set(comp.values()) == {0}
+
+
+def test_deterministic_sampling_nested_and_partition_invariant(spark, sf_dir):
+    """Same salt: a 5% sample is a subset of the 10% sample; the sample
+    is identical after an arbitrary repartition (no RNG state)."""
+    from cqdg_etl_spark.operators.sampling import stratified_sample
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    ids05 = {r.doc_id for r in stratified_sample(
+        docs, "doc_id", "lang", {}, default_rate=0.05).select("doc_id").collect()}
+    ids10 = {r.doc_id for r in stratified_sample(
+        docs, "doc_id", "lang", {}, default_rate=0.10).select("doc_id").collect()}
+    assert ids05 <= ids10
+    assert 0 < len(ids05) < len(ids10)
+    ids10_rep = {r.doc_id for r in stratified_sample(
+        docs.repartition(13), "doc_id", "lang", {}, default_rate=0.10
+    ).select("doc_id").collect()}
+    assert ids10 == ids10_rep
