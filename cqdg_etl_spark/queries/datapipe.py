@@ -521,3 +521,73 @@ def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query(
+    "ds_decontaminate_vs_benchmark",
+    tags=("datapipe", "dedup", "decontamination"),
+    oracle=f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest({_sql_shingles('text', 5)}) AS g
+          FROM documents WHERE source = 'src0'
+        ), dg AS (
+          SELECT doc_id, unnest({_sql_shingles('text', 5)}) AS g
+          FROM documents WHERE source <> 'src0'
+        )
+        SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bench)
+    """,
+)
+def ds_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs (source != src0) sharing any word
+    5-gram with the benchmark corpus (source = src0). Semi join on the
+    shingle index; benchmark grams broadcast."""
+    from cqdg_etl_spark.operators.packing import contaminated_ids
+
+    docs = load(spark, sf_dir, "documents")
+    return contaminated_ids(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=5,
+    )
+
+
+@query(
+    "ds_pack_sequences",
+    tags=("datapipe", "packing"),
+    oracle="""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS n_tokens
+          FROM documents
+        ), packed AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                      / 512.0) AS BIGINT) AS seq_id
+          FROM toks
+        )
+        SELECT source, seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY source, seq_id
+    """,
+)
+def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs -> 512-token sequence bins per
+    source (deterministic streaming assignment, one window pass);
+    output = per-bin doc/token counts."""
+    from cqdg_etl_spark.functions.text import tokens as _tokens
+    from cqdg_etl_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "doc_id", F.size(_tokens(F.col("text"))).cast("long"),
+        budget=512, partition_cols=["source"],
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
