@@ -7,6 +7,8 @@ checks these exactly. No Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -106,3 +108,27 @@ def token_counts(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
         F.sum(F.regexp_count(text, F.lit(BPE_TOKEN_RE))).alias("bpe_tokens"),
         F.sum(F.length(text)).alias("n_chars"),
     )
+
+
+def quality_score_vectorized():
+    """Arrow-batched quality calibration — the ONE sanctioned shape for
+    Python in a hot path (SURVEY §2.7: reference has 2 scalar UDFs; we
+    keep Python out of hot paths except Arrow-vectorized kernels).
+
+    A scalar @pandas_udf receives ~10k-row pandas Series batches over
+    Arrow (zero-copy numerics) and computes with numpy vector ops —
+    per-row overhead is amortized to near-JVM cost, vs 10-100x for a
+    row-at-a-time Python UDF. The plan shows ArrowEvalPython (asserted
+    in tests/test_plans.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def calibrate(n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # logistic calibration of a length-based quality prior
+        z = (n_chars.to_numpy(dtype="float64") - 200.0) / 80.0
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return calibrate

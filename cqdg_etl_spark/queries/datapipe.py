@@ -591,3 +591,59 @@ def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "tx_quality_quantile_filter",
+    tags=("datapipe", "text", "window"),
+    oracle="""
+        WITH scored AS (
+          SELECT lang, doc_id, n_chars,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+                   AS pr
+          FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_kept,
+               CAST(min(n_chars) AS BIGINT) AS min_chars
+        FROM scored WHERE pr >= 0.25 GROUP BY lang
+    """,
+)
+def tx_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering: drop the bottom quartile of
+    docs per language by length score. percent_rank is deterministic
+    here because the window order (n_chars, doc_id) is a total order.
+    One window shuffle on lang; at 100 TB with few langs -> salt the
+    partition key or pre-aggregate score histograms instead."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("n_chars").alias("min_chars"))
+    )
+
+
+@query(
+    "tx_quality_calibrated_udf",
+    tags=("datapipe", "text", "pandas-udf"),
+    oracle="""
+        SELECT lang,
+               round(avg(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 200.0) / 80.0))), 6)
+                 AS avg_quality
+        FROM documents GROUP BY lang
+    """,
+)
+def tx_quality_calibrated_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Pandas UDF (logistic calibration) feeding a
+    JVM-side aggregate — the sanctioned Python-in-hot-path shape."""
+    calibrate = textstats.quality_score_vectorized()
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("q", calibrate(F.col("n_chars")))
+        .groupBy("lang")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"))
+    )

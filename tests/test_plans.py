@@ -162,3 +162,12 @@ def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
+    """Python in the hot path must be the Arrow-vectorized kind:
+    ArrowEvalPython in the plan, never row-at-a-time BatchEvalPython."""
+    df = q("tx_quality_calibrated_udf", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
