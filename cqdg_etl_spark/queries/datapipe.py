@@ -647,3 +647,40 @@ def tx_quality_calibrated_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.round(F.avg("q"), 6).alias("avg_quality"))
     )
+
+
+@query(
+    "mm_png_header_roundtrip",
+    tags=("datapipe", "multimodal", "binary"),
+    oracle="""
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 4096 + 1
+                    AS INTEGER) AS width,
+               CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 4096 + 1
+                    AS INTEGER) AS height,
+               8 AS bit_depth
+        FROM documents
+    """,
+)
+def mm_png_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary metadata parsing: synthesize valid PNG headers with
+    md5-derived dimensions, then parse width/height/bit-depth back out
+    of the BYTES with pure JVM expressions (hex/substring/conv — no
+    Python, no decode library). The oracle derives the expected
+    dimensions independently from the same md5, so it verifies the
+    synth->bytes->parse pipeline end to end."""
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 4096 + 1
+    ).cast("int")
+    h = (
+        F.conv(F.substring(F.md5("text"), 5, 4), 16, 10).cast("long") % 4096 + 1
+    ).cast("int")
+    png = docs.select("doc_id", multimodal.synth_png(w, h).alias("png_bytes"))
+    parsed = png.select("doc_id", multimodal.png_dimensions(F.col("png_bytes")).alias("d"))
+    return parsed.select(
+        "doc_id",
+        F.col("d.width").alias("width"),
+        F.col("d.height").alias("height"),
+        F.col("d.bit_depth").alias("bit_depth"),
+    )

@@ -303,3 +303,27 @@ def test_deterministic_sampling_nested_and_partition_invariant(spark, sf_dir):
         docs.repartition(13), "doc_id", "lang", {}, default_rate=0.10
     ).select("doc_id").collect()}
     assert ids10 == ids10_rep
+
+
+def test_jpeg_dimension_parse_roundtrip(spark):
+    """Real JPEG SOF marker scanning (stdlib-only) recovers the exact
+    dimensions written into synthetic headers; garbage bytes -> nulls."""
+    from cqdg_etl_spark.operators.multimodal import jpeg_dimensions, synth_jpeg_header
+
+    rows = [
+        (1, synth_jpeg_header(640, 480)),
+        (2, synth_jpeg_header(31, 4096)),
+        (3, b"not a jpeg at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_bytes binary")
+    got = {r.doc_id: (r.width, r.height) for r in jpeg_dimensions(df, "media_bytes", "doc_id").collect()}
+    assert got == {1: (640, 480), 2: (31, 4096), 3: (None, None)}
+
+
+def test_png_header_parse_rejects_non_png(spark):
+    from cqdg_etl_spark.operators.multimodal import png_dimensions
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, b"GIF89a junk")], "doc_id long, b binary")
+    row = df.select(png_dimensions(F.col("b")).alias("d")).collect()[0]
+    assert row.d is None
