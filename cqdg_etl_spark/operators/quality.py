@@ -1,0 +1,212 @@
+"""Document-quality rule operators for training-data curation.
+
+Gopher-style repetition metrics, C4-style rule flags, and PII redaction
+— the filters a pretraining pipeline applies between raw scrape and
+dedup. All built-in JVM expressions (whole-stage codegen); the only
+shuffles are the per-document n-gram aggregations in
+``repetition_metrics``, keyed by document id.
+
+Beyond-reference capability (the reference ETL at
+/root/reference/src/main/scala/ca/cqdg/etl has no document-quality
+surface); part of the training-data operator suite required by the
+task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.functions.text import normalize_ws, tokens, word_shingles
+
+# Java + RE2 compatible patterns (must behave identically in DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b555-\d{4}\b"
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition statistics (Gopher-style quality rules).
+
+    Returns (id, n_tokens, distinct_token_ratio, top_bigram_frac,
+    dup_bigram_frac, dup_trigram_frac):
+
+    - ``distinct_token_ratio`` — |set(tokens)| / |tokens|, a pure
+      projection (array ops, no shuffle);
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram /
+      total bigrams (Gopher's top-2-gram coverage);
+    - ``dup_{bi,tri}gram_frac`` — fraction of n-gram *occurrences*
+      whose n-gram appears more than once.
+
+    Scale shape: each n-gram branch is explode → partial-aggregated
+    count per (doc, gram) → per-doc aggregate. Both shuffles hash on
+    the document id (gram appended for the first), so skew follows
+    document length, not corpus hot keys; the per-doc joins at the end
+    move only #docs rows. Long documents bound memory per group at
+    O(distinct grams per doc), never O(corpus).
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_token_ratio"),
+    )
+
+    def gram_stats(n: int, top: bool) -> DataFrame:
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n=n)).alias("_g"),
+        )
+        cnt = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        aggs = [
+            F.round(
+                F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("_c"),
+                6,
+            ).alias(f"dup_{'bi' if n == 2 else 'tri'}gram_frac")
+        ]
+        if top:
+            aggs.insert(
+                0,
+                F.round(
+                    F.max("_c").cast("double") / F.sum("_c"), 6
+                ).alias("top_bigram_frac"),
+            )
+        return cnt.groupBy(id_col).agg(*aggs)
+
+    return base.join(gram_stats(2, top=True), id_col).join(
+        gram_stats(3, top=False), id_col
+    )
+
+
+def c4_rule_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 30,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """C4-style per-document rule flags, all in one projection.
+
+    Returns (id, n_words, mean_word_len, len_ok, word_len_ok, no_brace,
+    no_lorem, keep). Zero shuffles — every rule is an array/string
+    expression over the text column, so the filter runs at scan speed
+    and pushes the surviving-row projection into the same stage.
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    n_words = F.size(toks).cast("bigint")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.size(toks),
+        6,
+    )
+    lowered = F.lower(F.col(text_col))
+    len_ok = (n_words >= min_words) & (n_words <= max_words)
+    word_len_ok = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    no_brace = ~lowered.contains("{")
+    no_lorem = ~lowered.contains("lorem ipsum")
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            len_ok.alias("len_ok"),
+            no_brace.alias("no_brace"),
+            no_lorem.alias("no_lorem"),
+        )
+        .withColumn("word_len_ok", word_len_ok)
+        .withColumn(
+            "keep",
+            F.col("len_ok")
+            & F.col("word_len_ok")
+            & F.col("no_brace")
+            & F.col("no_lorem"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "mean_word_len",
+            "len_ok",
+            "word_len_ok",
+            "no_brace",
+            "no_lorem",
+            "keep",
+        )
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped tokens, with counts.
+
+    Returns (id, redacted, n_emails, n_ips, n_phones). Replacement
+    order is fixed (email → ip → phone) so overlapping matches resolve
+    deterministically. Pure ``regexp_replace`` / ``regexp_count``
+    chain — single projection, no shuffle, runs at scan speed; the
+    patterns are written in the Java∩RE2 common dialect so an external
+    engine produces byte-identical redactions.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
+
+
+def canonical_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Pick one canonical document per duplicate cluster.
+
+    ``components`` is (node, component) from connected components over
+    near-dup pairs; documents absent from it are singleton clusters.
+    The winner is the highest-``quality_col`` member (ties → lowest
+    id). Returns (id, component, is_canonical).
+
+    Scale shape: the component map is #duplicate-docs rows (tiny vs the
+    corpus) → broadcast left join; the winner is a window rank
+    partitioned by component — the window input is only the clustered
+    docs plus singletons, and singleton partitions are size-1, so no
+    skew beyond the largest duplicate cluster.
+    """
+    from pyspark.sql import Window
+
+    labeled = docs.join(
+        F.broadcast(components),
+        docs[id_col] == components["node"],
+        "left",
+    ).select(
+        docs[id_col],
+        F.coalesce(F.col("component"), docs[id_col]).alias("component"),
+        F.col(quality_col).alias("_q"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col("_q").desc(), F.col(id_col).asc()
+        )
+    )
+    return labeled.select(
+        id_col,
+        "component",
+        (rank == 1).alias("is_canonical"),
+    )

@@ -6,6 +6,7 @@ from cqdg_etl_spark.queries.registry import REGISTRY, Query, load, query
 from cqdg_etl_spark.queries import tpch as _tpch  # noqa: F401,E402
 from cqdg_etl_spark.queries import tpch_extra as _tpch_extra  # noqa: F401,E402
 from cqdg_etl_spark.queries import tpch_more as _tpch_more  # noqa: F401,E402
+from cqdg_etl_spark.queries import tpch_final as _tpch_final  # noqa: F401,E402
 from cqdg_etl_spark.queries import ops as _ops  # noqa: F401,E402
 from cqdg_etl_spark.queries import events as _events  # noqa: F401,E402
 from cqdg_etl_spark.queries import streaming_q as _streaming_q  # noqa: F401,E402
@@ -14,6 +15,7 @@ from cqdg_etl_spark.queries import temporal_q as _temporal_q  # noqa: F401,E402
 
 try:  # training-data operators (added incrementally)
     from cqdg_etl_spark.queries import datapipe as _datapipe  # noqa: F401,E402
+    from cqdg_etl_spark.queries import datapipe2 as _datapipe2  # noqa: F401,E402
 except ImportError:
     pass
 
