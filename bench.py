@@ -32,11 +32,19 @@ def main() -> None:
         # Steady-state measurement: one untimed warmup run per query
         # absorbs one-time costs (Catalyst analysis cache, whole-stage
         # codegen compile, parquet footer cache, JVM JIT) that would
-        # otherwise dominate at small SF, then time the best of 2 runs.
+        # otherwise dominate at small SF, then time the best of 3 runs.
+        # Between queries, drop dead Py4J refs and force a JVM GC so the
+        # ContextCleaner reclaims finished broadcasts — accumulated
+        # broadcast blocks otherwise bleed GC pauses into later queries
+        # (measured: up to 60x swings on broadcast-heavy queries).
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
