@@ -171,3 +171,50 @@ def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,max_sh,min_bhj",
+    [
+        # Q2: offers groupBy (1) + per-part window on the aggregated view (1)
+        ("q2_min_cost_supplier", 2, 2),
+        # Q9: two-phase micro_agg (2); part/supplier/nation broadcast —
+        # orders may broadcast (small SF) or shuffle (adds 2) at scale
+        ("q9_profit_by_nation_year", 4, 3),
+        # Q11: phase-1 (pid, partkey) agg + phase-2 partkey merge + the
+        # empty-frame window's single-partition exchange of the tiny view
+        ("q11_important_part_value", 3, 1),
+        # Q16: distinct over (partkey, suppkey) + 3-key agg + AQE reuse
+        ("q16_supplier_part_variety", 3, 2),
+        # Q20: one fact shuffle — the (suppkey, partkey) conditional agg;
+        # part semi, nation, and the heavy-supplier semi all broadcast
+        ("q20_heavy_shippers", 1, 2),
+    ],
+)
+def test_tpch_final_plan_shapes(spark, sf_dir, name, max_sh, min_bhj):
+    """Q2/Q9/Q11/Q16/Q20: dims broadcast, never sort-merge; fact
+    shuffles bounded by what the semantics require."""
+    df = q(name, spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= max_sh, plan
+    assert count_broadcast_joins(df, plan) >= min_bhj, plan
+    assert count_sort_merge_joins(df, plan) == 0, plan
+
+
+@pytest.mark.parametrize("name", ["tx_c4_rule_filter", "tx_pii_redaction"])
+def test_quality_filters_shuffle_free(spark, sf_dir, name):
+    """C4 rules and PII redaction are single-projection operators: zero
+    exchanges, pruned scan of (doc_id, text) only."""
+    df = q(name, spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_repetition_metrics_plan(spark, sf_dir):
+    """Repetition metrics: 2 n-gram branches x (gram-count + per-doc)
+    shuffles, post-aggregate doc joins broadcast, never sort-merge."""
+    df = q("tx_repetition_metrics", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) <= 4, plan
+    assert count_sort_merge_joins(df, plan) == 0, plan
