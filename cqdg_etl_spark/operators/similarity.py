@@ -252,3 +252,44 @@ def cosine_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per label → (label, centroid_str).
+
+    The centroid is serialized as comma-joined fixed-6dp decimals in
+    dimension order (engine-portable comparison form). Scale shape:
+    posexplode → per-(label, dim) avg (one shuffle, map-side partial
+    over dim× replicated rows) → per-label re-assembly via sorted
+    collect_list (second shuffle, #labels × dim rows only). The
+    replication factor is the embedding dim — the same cost any
+    engine pays to touch every component; no row ever carries more
+    than (label, dim_index, double).
+    """
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_dim = pos.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    assembled = per_dim.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims")
+    )
+    return assembled.select(
+        "label",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "dims",
+                lambda s: F.round(s["m"], scale)
+                .cast(f"decimal(18,{scale})")
+                .cast("string"),
+            ),
+        ).alias("centroid_str"),
+    )

@@ -132,3 +132,25 @@ def quality_score_vectorized():
         return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return calibrate
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 100
+) -> DataFrame:
+    """Global top-k n-grams by document frequency → (gram, cnt).
+
+    Deterministic ties (count desc, gram asc). The limit+orderBy pair
+    compiles to TakeOrderedAndProject: each partition keeps only its
+    local top-k heap and the driver merges #partitions × k rows — no
+    global sort, no full shuffle of the gram counts. This is the
+    shape that survives a vocabulary of billions of grams; the only
+    full shuffle is the gram-count aggregate, map-side combined.
+    """
+    from cqdg_etl_spark.functions.text import word_shingles
+
+    counts = (
+        df.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(k)

@@ -223,3 +223,98 @@ def dd_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
     comp = connected_components(pairs, "doc_a", "doc_b")
     return quality.canonical_per_cluster(docs, comp, "doc_id", "n_chars")
+
+
+@query(
+    "tx_top_bigrams",
+    tags=("datapipe", "text", "topk"),
+    oracle=f"""
+        WITH grams AS (
+          SELECT unnest({_sql_multiset_shingles('text', 2)}) AS gram
+          FROM documents
+        )
+        SELECT gram, count(*) AS cnt
+        FROM grams GROUP BY gram
+        ORDER BY cnt DESC, gram ASC LIMIT 100
+    """,
+)
+def tx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 bigrams by occurrence (TakeOrderedAndProject —
+    per-partition heaps, no full sort)."""
+    from cqdg_etl_spark.operators.textstats import top_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=100)
+
+
+@query(
+    "pf_profile_orders",
+    tags=("datapipe", "profile"),
+    oracle="""
+        SELECT 'o_orderstatus' AS "column",
+               count(o_orderstatus) AS n_nonnull,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT o_orderstatus) AS n_distinct,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(o_orderpriority),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(o_custkey),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(o_orderdate),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderdate),
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+    """,
+)
+def pf_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan, single-aggregate profile of 4 orders columns
+    (nulls / exact ndv / min / max, long format). The oracle's 4-scan
+    UNION ALL states the same semantics; the engine's point is doing
+    it in one pass."""
+    from cqdg_etl_spark.operators.profile import profile_columns
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    )
+
+
+@query(
+    "emb_label_centroids",
+    tags=("datapipe", "vectors"),
+    oracle="""
+        WITH pos AS (
+          SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), per_dim AS (
+          SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos
+        )
+        SELECT label,
+               array_to_string(
+                 list(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                      ORDER BY pos), ',') AS centroid_str
+        FROM per_dim GROUP BY label
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label, serialized in dimension
+    order as fixed-6dp decimals."""
+    from cqdg_etl_spark.operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")

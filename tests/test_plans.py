@@ -218,3 +218,20 @@ def test_repetition_metrics_plan(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert count_shuffles(df, plan) <= 4, plan
     assert count_sort_merge_joins(df, plan) == 0, plan
+
+
+def test_top_bigrams_uses_take_ordered(spark, sf_dir):
+    """Global top-k grams must plan per-partition heaps, not a full
+    global sort of the vocabulary."""
+    df = q("tx_top_bigrams", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """Profiler reads the table once; the countDistinct Expand is the
+    only row-expansion and scan columns are pruned to the profiled set."""
+    df = q("pf_profile_orders", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert len(scan_reports(df, plan)) == 1, plan
+    assert_plan(df, max_scan_columns={"orders": 4})
