@@ -140,3 +140,88 @@ def ev_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
     return _drain(joined, "ev_stream_ssjoin", "append", spark)
+
+
+@query(
+    "ev_stream_enrich_static",
+    tags=("streaming", "stream-static-join"),
+    oracle="""
+        SELECT c_mktsegment, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events JOIN customer ON c_custkey = user_id
+        GROUP BY c_mktsegment, event_type
+    """,
+)
+def ev_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    dimension (customer) broadcast to every micro-batch — no state, no
+    watermark needed for the join itself (the static side is re-read
+    per batch, so a dimension refresh is picked up mid-stream). The
+    downstream aggregate runs in complete mode; DuckDB checks the
+    identical batch join."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.queries.registry import load
+    from cqdg_etl_spark.streaming import read_event_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return _drain(agg, "ev_stream_enrich", "complete", spark)
+
+
+@query(
+    "ev_stream_hopping_halfhour",
+    tags=("streaming", "window-agg", "sliding"),
+    oracle="""
+        WITH slots AS (
+          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                   AS hop_start, event_type, value FROM events
+          UNION ALL
+          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                              - 1800) AS hop_start, event_type, value
+          FROM events
+        )
+        SELECT strftime(hop_start, '%Y-%m-%d %H:%M:%S') AS hop_start,
+               event_type, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM slots GROUP BY hop_start, event_type
+    """,
+)
+def ev_stream_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_hopping_halfhour (1-hour windows sliding
+    every 30 min): watermarked sliding-window aggregate — each event
+    feeds exactly two windows' state; the watermark finalizes and
+    evicts windows as event time advances. Checked against the same
+    2-way-UNION batch oracle."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.streaming import read_event_stream
+
+    ev = read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hop_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(agg, "ev_stream_hopping", "complete", spark)
