@@ -234,3 +234,113 @@ def ev_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("avg3")
     )
+
+
+@query(
+    "ev_weekly_retention",
+    tags=("events", "cohort", "join", "agg"),
+    oracle="""
+        WITH uw AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        ), cohorts AS (
+          SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+               count(DISTINCT uw.user_id) AS n_users
+        FROM uw JOIN cohorts USING (user_id)
+        GROUP BY cohort_week, week_offset
+    """,
+)
+def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in each later week they return.
+
+    Scale shape: the fact collapses to distinct (user, week) FIRST
+    (map-side partial distinct, then one shuffle on user_id); the
+    cohort min and the activity join both run on that user-partitioned
+    view, so the exchange is planned once and reused for the groupBy
+    and the join side. The final (cohort, offset) aggregate is
+    #cohort-weeks × #offsets rows — trivial at any scale.
+    """
+    events = load(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohorts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "ev_rfm_segments",
+    tags=("events", "window", "agg"),
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS now FROM events),
+        rfm AS (
+          SELECT user_id,
+                 CAST(date_diff('day', max(ts), (SELECT now FROM mx)) AS BIGINT)
+                   AS recency_days,
+                 count(*) AS frequency,
+                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS monetary
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_quartile,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+        FROM rfm
+    """,
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary with
+    quartile ranks.
+
+    The reference "now" is the global max event time, computed as an
+    empty-frame window over the *post-aggregate* per-user view (one
+    fact scan — same single-scan trick as q15). The ntile windows are
+    total-order by construction (user_id tiebreak → deterministic,
+    engine-portable quartiles); they run over #purchasing-users rows,
+    which is already small relative to the fact, and each needs one
+    sort of that reduced set. Money sums in exact decimal.
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        dec_sum(F.col("value")).alias("monetary"),
+    )
+    now = F.max("last_ts").over(W.partitionBy())
+    rfm = per_user.withColumn(
+        "recency_days", F.datediff(now, F.col("last_ts")).cast("bigint")
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )
