@@ -65,3 +65,42 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args}) as "
         "(column, n_nonnull, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Fixed-width histogram → (bucket, lo_edge, hi_edge, cnt).
+
+    Bucket ids: 0..n_buckets-1 inside [lo, hi); -1 catches underflow,
+    ``n_buckets`` catches overflow (and the exact upper edge). With the
+    edges given a priori this is a single scan + one aggregate over at
+    most n_buckets+2 groups — map-side combine collapses each input
+    partition to its local histogram, so the exchange carries
+    #partitions × #buckets tiny rows regardless of table size. (When
+    edges are unknown, run profile_columns first for min/max — two
+    scans total, still no full-data shuffle.)
+    """
+    width = (hi - lo) / n_buckets
+    c = F.col(col)
+    bucket = (
+        F.when(c < lo, F.lit(-1))
+        .when(c >= hi, F.lit(n_buckets))
+        .otherwise(F.floor((c - lo) / width))
+        .cast("bigint")
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * width, 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * width, 6).alias("hi_edge"),
+            "cnt",
+        )
+    )

@@ -318,3 +318,31 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return label_centroids(emb, "label", "embedding")
+
+
+@query(
+    "pf_histogram_totalprice",
+    tags=("datapipe", "profile"),
+    oracle="""
+        WITH b AS (
+          SELECT CAST(CASE WHEN o_totalprice < 0 THEN -1
+                           WHEN o_totalprice >= 600000 THEN 20
+                           ELSE floor(o_totalprice / 30000.0) END AS BIGINT)
+                   AS bucket
+          FROM orders
+        )
+        SELECT bucket,
+               round(bucket * 30000.0, 6) AS lo_edge,
+               round((bucket + 1) * 30000.0, 6) AS hi_edge,
+               count(*) AS cnt
+        FROM b GROUP BY bucket
+    """,
+)
+def pf_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice (20 buckets over
+    [0, 600000) + under/overflow): single scan, per-partition local
+    histograms merged through one tiny exchange."""
+    from cqdg_etl_spark.operators.profile import fixed_histogram
+
+    orders = load(spark, sf_dir, "orders")
+    return fixed_histogram(orders, "o_totalprice", 0.0, 600000.0, 20)
