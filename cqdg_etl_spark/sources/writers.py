@@ -37,3 +37,29 @@ def write_single_json(df: DataFrame, path: str) -> None:
 
 def write_single_tsv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)
+
+
+def write_range_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+) -> None:
+    """Write parquet range-partitioned AND sorted on ``sort_cols``.
+
+    ``repartitionByRange`` gives each output file a disjoint key range;
+    ``sortWithinPartitions`` orders rows inside each file. The result:
+    parquet row-group min/max statistics become tight and
+    non-overlapping, so a point/range predicate on the sort key prunes
+    to a handful of row groups at scan time — the cheap, format-native
+    alternative to an index, and the layout that makes a 100 TB table
+    selectively readable. (Verified by reading footer statistics in
+    tests/test_bucketing.py.)
+    """
+    cols = list(sort_cols)
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

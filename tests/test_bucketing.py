@@ -72,3 +72,40 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert sorted(bucketed.collect()) == sorted(plain.collect())
+
+
+def test_range_sorted_parquet_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Range-sorted layout: per-file key ranges are disjoint and footer
+    min/max stats are tight — the property scan pruning relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cqdg_etl_spark.queries.registry import load
+    from cqdg_etl_spark.sources.writers import write_range_sorted_parquet
+
+    orders = load(spark, sf_dir, "orders")
+    target = str(tmp_path / "orders_sorted")
+    write_range_sorted_parquet(orders, target, ["o_orderdate"], num_files=4)
+
+    spans = []
+    for f in glob.glob(f"{target}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        col = idx["o_orderdate"]
+        lo = min(
+            meta.row_group(g).column(col).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        hi = max(
+            meta.row_group(g).column(col).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= nxt_lo  # disjoint file ranges
+
+    # content survives the rewrite
+    assert spark.read.parquet(target).count() == orders.count()
