@@ -30,6 +30,7 @@ def _sql_multiset_shingles(c: str, n: int) -> str:
 
 @query(
     "tx_repetition_metrics",
+    bench=True,
     tags=("datapipe", "text", "quality"),
     oracle=f"""
         WITH toks AS (
@@ -296,6 +297,7 @@ def pf_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_label_centroids",
+    bench=True,
     tags=("datapipe", "vectors"),
     oracle="""
         WITH pos AS (

@@ -238,6 +238,7 @@ def ev_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_weekly_retention",
+    bench=True,
     tags=("events", "cohort", "join", "agg"),
     oracle="""
         WITH uw AS (

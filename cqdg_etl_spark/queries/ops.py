@@ -851,3 +851,106 @@ def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "set_intersect_except_buyers",
+    tags=("set-ops", "semi-anti"),
+    oracle="""
+        SELECT c_custkey, 'both' AS bucket FROM (
+          SELECT DISTINCT o_custkey AS c_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT c_custkey, 'urgent_only' FROM (
+          SELECT DISTINCT o_custkey AS c_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderstatus = 'F'
+        )
+    """,
+)
+def set_intersect_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as first-class set operators (the reference
+    has only union — SURVEY §2.5). Catalyst compiles both to
+    left-semi / left-anti hash joins over the distinct key sets, so
+    each leg is one shuffle of the already-deduplicated projection."""
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    both = urgent.intersect(finished).select(
+        "c_custkey", F.lit("both").alias("bucket")
+    )
+    only = urgent.exceptAll(finished).select(
+        "c_custkey", F.lit("urgent_only").alias("bucket")
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "agg_unpivot_order_metrics",
+    tags=("reshape", "unpivot"),
+    oracle="""
+        WITH m AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS DOUBLE) AS n_orders,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                      AS DOUBLE) AS total_price,
+                 CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, metric, val FROM m
+        UNPIVOT (val FOR metric IN (n_orders, total_price, n_customers))
+    """,
+)
+def agg_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-priority metrics via ``stack``
+    — the Expand-based reshape, no join, no extra shuffle beyond the
+    source aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'n_orders', n_orders, 'total_price', total_price, "
+        "'n_customers', n_customers) as (metric, val)",
+    )
+
+
+@query(
+    "ops_global_sort_daily",
+    tags=("sort", "range-partition"),
+    oracle="""
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               count(*) AS n_orders
+        FROM orders GROUP BY day ORDER BY day
+    """,
+)
+def ops_global_sort_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order output: global sort after aggregation. The sort
+    plans as RangePartitioning over the *aggregated* view (#days rows)
+    — sampled range boundaries, balanced partitions, no single-reducer
+    funnel (asserted in tests/test_plans.py)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("day")
+    )

@@ -235,3 +235,20 @@ def test_profile_single_scan(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert len(scan_reports(df, plan)) == 1, plan
     assert_plan(df, max_scan_columns={"orders": 4})
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """Total-order sort must sample range boundaries (rangepartitioning)
+    over the aggregated view — not funnel into a single partition."""
+    df = q("ops_global_sort_daily", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_intersect_except_plan_semi_anti(spark, sf_dir):
+    """INTERSECT/EXCEPT compile to semi/anti hash joins, never
+    nested-loop."""
+    df = q("set_intersect_except_buyers", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
