@@ -40,58 +40,102 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Scale shape: ZERO shuffles. Per-document statistics never need the
     explode → groupBy(doc, gram) → groupBy(doc) round-trip (which
     shuffles the corpus twice per n-gram order — measured 7.6 s at
-    sf0.1); instead each row sorts its own gram array and folds it
-    with a run-length accumulator (``array_sort`` + ``aggregate``,
-    whole-stage codegen'd). O(L log L) per document, embarrassingly
-    parallel, memory bounded by the longest single document — the
-    operator runs at scan speed at any corpus size.
+    sf0.1); instead each row hashes its grams to longs (xxhash64 —
+    string equality on 64-bit fingerprints, vanishing collision odds
+    within one document), sorts the long array, and reads gram counts
+    off the equal-run lengths. Primitive-typed ``transform`` /
+    ``filter`` / ``array_max`` only — no struct accumulators (a
+    struct-fold variant allocated a row per element and ran 3× SLOWER
+    than the shuffle it replaced; this form benches 2.0 s at sf0.1).
+    O(L log L) per document, embarrassingly parallel, memory bounded by
+    the longest single document — the operator runs at scan speed at
+    any corpus size.
     """
 
-    def run_stats(grams: Column) -> Column:
-        """Fold a SORTED gram array into (maxrun, dup_occurrences,
-        total): longest equal-run = max occurrences of any gram;
-        dup_occurrences = occurrences of grams whose count > 1 (a run
-        transitioning 1→2 adds both members, longer runs add 1 each).
+    def let(col: Column, fn) -> Column:
+        """Evaluate-once binding: expose ``col`` to ``fn`` as a lambda
+        variable. A subtree referenced directly inside a higher-order
+        lambda is RE-EVALUATED per array element (e.g. ``element_at(
+        array_sort(x), i)`` re-sorts for every i — quadratic); a lambda
+        variable is a constant-time slot lookup.
         """
-        sorted_g = F.array_sort(grams)
-        zero = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("maxrun"),
-            F.lit(0).cast("long").alias("dups"),
+        return F.element_at(F.transform(F.array(col), fn), 1)
+
+    def seq1(n: Column) -> Column:
+        # sequence(1, 0) would generate a DESCENDING range — guard the
+        # empty case explicitly.
+        return F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), n)
         )
 
-        def step(acc, g):
-            same = g == acc["prev"]
-            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-            return F.struct(
-                g.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["maxrun"], run).alias("maxrun"),
-                (
-                    acc["dups"]
-                    + F.when(~same, F.lit(0).cast("long")).otherwise(
-                        F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)).cast("long")
-                    )
-                ).alias("dups"),
+    def gram_stats(grams: Column) -> Column:
+        """(maxrun, dups, total) of the gram multiset, from equal-run
+        lengths of the hash-sorted gram array: maxrun = top-gram
+        occurrences; total − #(runs of length 1) = occurrences of
+        grams appearing more than once.
+        """
+        hashed = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+
+        def with_sorted(s: Column) -> Column:
+            starts = F.filter(
+                F.transform(
+                    seq1(F.size(s)),
+                    lambda i: F.when(
+                        (i == 1)
+                        | (F.element_at(s, i) != F.element_at(s, i - 1)),
+                        i,
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda x: x != -1,
+            )
+            bounds = F.concat(starts, F.array(F.size(s) + 1))
+            return let(
+                bounds,
+                lambda b: F.transform(
+                    seq1(F.size(b) - 1),
+                    lambda j: F.element_at(b, j + 1) - F.element_at(b, j),
+                ),
             )
 
-        return F.aggregate(sorted_g, zero, step)
+        def stats(runs: Column) -> Column:
+            total = F.aggregate(runs, F.lit(0), lambda a, r: a + r)
+            singles = F.size(F.filter(runs, lambda r: r == 1))
+            return F.struct(
+                F.coalesce(F.array_max(runs), F.lit(0))
+                .cast("long")
+                .alias("maxrun"),
+                (total - singles).cast("long").alias("dups"),
+                total.cast("long").alias("total"),
+            )
+
+        return let(let(hashed, with_sorted), stats)
 
     toks = tokens(normalize_ws(F.col(text_col)))
-    bi = run_stats(word_shingles(F.col(text_col), n=2))
-    tri = run_stats(word_shingles(F.col(text_col), n=3))
-    n_bi = F.size(word_shingles(F.col(text_col), n=2))
-    n_tri = F.size(word_shingles(F.col(text_col), n=3))
-    return df.select(
+    # Two-step select: the stats structs are expensive HOF trees
+    # referenced several times each — CollapseProject keeps them
+    # single-evaluation because they are non-cheap multi-reference.
+    staged = df.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("distinct_token_ratio"),
-        F.round(bi["maxrun"].cast("double") / n_bi, 6).alias("top_bigram_frac"),
-        F.round(bi["dups"].cast("double") / n_bi, 6).alias("dup_bigram_frac"),
-        F.round(tri["dups"].cast("double") / n_tri, 6).alias("dup_trigram_frac"),
+        gram_stats(word_shingles(F.col(text_col), n=2)).alias("bi"),
+        gram_stats(word_shingles(F.col(text_col), n=3)).alias("tri"),
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "distinct_token_ratio",
+        F.round(
+            F.col("bi.maxrun").cast("double") / F.col("bi.total"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.col("bi.dups").cast("double") / F.col("bi.total"), 6
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.col("tri.dups").cast("double") / F.col("tri.total"), 6
+        ).alias("dup_trigram_frac"),
     )
 
 

@@ -68,8 +68,18 @@ def _sql_multiset_shingles(c: str, n: int) -> str:
     """,
 )
 def tx_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style per-document repetition metrics over `documents`."""
-    docs = load(spark, sf_dir, "documents")
+    """Gopher-style per-document repetition metrics over `documents`.
+
+    The operator itself is shuffle-free (per-row array math), so its
+    parallelism equals the scan's split count. The local fixture is a
+    single parquet row group — one split — so we pay one round-robin
+    repartition of the raw text (tiny vs the per-doc compute) to fan
+    out across cores. At 100 TB the corpus has thousands of row groups
+    and the repartition is unnecessary; a deployment would drop it.
+    """
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return quality.repetition_metrics(docs, "text", "doc_id")
 
 
