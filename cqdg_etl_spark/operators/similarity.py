@@ -293,3 +293,55 @@ def label_centroids(
             ),
         ).alias("centroid_str"),
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column → (id, codes).
+
+    Per-dimension global [min, max] is learned from the data, then each
+    component maps to ``floor((v - min) / (max - min) * 256) - 128``
+    (clamped to 127, constant dims → 0) — the standard symmetric-range
+    scalar quantizer that shrinks float32 vectors 4× for ANN serving.
+
+    Scale shape: ONE aggregation pass (posexplode → per-dim min/max,
+    partial-aggregated map-side so the shuffle moves #dims rows per
+    partition), then the #dims×2 bounds collapse to a single row that
+    is broadcast back; quantization itself is a map-side array
+    ``transform`` — no second shuffle, no UDF, whole-stage codegen.
+    The codes column serializes as comma-joined ints in dimension order
+    (engine-portable comparison form; a production sink would emit
+    ``array<tinyint>`` / binary).
+
+    All arithmetic is IEEE double on both engines (float inputs widen
+    exactly), min/max are selections not sums, so results are
+    bit-reproducible regardless of partitioning.
+    """
+    bounds = (
+        df.select(F.posexplode(F.col(vec_col)).alias("d", "v"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("b"))
+        .select(
+            F.expr("transform(b, x -> x.mn)").alias("mns"),
+            F.expr("transform(b, x -> x.mx)").alias("mxs"),
+        )
+    )
+    return df.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        F.expr(
+            f"""concat_ws(',', transform({vec_col}, (v, i) ->
+                CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0
+                     ELSE CAST(least(255.0,
+                            floor((CAST(v AS DOUBLE) - element_at(mns, i + 1))
+                                  / (element_at(mxs, i + 1) - element_at(mns, i + 1))
+                                  * 256.0)) AS INT) - 128
+                END))"""
+        ).alias("codes"),
+    )

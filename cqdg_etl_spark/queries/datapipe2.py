@@ -358,3 +358,35 @@ def pf_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     return fixed_histogram(orders, "o_totalprice", 0.0, 600000.0, 20)
+
+
+@query(
+    "emb_quantize_int8",
+    tags=("datapipe", "vectors"),
+    oracle="""
+        WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS d
+          FROM embeddings
+        ), mm AS (
+          SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d
+        ), q AS (
+          SELECT vec_id, e.d,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(least(255.0,
+                             floor((v - mn) / (mx - mn) * 256.0)) AS INT) - 128
+                 END AS code
+          FROM e JOIN mm USING (d)
+        )
+        SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY d) AS codes
+        FROM q GROUP BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embeddings table: one
+    aggregation pass learns per-dimension [min, max], a broadcast-back
+    map-side transform emits the codes — no second shuffle, no UDF."""
+    from cqdg_etl_spark.operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding")

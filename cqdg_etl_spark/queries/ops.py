@@ -954,3 +954,75 @@ def ops_global_sort_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("day")
     )
+
+
+@query(
+    "j_bloom_filtered_join",
+    tags=("join", "runtime-filter", "scale"),
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING') c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def j_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a Bloom runtime pre-filter on the fact side
+    (operators/bloom.py). The dim side is hinted shuffle_hash to model
+    the above-broadcast-threshold regime where the bloom matters; the
+    result is exactly the plain join's (oracle = plain SQL join —
+    false positives die in the join)."""
+    from cqdg_etl_spark.operators.bloom import bloom_filter_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .hint("shuffle_hash")
+    )
+    joined = bloom_filter_join(orders, dim, on="o_custkey", how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@query(
+    "ops_zorder_orders",
+    tags=("layout", "zorder", "scale"),
+    oracle="""
+        SELECT o_orderkey,
+               CAST((SELECT SUM((((o_custkey >> i) & 1) << (2 * i))
+                              + (((datediff('day', DATE '1970-01-01',
+                                            o_orderdate) >> i) & 1)
+                                 << (2 * i + 1)))
+                     FROM range(16) t(i)) AS BIGINT) AS zval
+        FROM orders
+    """,
+)
+def ops_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value over (o_custkey, days(o_orderdate)) — the sort
+    key behind multi-dimension data skipping (operators/zorder.py; the
+    clustered writer itself is exercised in tests/test_bucketing.py).
+    Pure expression fold, no shuffle."""
+    from cqdg_etl_spark.operators.zorder import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zorder_key(
+            [
+                F.col("o_custkey"),
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")),
+            ],
+            bits=16,
+        ).alias("zval"),
+    )
