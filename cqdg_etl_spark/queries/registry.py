@@ -89,4 +89,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as NTZ;
+            # with the session pinned to UTC the instant is identical, and
+            # TIMESTAMP keeps unix_micros()/window arithmetic applicable.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

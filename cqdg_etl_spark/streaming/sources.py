@@ -53,4 +53,8 @@ def read_event_stream(
     df = reader.parquet(_stage_dir(path) if os.path.isfile(path) else path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # NTZ parquet timestamps; session tz is UTC so the cast is exact
+        # and keeps watermarks/unix_micros applicable.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
