@@ -14,6 +14,8 @@ task brief.
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,19 +39,124 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - ``dup_{bi,tri}gram_frac`` — fraction of n-gram *occurrences*
       whose n-gram appears more than once.
 
-    Scale shape: ZERO shuffles. Per-document statistics never need the
-    explode → groupBy(doc, gram) → groupBy(doc) round-trip (which
-    shuffles the corpus twice per n-gram order — measured 7.6 s at
-    sf0.1); instead each row hashes its grams to longs (xxhash64 —
+    Scale shape: ZERO shuffles — per-document counting runs inside an
+    Arrow-batched ``mapInPandas`` at scan speed; only the final ratio
+    projection is a JVM expression (so rounding semantics match the
+    pure-expression variant bit for bit). O(L) per document,
+    embarrassingly parallel, memory bounded by one Arrow batch.
+
+    Why Python here: this is the measured exception to "built-ins
+    first". The declarative form (``repetition_metrics_expr``) needs
+    nested higher-order functions, which Catalyst evaluates WITHOUT
+    codegen — per-element interpreted dispatch made it 6× slower than
+    the Arrow round-trip at sf0.1 (3.2 s vs 0.5 s on cached input, and
+    its cost scales with tree size, not data size). Counter-based run
+    counting per document is exactly what the brief's Pandas-UDF
+    escape hatch is for.
+    """
+    return _repetition_metrics_pandas(df, text_col, id_col)
+
+
+def _repetition_metrics_pandas(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    counts_schema = (
+        f"{id_col} {id_type}, n_tokens long, n_distinct long, "
+        "bi_maxrun long, bi_dups long, bi_total long, "
+        "tri_dups long, tri_total long"
+    )
+
+    def count_batches(batches):
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def doc_stats(text):
+            norm = ws.sub(" ", (text or "").lower()).strip()
+            toks = norm.split(" ") if norm else []
+            n = len(toks)
+
+            def gram_stats(k):
+                # Mirrors functions.text.word_shingles: a doc shorter
+                # than k words yields ONE shingle of the whole text
+                # (the empty string for an empty doc).
+                if n > k:
+                    counts = Counter(
+                        zip(*(toks[i:] for i in range(k)))
+                    ).values()
+                else:
+                    counts = (1,)
+                total = sum(counts)
+                dups = total - sum(1 for v in counts if v == 1)
+                return max(counts), dups, total
+
+            bi_max, bi_dups, bi_total = gram_stats(2)
+            _, tri_dups, tri_total = gram_stats(3)
+            return (
+                n,
+                len(set(toks)),
+                bi_max,
+                bi_dups,
+                bi_total,
+                tri_dups,
+                tri_total,
+            )
+
+        cols = [
+            "n_tokens",
+            "n_distinct",
+            "bi_maxrun",
+            "bi_dups",
+            "bi_total",
+            "tri_dups",
+            "tri_total",
+        ]
+        for pdf in batches:
+            stats = pd.DataFrame(
+                [doc_stats(t) for t in pdf[text_col]], columns=cols
+            )
+            stats.insert(0, id_col, pdf[id_col].values)
+            yield stats
+
+    counted = df.select(id_col, text_col).mapInPandas(
+        count_batches, counts_schema
+    )
+    return counted.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("distinct_token_ratio"),
+        F.round(
+            F.col("bi_maxrun").cast("double") / F.col("bi_total"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.col("bi_dups").cast("double") / F.col("bi_total"), 6
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.col("tri_dups").cast("double") / F.col("tri_total"), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def repetition_metrics_expr(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Pure-expression variant of :func:`repetition_metrics` (no Python
+    in the plan — for environments that forbid Python workers).
+
+    Zero shuffles: each row hashes its grams to longs (xxhash64 —
     string equality on 64-bit fingerprints, vanishing collision odds
     within one document), sorts the long array, and reads gram counts
     off the equal-run lengths. Primitive-typed ``transform`` /
     ``filter`` / ``array_max`` only — no struct accumulators (a
-    struct-fold variant allocated a row per element and ran 3× SLOWER
-    than the shuffle it replaced; this form benches 2.0 s at sf0.1).
-    O(L log L) per document, embarrassingly parallel, memory bounded by
-    the longest single document — the operator runs at scan speed at
-    any corpus size.
+    struct-fold variant allocated a row per element and ran 3× slower
+    than the explode→groupBy shuffle it replaced, 7.6 s at sf0.1).
+    Still loses to the Arrow path (see repetition_metrics): nested
+    HOFs are interpreted per element, never codegen'd.
     """
 
     def let(col: Column, fn) -> Column:
