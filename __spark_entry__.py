@@ -16,6 +16,77 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cqdg_etl_spark.queries import REGISTRY
 
+# Round-1 driver CORRECTNESS covered exactly the first 50 names in
+# registry insertion order, leaving the event/streaming/LLM-pipeline
+# suites without driver rows. Publish the registry with the
+# not-yet-driver-verified names first (oracle-bearing before rows-only,
+# so the strongest checks land inside any per-round cap), then the 50
+# already-green round-1 names.
+_FRONT = [
+    "agg_cube_priority_status",
+    "set_intersect_except_buyers",
+    "agg_unpivot_order_metrics",
+    "ops_global_sort_daily",
+    "j_bloom_filtered_join",
+    "ops_zorder_orders",
+    "ev_tumbling_hourly",
+    "ev_sessionize",
+    "ev_hopping_halfhour",
+    "ev_funnel_transitions",
+    "ev_top3_users_per_type",
+    "ev_moving_avg_3",
+    "ev_weekly_retention",
+    "ev_rfm_segments",
+    "ev_tumbling_hourly_stream",
+    "ev_stream_dedup_keys",
+    "ev_stream_view_purchase_join",
+    "ev_stream_enrich_static",
+    "ev_stream_hopping_halfhour",
+    "pipe_customer_document",
+    "ev_asof_purchase_view",
+    "ev_range_error_near_signup",
+    "etl_scd2_customer_merge",
+    "dd_exact_fingerprint_groups",
+    "dd_ngram_jaccard_pairs",
+    "dd_embedding_cosine_pairs",
+    "ann_topk_bruteforce",
+    "tx_quality_features",
+    "tx_language_id",
+    "tx_token_counts_by_source",
+    "tx_fingerprints",
+    "mm_media_meta",
+    "dd_duplicate_clusters",
+    "tx_tfidf_term_stats",
+    "ds_train_val_split",
+    "ds_stratified_sample",
+    "ds_decontaminate_vs_benchmark",
+    "ds_pack_sequences",
+    "tx_quality_quantile_filter",
+    "tx_quality_calibrated_udf",
+    "mm_png_header_roundtrip",
+    "tx_repetition_metrics",
+    "tx_c4_rule_filter",
+    "tx_pii_redaction",
+    "dd_canonical_per_cluster",
+    "tx_top_bigrams",
+    "pf_profile_orders",
+    "emb_label_centroids",
+    "pf_histogram_totalprice",
+    "emb_quantize_int8",
+    "dd_minhash_lsh_candidates",
+    "dd_simhash_near_pairs",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "mm_media_features",
+]
+
+
+def _ordered_names() -> list[str]:
+    front = [n for n in _FRONT if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(front)]
+    return front + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q5 star join) on /root/testdata/sf0.001."""
@@ -23,8 +94,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

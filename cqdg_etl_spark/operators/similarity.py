@@ -229,6 +229,103 @@ def ivf_topk(
     )
 
 
+def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) projection vectors.
+
+    Sign-random-projection LSH needs only the SIGN of <v, h>; Rademacher
+    entries give the same locality-sensitive family as gaussian ones
+    (collision prob 1 - θ/π) while being embeddable as compact literals
+    in an engine-portable SQL oracle.
+    """
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def banded_cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded sign-random-projection
+    candidate generation + exact cosine verify. Returns (doc_a < doc_b,
+    cos ≥ threshold) for pairs sharing at least one band key.
+
+    The banding IS part of the operator's semantics (deterministic ±1
+    hyperplanes, so any engine reproduces the identical candidate set);
+    recall vs the exact all-pairs baseline is the usual OR-amplified LSH
+    bound 1 - (1 - (1-θ/π)^r)^L and is measured against
+    ``cosine_dup_pairs`` in tests.
+
+    Scale shape: the skinny (doc, band_idx, band_key) index self-joins on
+    an equi-key (shuffle hash join — never a cartesian/BNLJ); candidate
+    ids are distinct-ed BEFORE the vectors are fetched, so the wide
+    embedding arrays shuffle once per side by id, not ×bands through the
+    band explode.
+    """
+    planes = rademacher_planes(dim, bands * rows_per_band, seed)
+
+    def band_structs(vec_name: str):
+        v = F.col(vec_name).cast("array<double>")
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in plane]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for plane in planes
+        ]
+        structs = []
+        for l in range(bands):
+            key = bits[l * rows_per_band]
+            for b in bits[l * rows_per_band + 1 : (l + 1) * rows_per_band]:
+                key = key * 2 + b
+            structs.append(
+                F.struct(F.lit(l).alias("band_idx"), key.alias("band_key"))
+            )
+        return F.array(*structs)
+
+    skinny = df.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs(vec_col)).alias("b")
+    ).select("doc", "b.band_idx", "b.band_key")
+    a, b = skinny.alias("a"), skinny.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ea = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    eb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -237,8 +334,9 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: (a < b, cos ≥ threshold).
 
-    Brute-force pair enumeration — correct baseline for moderate n; the
-    scale path reuses lsh_bucket_topk's bucketing to restrict pairs.
+    Brute-force O(n²) pair enumeration — the exact TEST BASELINE for
+    ``banded_cosine_dup_pairs`` (which is what the registry serves);
+    not registered itself because the plan is a cartesian.
     """
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))

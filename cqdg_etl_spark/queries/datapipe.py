@@ -69,9 +69,17 @@ def dd_exact_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tags=("datapipe", "dedup"),
     oracle=f"""
-        WITH s AS (
+        WITH s0 AS (
           SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
           FROM documents
+        ), s AS (
+          -- stop-shingle suppression mirroring max_df=1000: sizes and
+          -- intersections are both computed over the FILTERED index,
+          -- exactly like operators/dedup.py shingle_index().
+          SELECT s0.doc, s0.shingle
+          FROM s0
+          JOIN (SELECT shingle FROM s0 GROUP BY shingle
+                HAVING count(*) <= 1000) keep USING (shingle)
         ), sizes AS (
           SELECT doc, count(*) AS n_shingles FROM s GROUP BY doc
         ), inter AS (
@@ -91,9 +99,15 @@ def dd_exact_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (inverted-index
-    self-join — no cross join; see operators/dedup.py)."""
+    self-join — no cross join; see operators/dedup.py). max_df=1000 caps
+    hot-shingle bucket blowup (a viral shingle otherwise yields a
+    quadratic bucket at corpus scale); recall impact: pairs whose overlap
+    is exclusively stop-shingles are missed — acceptable for dedup, where
+    boilerplate-only overlap is noise anyway."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=1000
+    )
 
 
 @query(
@@ -119,21 +133,69 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def _sql_banded_cosine_pairs(
+    threshold: float, dim: int = 64, bands: int = 8, rows_per_band: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle mirroring operators/similarity.banded_cosine_dup_pairs
+    exactly: same ±1 hyperplanes (shared constants via rademacher_planes),
+    same left-to-right double fold for the projections (Spark aggregate()
+    vs DuckDB list_sum), same band packing, same exact-cosine verify —
+    so the candidate sets are identical by construction."""
+    planes = similarity.rademacher_planes(dim, bands * rows_per_band, seed)
+
+    def bit(p: list[int], v: str = "embedding") -> str:
+        lits = "[" + ",".join(str(x) for x in p) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    band_selects = []
+    for l in range(bands):
+        chunk = planes[l * rows_per_band : (l + 1) * rows_per_band]
+        key = " + ".join(
+            f"{bit(p)} * {1 << (rows_per_band - 1 - j)}"
+            for j, p in enumerate(chunk)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS doc, {l} AS band_idx, {key} AS band_key "
+            f"FROM embeddings"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    cos = _sql_cos("ea.embedding", "eb.embedding", dim)
+    return f"""
+        WITH bands AS ({bands_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc < b.doc
+        )
+        SELECT doc_a, doc_b, round({cos}, 6) AS cos
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = doc_a
+        JOIN embeddings eb ON eb.vec_id = doc_b
+        WHERE {cos} >= {threshold}
+    """
+
+
 @query(
     "dd_embedding_cosine_pairs",
     tags=("datapipe", "dedup", "vector"),
-    oracle=f"""
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-               round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
-    """,
+    oracle=_sql_banded_cosine_pairs(0.4),
 )
 def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: pairwise cosine ≥ 0.4 (exact baseline;
-    the LSH-bucketed scale path is ann_lsh_topk's bucketing)."""
+    """Embedding near-dup pairs ≥ 0.4: banded sign-random-projection
+    candidate generation + exact cosine verify — the 100-TB path (the
+    band self-join is a shuffle hash join on (band_idx, band_key), never
+    a cartesian). The banding is part of the declared semantics and the
+    oracle mirrors it bit-for-bit; recall vs the exact all-pairs baseline
+    (similarity.cosine_dup_pairs, test-only) is asserted in
+    tests/test_datapipe.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_dup_pairs(emb, threshold=0.4)
+    return similarity.banded_cosine_dup_pairs(emb, threshold=0.4)
 
 
 # --------------------------------------------------------- similarity

@@ -122,7 +122,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
-        WHERE p_name LIKE '%green%'
+        WHERE p_name LIKE '%red%'
         GROUP BY n_name, o_year
     """,
 )
@@ -142,7 +142,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     part = (
         load(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%green%"))
+        # '%red%' (TPC-H uses '%green%') — the harness part generator's
+        # color vocabulary includes red but not green; green made the
+        # check vacuous (0 rows both sides, CORRECTNESS_r01).
+        .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

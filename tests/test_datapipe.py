@@ -34,6 +34,51 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert len(cands) < n_docs * (n_docs - 1) / 4
 
 
+def test_banded_cosine_pairs_vs_exact(spark, sf_dir):
+    """banded_cosine_dup_pairs must be a SUBSET of the exact all-pairs
+    result (exact verify ⇒ precision 1.0) with usable recall. The test
+    embeddings' true pairs sit at cos 0.4–0.5 (θ≈60–66°, the hardest
+    regime for SRP-LSH); the OR-amplified bound 1-(1-(1-θ/π)^4)^8 ≈ 0.75
+    there, → ≈1 for genuine near-dups (cos ≥ 0.9)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in similarity.cosine_dup_pairs(emb, 0.4).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in similarity.banded_cosine_dup_pairs(emb, 0.4).collect()
+    }
+    assert set(banded) <= set(exact), "banded produced a pair exact did not"
+    for pair, cos in banded.items():
+        assert cos == exact[pair]
+    if exact:
+        recall = len(banded) / len(exact)
+        assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
+
+
+def test_ngram_jaccard_max_df_suppresses_hot_shingles(spark):
+    """A viral shingle shared by every doc must not produce pairs when
+    max_df caps its document frequency: with the cap, the quadratic
+    bucket disappears and only genuinely-overlapping docs pair up."""
+    boiler = "click here to subscribe now"
+    data = [(i, f"{boiler} unique text number {i} content") for i in range(20)]
+    data += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    uncapped = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.1)
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.1, max_df=5
+    )
+    un_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cap_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # boilerplate-only overlap pairs vanish under the cap…
+    assert any(a < 20 and b < 20 for a, b in un_pairs)
+    assert not any(a < 20 and b < 20 for a, b in cap_pairs)
+    # …but the true duplicate pair survives (its shingles are rare).
+    assert (100, 101) in cap_pairs
+
+
 def test_simhash_identical_and_distinct(spark):
     data = [
         (1, "the quick brown fox jumps over the lazy dog"),

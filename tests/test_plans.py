@@ -164,6 +164,17 @@ def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_embedding_cosine_pairs_no_cartesian(spark, sf_dir):
+    """Banded-SRP embedding near-dup: candidate generation must be an
+    equi-join on (band_idx, band_key) — the round-1 cartesian
+    (a.vec_id < b.vec_id as the ONLY predicate) is the O(n^2) failure."""
+    df = q("dd_embedding_cosine_pairs", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
     """Python in the hot path must be the Arrow-vectorized kind:
     ArrowEvalPython in the plan, never row-at-a-time BatchEvalPython."""
