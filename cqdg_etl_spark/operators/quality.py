@@ -2,9 +2,11 @@
 
 Gopher-style repetition metrics, C4-style rule flags, and PII redaction
 — the filters a pretraining pipeline applies between raw scrape and
-dedup. All built-in JVM expressions (whole-stage codegen); the only
-shuffles are the per-document n-gram aggregations in
-``repetition_metrics``, keyed by document id.
+dedup. C4 flags and PII redaction are built-in JVM expressions
+(whole-stage codegen, zero shuffles); ``repetition_metrics`` defaults to
+an Arrow-batched ``mapInPandas`` (also zero shuffles — the measured
+fast path; see its docstring) with ``repetition_metrics_expr`` as the
+pure-expression fallback for Python-less environments.
 
 Beyond-reference capability (the reference ETL at
 /root/reference/src/main/scala/ca/cqdg/etl has no document-quality
@@ -72,10 +74,15 @@ def _repetition_metrics_pandas(
     def count_batches(batches):
         import re
 
-        ws = re.compile(r"\s+")
+        # Java \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's trim()
+        # strips spaces; Python \s/strip() are Unicode-aware. Use the
+        # explicit ASCII class + strip(' ') so tokenization matches
+        # functions.text.normalize_ws/tokens (and the DuckDB oracle's
+        # RE2 \s) byte for byte on Unicode-whitespace documents.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         def doc_stats(text):
-            norm = ws.sub(" ", (text or "").lower()).strip()
+            norm = ws.sub(" ", (text or "").lower()).strip(" ")
             toks = norm.split(" ") if norm else []
             n = len(toks)
 
@@ -118,26 +125,32 @@ def _repetition_metrics_pandas(
             stats = pd.DataFrame(
                 [doc_stats(t) for t in pdf[text_col]], columns=cols
             )
-            stats.insert(0, id_col, pdf[id_col].values)
+            # Insert the original Series (NOT .values): a nullable int id
+            # arrives from Arrow as a masked/nullable dtype, and .values
+            # would coerce through float64 (NaN), corrupting large ids.
+            stats.insert(0, id_col, pdf[id_col].reset_index(drop=True))
             yield stats
 
     counted = df.select(id_col, text_col).mapInPandas(
         count_batches, counts_schema
     )
+    # try_divide: an empty doc has n_tokens = 0, and under ANSI mode
+    # (Spark 4 default) a plain division would throw DIVIDE_BY_ZERO at
+    # runtime — ratios are NULL for empty docs instead.
     return counted.select(
         id_col,
         "n_tokens",
         F.round(
-            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            F.try_divide(F.col("n_distinct").cast("double"), F.col("n_tokens")), 6
         ).alias("distinct_token_ratio"),
         F.round(
-            F.col("bi_maxrun").cast("double") / F.col("bi_total"), 6
+            F.try_divide(F.col("bi_maxrun").cast("double"), F.col("bi_total")), 6
         ).alias("top_bigram_frac"),
         F.round(
-            F.col("bi_dups").cast("double") / F.col("bi_total"), 6
+            F.try_divide(F.col("bi_dups").cast("double"), F.col("bi_total")), 6
         ).alias("dup_bigram_frac"),
         F.round(
-            F.col("tri_dups").cast("double") / F.col("tri_total"), 6
+            F.try_divide(F.col("tri_dups").cast("double"), F.col("tri_total")), 6
         ).alias("dup_trigram_frac"),
     )
 
@@ -217,7 +230,11 @@ def repetition_metrics_expr(
 
         return let(let(hashed, with_sorted), stats)
 
-    toks = tokens(normalize_ws(F.col(text_col)))
+    # NULL text counts as the empty document (the pandas path's
+    # ``text or ""``); try_divide keeps the 0-token doc NULL-ratio'd
+    # instead of throwing under ANSI mode.
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(normalize_ws(text))
     # Two-step select: the stats structs are expensive HOF trees
     # referenced several times each — CollapseProject keeps them
     # single-evaluation because they are non-cheap multi-reference.
@@ -225,23 +242,26 @@ def repetition_metrics_expr(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            F.try_divide(
+                F.size(F.array_distinct(toks)).cast("double"), F.size(toks)
+            ),
+            6,
         ).alias("distinct_token_ratio"),
-        gram_stats(word_shingles(F.col(text_col), n=2)).alias("bi"),
-        gram_stats(word_shingles(F.col(text_col), n=3)).alias("tri"),
+        gram_stats(word_shingles(text, n=2)).alias("bi"),
+        gram_stats(word_shingles(text, n=3)).alias("tri"),
     )
     return staged.select(
         id_col,
         "n_tokens",
         "distinct_token_ratio",
         F.round(
-            F.col("bi.maxrun").cast("double") / F.col("bi.total"), 6
+            F.try_divide(F.col("bi.maxrun").cast("double"), F.col("bi.total")), 6
         ).alias("top_bigram_frac"),
         F.round(
-            F.col("bi.dups").cast("double") / F.col("bi.total"), 6
+            F.try_divide(F.col("bi.dups").cast("double"), F.col("bi.total")), 6
         ).alias("dup_bigram_frac"),
         F.round(
-            F.col("tri.dups").cast("double") / F.col("tri.total"), 6
+            F.try_divide(F.col("tri.dups").cast("double"), F.col("tri.total")), 6
         ).alias("dup_trigram_frac"),
     )
 

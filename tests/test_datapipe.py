@@ -57,6 +57,38 @@ def test_banded_cosine_pairs_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
 
 
+def test_repetition_metrics_pandas_matches_expr(spark):
+    """The Arrow/mapInPandas default and the pure-expression fallback
+    must agree row for row — including the n<=k single-shingle edge,
+    empty and 1-token docs, heavy repetition, and Unicode whitespace
+    (NBSP / line-sep are NOT Java \\s, so they must stay inside tokens
+    on both paths)."""
+    from cqdg_etl_spark.operators import quality
+
+    data = [
+        (1, ""),
+        (2, "one"),
+        (3, "two words"),
+        (4, "a b c"),
+        (5, "spam spam spam spam spam spam"),
+        (6, "the quick brown fox jumps over the lazy dog and the quick brown fox"),
+        (7, "  leading   and\ttrailing\n whitespace  "),
+        (8, "nbsp stays line sep stays\x85too"),
+        (9, None),
+        (10, "x y x y x y x y z"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    fast = sorted(
+        quality.repetition_metrics(df, "text", "doc_id").collect(),
+        key=lambda r: r.doc_id,
+    )
+    slow = sorted(
+        quality.repetition_metrics_expr(df, "text", "doc_id").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
 def test_ngram_jaccard_max_df_suppresses_hot_shingles(spark):
     """A viral shingle shared by every doc must not produce pairs when
     max_df caps its document frequency: with the cap, the quadratic

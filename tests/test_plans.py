@@ -223,11 +223,16 @@ def test_quality_filters_shuffle_free(spark, sf_dir, name):
 
 
 def test_repetition_metrics_plan(spark, sf_dir):
-    """Repetition metrics: 2 n-gram branches x (gram-count + per-doc)
-    shuffles, post-aggregate doc joins broadcast, never sort-merge."""
+    """Repetition metrics run as an Arrow mapInPandas over the scan —
+    per-document counting is embarrassingly parallel, so the ONLY
+    allowed exchange is the registered query's fan-out repartition of
+    the single-row-group fixture (unnecessary at scale); no join, no
+    aggregation shuffle."""
     df = q("tx_repetition_metrics", spark, sf_dir)
     plan = explain_str(df, mode="formatted")
-    assert count_shuffles(df, plan) <= 4, plan
+    assert count_shuffles(df, plan) <= 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert count_sort_merge_joins(df, plan) == 0, plan
 
 
