@@ -43,6 +43,7 @@ _FRONT = [
     "ev_stream_enrich_static",
     "ev_stream_hopping_halfhour",
     "pipe_customer_document",
+    "pipe_clinical_e2e",
     "ev_asof_purchase_view",
     "ev_range_error_near_signup",
     "etl_scd2_customer_merge",

@@ -132,10 +132,26 @@ def ngram_jaccard_pairs(
       measured 2–30× slower depending on where it lands.
     """
     df = _spread(df)
-    idx = shingle_index(df, text_col, id_col, n, max_df).select(
+    idx = shingle_index(df, text_col, id_col, n, None).select(
         "doc", F.xxhash64("shingle").alias("h")
     )
     idx = idx.repartition("h")
+    if max_df is not None:
+        # Stop-shingle suppression on the HASHED key via a count window
+        # over the repartition("h") exchange. Window (not a groupBy +
+        # join): the guard stays INSIDE the single shared subtree, so
+        # the self-join's two sides remain identical plans and reuse ONE
+        # exchange — a separate aggregate branch made each side (and the
+        # size aggregate) recompute the scan+shingling (measured ~2×
+        # slower at sf0.1). The window sorts each partition by h, work
+        # the sort-merge self-join needs anyway. Counting h instead of
+        # the string merges xxhash64 collisions into one df bucket:
+        # odds ~|shingles|²/2⁶⁴, marginally more aggressive capping.
+        idx = (
+            idx.withColumn("df_h", F.count("*").over(W.partitionBy("h")))
+            .filter(F.col("df_h") <= max_df)
+            .select("doc", "h")
+        )
     sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (

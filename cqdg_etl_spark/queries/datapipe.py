@@ -112,6 +112,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_minhash_lsh_candidates",
+    bench=True,
     tags=("datapipe", "dedup", "lsh"),
 )
 def dd_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,6 +692,7 @@ def tx_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tx_quality_calibrated_udf",
+    bench=True,
     tags=("datapipe", "text", "pandas-udf"),
     oracle="""
         SELECT lang,

@@ -32,6 +32,99 @@ from cqdg_etl_spark.queries.ops import _arr_str
 from cqdg_etl_spark.queries.registry import load, query
 
 
+def _clinical_e2e_frames(spark: SparkSession):
+    """Run the full reference pipeline (pre-process → process) on the
+    package's deterministic clinical fixtures in a temp dir, returning
+    the three index DataFrames (reference: PreProcessETL.scala:24-92 +
+    ProcessETL.scala:62-130)."""
+    import tempfile
+
+    from cqdg_etl_spark.pipeline.clients import (
+        DeterministicIdResolver,
+        FixtureDictionary,
+        RecordingKeycloak,
+    )
+    from cqdg_etl_spark.pipeline.etl import ProcessETL
+    from cqdg_etl_spark.pipeline.fixtures import (
+        write_clinical_fixtures,
+        write_dictionary,
+        write_ontology_fixtures,
+    )
+    from cqdg_etl_spark.pipeline.preprocess import PreProcessETL
+
+    root = tempfile.mkdtemp(prefix="cqdg_e2e_")
+    write_clinical_fixtures(f"{root}/raw")
+    write_ontology_fixtures(f"{root}/ontology")
+    write_dictionary(f"{root}/dictionary.json")
+    PreProcessETL(
+        spark,
+        FixtureDictionary(f"{root}/dictionary.json"),
+        DeterministicIdResolver(),
+        f"{root}/raw",
+        f"{root}/with-ids",
+    ).run()
+    etl = ProcessETL(
+        spark,
+        f"{root}/with-ids",
+        f"{root}/ontology",
+        f"{root}/indexes",
+        keycloak=RecordingKeycloak(enabled=False),
+    )
+    entities, ontologies = etl.extract()
+    return etl.transform(entities, ontologies)
+
+
+@query(
+    "pipe_clinical_e2e",
+    tags=("pipeline", "e2e", "clinical"),
+    oracle="""
+        SELECT * FROM (VALUES
+          ('studies', 'ST01', 'HC', 2),
+          ('studies', 'ST02', 'GC', 1),
+          ('donors', 'PT01', 'Male', 2),
+          ('donors', 'PT02', 'no-data', 0),
+          ('donors', 'PT03', 'Female', 1),
+          ('files', 'file_882f0898e11e10d1', 'SNV', 1),
+          ('files', 'file_c65400bf81a8e85c', 'no-data', 1),
+          ('files', 'file_75a6995ee0a050cc', 'SNV', 1)
+        ) t(index_name, doc_key, label, n_nested)
+    """,
+)
+def pipe_clinical_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end clinical pipeline through the driver: TSV+JSON raw →
+    dictionary-validated, id-stamped parquet → the three nested index
+    documents, flattened to one row per document with a per-index
+    nesting count. The oracle is the hand-derived golden for the
+    deterministic fixture (2 studies / 3 donors / 3 files) — any drift
+    anywhere in the 13-entity chain (schema gate, id hashing, ontology
+    enrichment, nesting, no-data defaulting) flips a row. ``sf_dir`` is
+    unused: the clinical entities are not part of the harness star
+    schema, so the query carries its own fixture (same content the
+    golden pytest suite locks field-by-field)."""
+    studies, donors, files = _clinical_e2e_frames(spark)
+    s = studies.select(
+        F.lit("studies").alias("index_name"),
+        F.col("study_id").alias("doc_key"),
+        F.col("short_name").alias("label"),
+        F.size("donors").cast("int").alias("n_nested"),
+    )
+    d = donors.select(
+        F.lit("donors").alias("index_name"),
+        F.col("submitter_donor_id").alias("doc_key"),
+        F.coalesce(F.col("gender"), F.lit("no-data")).alias("label"),
+        # a donor with no files carries a NULL files array (left join),
+        # not an empty one — count that as 0 nested docs
+        F.coalesce(F.size("files"), F.lit(0)).cast("int").alias("n_nested"),
+    )
+    f = files.select(
+        F.lit("files").alias("index_name"),
+        F.col("internal_file_id").alias("doc_key"),
+        F.col("file_variant_class").alias("label"),
+        F.size("biospecimen").cast("int").alias("n_nested"),
+    )
+    return s.unionByName(d).unionByName(f)
+
+
 @query(
     "pipe_customer_document",
     bench=True,
