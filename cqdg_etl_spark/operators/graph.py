@@ -17,11 +17,14 @@ Scale design:
   (Kiveris et al., "Connected Components in MapReduce", SOCC'14),
   which converges in O(log n) rounds — same join/groupBy building
   blocks, just alternating star operations.
-- lineage is truncated every round (localCheckpoint) — without it the
-  plan doubles per iteration and the driver OOMs planning round ~15.
-  On a cluster, set a checkpoint dir and use checkpoint() instead
-  (localCheckpoint pins executor-local blocks, which are lost on
-  executor failure — acceptable in local mode, not on 1000 nodes).
+- lineage is truncated every round — without it the plan doubles per
+  iteration and the driver OOMs planning round ~15. The strategy is the
+  ``checkpoint`` parameter: ``"local"`` (default, executor-local
+  blocks — right for local mode) or ``"reliable"``
+  (``sparkContext.setCheckpointDir`` + ``checkpoint()`` — right on a
+  real cluster, where executor loss must not kill round 14 of 20).
+- ``connected_components_auto`` picks min-label vs star contraction by
+  edge count so unknown graphs default to the O(log n) bound.
 """
 
 from __future__ import annotations
@@ -30,11 +33,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate(df: DataFrame, checkpoint: str) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms.
+
+    - ``"local"``: ``localCheckpoint`` — executor-local blocks, fine in
+      local mode / short jobs; blocks are LOST on executor failure.
+    - ``"reliable"``: ``checkpoint`` — requires
+      ``spark.sparkContext.setCheckpointDir`` on durable storage; the
+      right mode on a real cluster where a 1000-executor job must
+      survive preemption.
+    """
+    if checkpoint == "local":
+        return df.localCheckpoint()
+    if checkpoint == "reliable":
+        return df.checkpoint()
+    raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    star_edge_threshold: int = 5_000_000,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Pick the CC algorithm by edge count (one count() pass, trivial
+    next to any iteration): min-label propagation for small pair graphs
+    (near-clique dup clusters, diameter 2-3 — fewer, cheaper rounds),
+    large/small-star contraction above the threshold — its O(log n)
+    round bound holds for ANY topology, so an unknown 100-TB pair graph
+    can't stall on a long chain the way O(diameter) min-label can."""
+    n_edges = edges.count()
+    if n_edges > star_edge_threshold:
+        return connected_components_star(edges, src, dst, checkpoint=checkpoint)
+    return connected_components(edges, src, dst, checkpoint=checkpoint)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Component label (min member id) per node of the undirected graph.
 
@@ -42,11 +82,11 @@ def connected_components(
     callers wanting singleton components union isolated ids afterward.
     Raises if max_iter rounds don't converge (diameter > max_iter).
     """
-    sym = (
+    sym = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -59,7 +99,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
@@ -69,8 +109,9 @@ def connected_components(
                 (F.coalesce(F.col("nmin"), F.col("component")) < F.col("component"))
                 .cast("int")
                 .alias("_changed"),
-            )
-        ).localCheckpoint()
+            ),
+            checkpoint,
+        )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -86,6 +127,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -110,11 +152,11 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
 
-    cur = (
+    cur = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     prev_sig = None
     for _ in range(max_iter):
@@ -136,13 +178,13 @@ def connected_components_star(
         )
         small = sym2.filter(F.col("v") <= F.col("u"))
         smins = small.groupBy("u").agg(F.min("v").alias("m"))
-        cur = (
+        cur = _truncate(
             small.join(smins, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionByName(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            checkpoint,
         )
         sig = cur.agg(
             F.count("*").alias("n"),

@@ -47,13 +47,16 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
-    """Deterministic 'decoded feature': md5-chain expanded to dim floats
-    in [0, 1). Placeholder for a real decode+embed kernel."""
+    """Deterministic 'decoded feature': md5-chain over the payload's HEX
+    encoding, expanded to dim floats in [0, 1). Placeholder for a real
+    decode+embed kernel. Chaining on the hex string (not the raw bytes)
+    keeps the kernel reproducible by engines whose md5 only accepts
+    text (the DuckDB oracle) — same determinism, portable everywhere."""
     out: list[float] = []
-    h = payload
+    h = payload.hex()
     while len(out) < dim:
-        h = hashlib.md5(h).digest()
-        out.extend(b / 255.0 for b in h)
+        h = hashlib.md5(h.encode("ascii")).hexdigest()
+        out.extend(b / 255.0 for b in bytes.fromhex(h))
     return out[:dim]
 
 

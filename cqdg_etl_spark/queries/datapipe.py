@@ -110,26 +110,123 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """DuckDB oracle mirroring operators/dedup.minhash_lsh_candidates
+    exactly: the portable md5-derived 32-bit token hash
+    (CAST('0x'||hex AS BIGINT) ≡ Spark conv(_,16,10)), the same (a,b)
+    permutation constants (shared via _perm_params), min per
+    permutation, and the same '-'-joined band keys."""
+    params = dedup._perm_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    P = dedup.MINHASH_P
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key "
+        "FROM sig".format(
+            idx=l,
+            cols=", ".join(
+                f"m{l * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for l in range(bands)
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM documents
+        ), h AS (
+          SELECT doc,
+                 CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM s
+        ), sig AS (
+          SELECT doc, {mins} FROM h GROUP BY doc
+        ), bands AS ({band_selects})
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               count(*) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc < b.doc
+        GROUP BY 1, 2
+    """
+
+
 @query(
     "dd_minhash_lsh_candidates",
     bench=True,
     tags=("datapipe", "dedup", "lsh"),
+    oracle=_sql_minhash_lsh(),
 )
 def dd_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) candidate pairs.
-    No SQL oracle (banding is not reasonably SQL-expressible); recall vs
-    exact Jaccard is asserted in tests/test_datapipe.py."""
+    Fully oracle-checked: every hash in the pipeline is engine-portable
+    (md5-derived token hash, shared permutation constants), so DuckDB
+    reproduces the exact banded candidate set — upgraded from the
+    round-1 rows-only check. Recall vs exact Jaccard additionally
+    asserted in tests/test_datapipe.py."""
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """DuckDB oracle mirroring operators/dedup.simhash64 +
+    simhash_near_pairs bit-for-bit: md5-derived 32-bit halves, the same
+    63 frequency-weighted sign sums (bit 63 kept clear), 4×16-bit
+    pigeonhole chunks, xor+bit_count verify."""
+    sums = ", ".join(
+        "sum(CASE WHEN ({src} >> {sh}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
+            src="hi" if b < 32 else "lo", sh=b % 32, b=b
+        )
+        for b in range(63)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(63)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc, simhash, {i} AS chunk_idx, "
+        f"(simhash >> {i * 16}) % 65536 AS chunk_val FROM sig"
+        for i in range(4)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS doc, unnest({SQL_TOKS.format(c='text')}) AS tok
+          FROM documents
+        ), hl AS (
+          SELECT doc,
+                 CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+                 CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+          FROM toks
+        ), bits AS (
+          SELECT doc, {sums} FROM hl GROUP BY doc
+        ), sig AS (
+          SELECT doc, {sig_terms} AS simhash FROM bits
+        ), chunks AS ({chunk_selects}),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM chunks a JOIN chunks b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+               AND a.doc < b.doc
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
 
 
 @query(
     "dd_simhash_near_pairs",
     tags=("datapipe", "dedup", "simhash"),
+    oracle=_sql_simhash_pairs(),
 )
 def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3 via 4×16-bit pigeonhole
-    banding). Rows-only check; recall-tested in tests."""
+    banding). Fully oracle-checked (portable md5 token halves → DuckDB
+    reproduces the exact signatures) — upgraded from the round-1
+    rows-only check; hamming-bound recall additionally tested."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
@@ -232,12 +329,73 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _sql_srp_topk(
+    multiprobe: bool, k: int = 5, dim: int = 64, n_planes: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle mirroring operators/similarity.lsh_bucket_topk:
+    the same gaussian hyperplanes (full-precision repr literals parse to
+    the identical IEEE doubles), the same left-to-right projection fold,
+    the same bit packing, and (for multiprobe) the same 1-bit-flip probe
+    set. Both engines compute the identical bucket ints, so the
+    approximate result is deterministic and hash-checkable."""
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+
+    def bit(plane: list[float], v: str) -> str:
+        lits = "[" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    def bucket(v: str) -> str:
+        expr = bit(planes[0], v)
+        for p in planes[1:]:
+            expr = f"({expr} * 2 + {bit(p, v)})"
+        return expr
+
+    if multiprobe:
+        probes = ", ".join(f"xor(b0, {1 << j})" for j in range(n_planes))
+        q_cte = f"""
+          q0 AS (SELECT vec_id AS query_id, embedding AS qe,
+                        {bucket('embedding')} AS b0
+                 FROM embeddings WHERE vec_id < 10),
+          q AS (SELECT query_id, qe,
+                       unnest(list_distinct([b0, {probes}])) AS bucket
+                FROM q0)"""
+    else:
+        q_cte = f"""
+          q AS (SELECT vec_id AS query_id, embedding AS qe,
+                       {bucket('embedding')} AS bucket
+                FROM embeddings WHERE vec_id < 10)"""
+    cos = _sql_cos("qe", "ce", dim)
+    return f"""
+        WITH {q_cte},
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+                     {bucket('embedding')} AS bucket
+              FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+          SELECT query_id, neighbor_id, {cos} AS cos
+          FROM q JOIN c USING (bucket)
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 @query(
     "ann_topk_lsh",
     tags=("datapipe", "ann", "lsh"),
+    oracle=_sql_srp_topk(multiprobe=False),
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH top-5 (approximate; single-probe).
+    Fully oracle-checked — the deterministic hyperplanes make the
+    approximate answer exactly reproducible (upgraded from rows-only).
     Recall vs ann_topk_bruteforce asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.lsh_bucket_topk(
@@ -249,11 +407,13 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_topk_lsh_multiprobe",
     tags=("datapipe", "ann", "lsh"),
+    oracle=_sql_srp_topk(multiprobe=True),
 )
 def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-5: query probes its bucket + all 1-bit
-    neighbors; corpus still shuffles once. Recall > single-probe,
-    asserted in tests."""
+    neighbors; corpus still shuffles once. Fully oracle-checked (same
+    deterministic probe set on both engines; upgraded from rows-only).
+    Recall > single-probe, asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.lsh_bucket_topk(
         emb.filter(F.col("vec_id") >= 10),
@@ -270,7 +430,10 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5: KMeans coarse quantizer (16 cells), nprobe=4.
-    Approximate — recall vs brute force asserted in tests."""
+    The ONLY remaining rows-only check in the registry: the centroids
+    come from MLlib KMeans training (iterative, implementation-defined
+    init/convergence), which no SQL oracle can reproduce; recall vs
+    brute force is asserted in tests instead."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
         emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
@@ -424,10 +587,29 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_media_features",
     tags=("datapipe", "multimodal"),
+    oracle="""
+        WITH d AS (
+          SELECT doc_id,
+                 octet_length(from_hex(repeat(md5(text), 8))) AS blen,
+                 md5(repeat(md5(text), 8)) AS fh
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(blen AS INTEGER) AS byte_len,
+               round(list_sum(list_transform(range(1, 17),
+                 i -> CAST(CAST(CAST(concat('0x', substr(fh, 2*i - 1, 2)) AS INTEGER)
+                           / 255.0 AS REAL) AS DOUBLE))), 6) AS feature_sum
+        FROM d
+    """,
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary media (deterministic
-    fake decode). Rows-only check; shape/determinism tested in tests."""
+    fake decode). Fully oracle-checked: the fake kernel chains md5 over
+    the payload's hex encoding, so DuckDB reproduces the exact float32
+    features (payload = unhex(md5(text)×8) ⇒ hex(payload) =
+    md5(text)×8) — upgraded from the round-1 rows-only check. The
+    Arrow/binary plumbing (batch shape, array<float> schema) is what
+    the Spark side exercises; shape/determinism also tested in tests."""
     docs = load(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs, "text", "doc_id")
     feats = multimodal.extract_media_features(media, dim=16)
@@ -472,14 +654,17 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup pairs (exact 3-gram
-    Jaccard >= 0.8) -> connected components (iterative min-label
-    propagation, operators/graph.py) -> (node, component=min member).
-    The oracle computes the same closure with a recursive CTE."""
-    from cqdg_etl_spark.operators.graph import connected_components
+    Jaccard >= 0.8) -> connected components -> (node, component=min
+    member). Algorithm picked by edge count (connected_components_auto):
+    min-label propagation for small near-clique pair graphs, O(log n)
+    star contraction past the threshold where an unknown topology could
+    make O(diameter) stall. The oracle computes the same closure with a
+    recursive CTE."""
+    from cqdg_etl_spark.operators.graph import connected_components_auto
 
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
-    return connected_components(pairs, "doc_a", "doc_b")
+    return connected_components_auto(pairs, "doc_a", "doc_b")
 
 
 @query(

@@ -228,11 +228,11 @@ def dd_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (max n_chars, ties → min doc_id); singletons keep
     themselves."""
     from cqdg_etl_spark.operators import dedup
-    from cqdg_etl_spark.operators.graph import connected_components
+    from cqdg_etl_spark.operators.graph import connected_components_auto
 
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components_auto(pairs, "doc_a", "doc_b")
     return quality.canonical_per_cluster(docs, comp, "doc_id", "n_chars")
 
 

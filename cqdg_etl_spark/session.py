@@ -16,6 +16,37 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def s3a_dev_conf(
+    endpoint: str = "http://localhost:9000",
+    access_key: str | None = None,
+    secret_key: str | None = None,
+) -> dict[str, str]:
+    """Dev-mode S3A preset for a local MinIO (reference:
+    commands/SparkConfig.scala:21-26): path-style access against a local
+    endpoint. Credentials come from the environment
+    (``AWS_ACCESS_KEY_ID``/``AWS_SECRET_ACCESS_KEY``) unless passed
+    explicitly — never hardcode them. Production clusters should not use
+    this: they get credentials from instance profiles / IRSA and the
+    default virtual-host addressing.
+
+    Usage: ``get_spark(extra_conf=s3a_dev_conf())``.
+    """
+    conf = {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.path.style.access": "true",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(
+            endpoint.startswith("https")
+        ).lower(),
+    }
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
+
+
 def get_spark(
     app_name: str = "cqdg-etl-spark",
     master: str | None = None,

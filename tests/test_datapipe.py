@@ -330,6 +330,44 @@ def test_asof_join_left_mode_and_tolerance(spark):
     assert got_inner == {"L5": 9}
 
 
+def test_cc_auto_dispatch_and_reliable_checkpoint(spark, tmp_path):
+    """connected_components_auto must route by edge count (star above
+    the threshold, min-label below) and both must accept the
+    'reliable' checkpoint mode with a configured checkpoint dir."""
+    from cqdg_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["src", "dst"]
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+    # threshold above edge count → min-label; below → star. Same answer.
+    for thresh in (100, 1):
+        got = {
+            (r.node, r.component)
+            for r in connected_components_auto(
+                edges, star_edge_threshold=thresh
+            ).collect()
+        }
+        assert got == expect
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    for fn in (connected_components, connected_components_star):
+        got = {
+            (r.node, r.component)
+            for r in fn(edges, checkpoint="reliable").collect()
+        }
+        assert got == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint"):
+        connected_components(edges, checkpoint="bogus")
+
+
 def test_star_contraction_matches_min_label_random_graph(spark):
     """large-star/small-star CC equals min-label CC on a seeded random
     graph, and converges on a 400-node chain (diameter 399) in O(log n)
