@@ -1,13 +1,15 @@
 """Training-data pipeline queries over documents/embeddings.
 
 Operators from operators/{dedup,similarity,textstats,multimodal}.py wired
-to the registry. Where the semantics are SQL-expressible the oracle
-mirrors the computation EXACTLY (same normalization, same fold order for
-double sums — Spark's aggregate() and DuckDB's list_sum both accumulate
-left-to-right, giving bitwise-equal doubles), so thresholds and rankings
-can't diverge. LSH-banded variants are declared without an oracle
-(rows-only check) and are instead recall-tested against their exact
-baselines in tests/test_datapipe.py.
+to the registry. Every oracle mirrors the computation EXACTLY (same
+normalization, same fold order for double sums — Spark's aggregate() and
+DuckDB's list_sum both accumulate left-to-right, giving bitwise-equal
+doubles), so thresholds and rankings can't diverge. The LSH-banded
+variants are fully oracle-checked too: every hash/projection constant is
+engine-portable (md5-derived token hashes, shared permutation params,
+full-precision hyperplane literals), so DuckDB reproduces the exact
+candidate sets. Sole exception: ann_topk_ivf (MLlib KMeans training is
+not SQL-expressible) — rows-only, recall-tested against brute force.
 """
 
 from __future__ import annotations
@@ -281,6 +283,7 @@ def _sql_banded_cosine_pairs(
 
 @query(
     "dd_embedding_cosine_pairs",
+    bench=True,
     tags=("datapipe", "dedup", "vector"),
     oracle=_sql_banded_cosine_pairs(0.4),
 )

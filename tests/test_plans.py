@@ -164,6 +164,15 @@ def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """MinHash-LSH candidate generation must join on the banded key —
+    an equi-join (hash or sort-merge), never a cartesian over docs."""
+    df = q("dd_minhash_lsh_candidates", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_embedding_cosine_pairs_no_cartesian(spark, sf_dir):
     """Banded-SRP embedding near-dup: candidate generation must be an
     equi-join on (band_idx, band_key) — the round-1 cartesian
