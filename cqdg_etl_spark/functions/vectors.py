@@ -30,3 +30,13 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# NOTE on unrolling: flat element_at(v,1)*c1 + ... expansions of these
+# folds were benchmarked as an alternative to the interpreted HOFs and
+# LOST both ways — 32×64 unrolled terms push Catalyst planning past
+# minutes, and a single 64-term chain hits codegen fallback on the deep
+# Add tree and runs ~4× slower than the fold. The fast path for
+# per-pair/per-vector hot loops is Arrow (see operators/similarity.py
+# _band_keys_arrow/_dot_arrow), which reproduces the fold bit-for-bit
+# via elementwise multiply + np.add.accumulate.

@@ -182,6 +182,9 @@ def test_embedding_cosine_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    # banding + verify dots are Arrow-vectorized, never row-at-a-time
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
