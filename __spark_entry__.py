@@ -55,6 +55,7 @@ _FRONT = [
     "tx_language_id",
     "tx_token_counts_by_source",
     "tx_fingerprints",
+    "tx_winnowing_fingerprints",
     "mm_media_meta",
     "dd_duplicate_clusters",
     "tx_tfidf_term_stats",

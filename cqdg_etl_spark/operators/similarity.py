@@ -8,9 +8,11 @@
   pairs are scored. Recall is tested against the brute-force baseline.
 - cosine threshold self-join for embedding near-dup detection.
 
-All vector math is JVM-side (zip_with/aggregate folds, see
-functions/vectors.py) — left-to-right accumulation, reproducible
-bit-for-bit by any engine that folds sequentially.
+Vector math is either JVM-side (zip_with/aggregate folds, see
+functions/vectors.py) or Arrow-vectorized with identical numerics
+(elementwise float64 multiply + np.add.accumulate = the same
+single-rounded left-to-right fold) — reproducible bit-for-bit by any
+engine that folds sequentially, which the DuckDB oracles rely on.
 """
 
 from __future__ import annotations

@@ -154,3 +154,94 @@ def top_ngrams(
         .agg(F.count("*").alias("cnt"))
     )
     return counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(k)
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD'03): the rolling-hash
+# fingerprinting scheme behind MOSS. Constants chosen so every
+# intermediate fits a 64-bit signed int EXACTLY in any engine:
+# codepoint < 2^21, WINNOW_B^e mod WINNOW_M < 2^31 → per-term product
+# < 2^52, k-term sum < 2^56 — no overflow, no engine-specific modmul.
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints → (id, n_grams, n_fingerprints,
+    fingerprint_str = sorted distinct window-min hashes, comma-joined).
+
+    Per position i of the normalized text, the k-gram polynomial
+    rolling hash H_i = (Σ_j code(c_{i+j})·B^(k-1-j)) mod M — the value
+    an O(1)-update Rabin-Karp scan computes; evaluated positionally
+    here because a sequential carry would serialize what is an
+    embarrassingly parallel per-document computation in Spark. The
+    fingerprint set is {min of each w-window of consecutive hashes}
+    (any shared substring of length ≥ w+k-1 between two documents
+    guarantees a shared fingerprint — the winnowing theorem).
+
+    Scale shape: zero shuffles — one projection per document, O(L·w)
+    HOF work bounded by document length; the hash array is let-bound
+    (evaluated once) so window minima index into it rather than
+    re-hashing per window.
+    """
+
+    def let(col: Column, fn) -> Column:
+        # evaluate-once binding (see operators/quality.py): a subtree
+        # referenced inside a HOF lambda is re-evaluated per element;
+        # a lambda variable is a slot lookup.
+        return F.element_at(F.transform(F.array(col), fn), 1)
+
+    norm = normalize_ws(F.col(text_col))
+
+    def gram_hashes(text: Column) -> Column:
+        # Horner with a mod per step: acc < M = 2^31-1, so
+        # acc·B + code < 2^40 — never overflows. Mathematically equal to
+        # (Σ_j code·B^(k-1-j)) mod M, which is the form the SQL oracle
+        # uses (that sum fits 2^56, so both are exact).
+        n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, j: (
+                    acc * F.lit(WINNOW_B)
+                    + F.ascii(F.substring(text, (i + j).cast("int"), F.lit(1)))
+                )
+                % F.lit(WINNOW_M),
+            ),
+        )
+
+    def windows_min(hashes: Column) -> Column:
+        n_wins = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_wins),
+                    lambda s: F.array_min(F.slice(hashes, s, window)),
+                )
+            )
+        )
+
+    fps = let(let(norm, gram_hashes), windows_min)
+    staged = df.select(
+        F.col(id_col),
+        F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        .cast("bigint")
+        .alias("n_grams"),
+        fps.alias("fps"),
+    )
+    return staged.select(
+        id_col,
+        "n_grams",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.concat_ws(",", F.transform("fps", lambda h: h.cast("string"))).alias(
+            "fingerprint_str"
+        ),
+    )

@@ -558,6 +558,60 @@ def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _sql_winnowing(k: int = 8, window: int = 16) -> str:
+    """DuckDB oracle for operators/textstats.winnowing_fingerprints.
+    Uses the Σ code·B^(k-1-j) mod M form (fits 2^56 — exact), which
+    equals the Spark side's per-step-mod Horner exactly; list_slice
+    ends are INCLUSIVE in DuckDB, hence s..s+window-1."""
+    from cqdg_etl_spark.operators.textstats import WINNOW_B, WINNOW_M
+
+    powers = "[" + ",".join(
+        str(pow(WINNOW_B, k - 1 - j, WINNOW_M)) for j in range(k)
+    ) + "]"
+    return f"""
+        WITH n AS (
+          SELECT doc_id, {SQL_NORM.format(c='text')} AS t FROM documents
+        ), g AS (
+          SELECT doc_id, t,
+                 greatest(length(t) - {k - 1}, 1) AS n_grams
+          FROM n
+        ), h AS (
+          SELECT doc_id, n_grams,
+            list_transform(range(1, n_grams + 1), i ->
+              list_sum(list_transform(range(0, {k}), j ->
+                CAST(ascii(substr(t, CAST(i + j AS INTEGER), 1)) AS BIGINT)
+                * ({powers})[j + 1])) % {WINNOW_M}) AS hs
+          FROM g
+        ), w AS (
+          SELECT doc_id, n_grams,
+            list_sort(list_distinct(
+              list_transform(range(1, greatest(len(hs) - {window - 1}, 1) + 1),
+                s -> list_min(list_slice(hs, s, s + {window - 1}))))) AS fps
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               array_to_string(fps, ',') AS fingerprint_str
+        FROM w
+    """
+
+
+@query(
+    "tx_winnowing_fingerprints",
+    bench=True,
+    tags=("datapipe", "text", "fingerprint"),
+    oracle=_sql_winnowing(),
+)
+def tx_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints per document:
+    k=8-char-gram polynomial hashes, 16-hash window minima, distinct
+    sorted set — any shared substring of ≥ 23 chars between two
+    documents guarantees a shared fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.winnowing_fingerprints(docs, "text", "doc_id")
+
+
 # --------------------------------------------------------- multimodal
 
 

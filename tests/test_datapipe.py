@@ -57,6 +57,27 @@ def test_banded_cosine_pairs_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem: two documents sharing a substring of
+    length ≥ window + k - 1 (= 23 chars here) MUST share at least one
+    fingerprint; disjoint-alphabet documents share none."""
+    from cqdg_etl_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "a very long shared plagiarized passage indeed"
+    data = [
+        (1, f"intro text one {shared} outro one"),
+        (2, f"completely different beginning {shared} and ending"),
+        (3, "zzz qqq xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    fps = {
+        r.doc_id: set(r.fingerprint_str.split(","))
+        for r in winnowing_fingerprints(df, "text", "doc_id").collect()
+    }
+    assert fps[1] & fps[2], "shared 46-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+
+
 def test_repetition_metrics_pandas_matches_expr(spark):
     """The Arrow/mapInPandas default and the pure-expression fallback
     must agree row for row — including the n<=k single-shingle edge,
