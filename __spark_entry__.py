@@ -42,6 +42,8 @@ _FRONT = [
     "ev_stream_view_purchase_join",
     "ev_stream_enrich_static",
     "ev_stream_hopping_halfhour",
+    "ev_stream_session_windows",
+    "ev_stream_stateful_totals",
     "pipe_customer_document",
     "pipe_clinical_e2e",
     "ev_asof_purchase_view",

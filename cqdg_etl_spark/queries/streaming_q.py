@@ -225,3 +225,78 @@ def ev_stream_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "ev_stream_hopping", "complete", spark)
+
+
+@query(
+    "ev_stream_session_windows",
+    tags=("streaming", "session-window"),
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             >= 30 * 60 * 1000000
+                      OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                 AS session_end,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS session_value
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def ev_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (built-in merging ``session_window`` +
+    watermark), drained with availableNow and checked against the
+    batch gaps-and-islands closure in DuckDB. Boundary semantics
+    mirrored exactly: a session window is [start, last+gap), so an
+    event at EXACTLY gap distance starts a new session (>= break)."""
+    from cqdg_etl_spark.streaming import read_event_stream, session_windows
+
+    return _drain(
+        session_windows(read_event_stream(spark, sf_dir)),
+        "ev_stream_sessions",
+        "complete",
+        spark,
+    )
+
+
+@query(
+    "ev_stream_stateful_totals",
+    tags=("streaming", "stateful"),
+    oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+)
+def ev_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) through the
+    driver gate: running per-user totals emit one row per user per
+    micro-batch; the LAST emission per user (max of the monotone
+    running count) is the deterministic final state, equal to the batch
+    count regardless of how the source was split into batches. The
+    float total_value is excluded from the contract (pandas pairwise
+    summation is not oracle-reproducible); cross-batch state carry is
+    exercised in tests/test_streaming.py with a multi-file source."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.streaming import read_event_stream
+    from cqdg_etl_spark.streaming.stateful import running_user_totals
+
+    drained = _drain(
+        running_user_totals(read_event_stream(spark, sf_dir)),
+        "ev_stream_state",
+        "update",
+        spark,
+    )
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

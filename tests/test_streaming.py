@@ -12,6 +12,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from cqdg_etl_spark.queries import REGISTRY
 from cqdg_etl_spark.queries.registry import load
 from cqdg_etl_spark.streaming import (
@@ -93,6 +95,45 @@ def test_running_user_totals_final_state_matches_batch(spark, sf_dir):
         n, total = exp[r["user_id"]]
         assert r["n_events"] == n
         assert r["total_value"] == pytest.approx(total, abs=0.05)
+
+
+def test_running_totals_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
+    """The real stateful guarantee: split the source into 4 files,
+    trigger one file per micro-batch, and the final per-user state must
+    STILL equal the batch aggregate — state carried across 4 batches,
+    with intermediate emissions strictly increasing per user."""
+    events = load(spark, sf_dir, "events")
+    multi = str(tmp_path / "events_multi")
+    events.repartition(4).write.parquet(multi)
+
+    from cqdg_etl_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(_multi_stream(spark, multi, events.schema))
+    run_to_memory(stream, "t_totals_multi", "update")
+    rows = spark.sql("SELECT * FROM t_totals_multi").collect()
+    # >1 emission for at least one user proves multiple micro-batches ran
+    from collections import Counter
+
+    per_user = Counter(r.user_id for r in rows)
+    assert max(per_user.values()) > 1, "expected multiple micro-batches"
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
+    expected = {
+        r.user_id: r.n for r in events.groupBy("user_id").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert final == expected
+
+
+def _multi_stream(spark, path, schema):
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def test_watermark_present_in_plan(spark, sf_dir):
