@@ -58,6 +58,7 @@ _FRONT = [
     "tx_token_counts_by_source",
     "tx_fingerprints",
     "tx_winnowing_fingerprints",
+    "tx_cms_heavy_hitters",
     "mm_media_meta",
     "dd_duplicate_clusters",
     "tx_tfidf_term_stats",

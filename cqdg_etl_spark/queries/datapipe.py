@@ -990,3 +990,50 @@ def mm_png_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.height").alias("height"),
         F.col("d.bit_depth").alias("bit_depth"),
     )
+
+
+@query(
+    "tx_cms_heavy_hitters",
+    tags=("datapipe", "text", "sketch"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest({SQL_TOKS.format(c='text')}) AS token FROM documents
+        ), ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        hashes AS (
+          SELECT d,
+                 CAST(CAST(concat('0x', substr(md5(concat(d, ':', token)), 1, 8))
+                      AS BIGINT) % 1024 AS INTEGER) AS bucket
+          FROM toks CROSS JOIN ds
+        ), sketch AS (
+          SELECT d, bucket, count(*) AS cnt FROM hashes GROUP BY d, bucket
+        ), exact AS (
+          SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token
+          ORDER BY exact_cnt DESC, token LIMIT 100
+        )
+        SELECT e.token, e.exact_cnt,
+               CAST(min(s.cnt) AS BIGINT) AS cms_estimate
+        FROM exact e
+        CROSS JOIN ds
+        JOIN sketch s
+          ON s.d = ds.d
+         AND s.bucket = CAST(CAST(concat('0x',
+               substr(md5(concat(ds.d, ':', e.token)), 1, 8))
+               AS BIGINT) % 1024 AS INTEGER)
+        GROUP BY e.token, e.exact_cnt
+    """,
+)
+def tx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketches.py): exact
+    top-100 tokens beside their sketch estimates — the mergeable
+    depth×width counter structure a 100-TB pipeline keeps instead of a
+    full vocabulary, with the one-sided error bound checkable row by
+    row (estimate ≥ exact, ≈ equal for heavy hitters). Portable md5
+    bucket hashes make the sketch itself oracle-reproducible."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+    from cqdg_etl_spark.operators import sketches
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(normalize_ws(F.col("text")))).alias("token")
+    )
+    return sketches.cms_heavy_hitters(toks, "token", top_n=100)

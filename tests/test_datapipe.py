@@ -57,6 +57,37 @@ def test_banded_cosine_pairs_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
 
 
+def test_cms_mergeable_and_one_sided(spark):
+    """The two properties that make count-min a 100-TB structure:
+    (1) mergeability — sketch(A ∪ B) == counter-wise sum of sketch(A)
+    and sketch(B); (2) one-sided error — estimate ≥ true count."""
+    from cqdg_etl_spark.operators import sketches
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], ["token"])
+    b = spark.createDataFrame([("x",), ("z",), ("z",)], ["token"])
+    sa = sketches.count_min_sketch(a, "token", depth=2, width=16)
+    sb = sketches.count_min_sketch(b, "token", depth=2, width=16)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketches.count_min_sketch(
+        a.unionByName(b), "token", depth=2, width=16
+    )
+    as_set = lambda df: {(r.d, r.bucket, r.cnt) for r in df.collect()}
+    assert as_set(merged) == as_set(direct)
+
+    items = spark.createDataFrame([("x",), ("y",), ("z",)], ["token"])
+    est = {
+        r.token: r.cms_estimate
+        for r in sketches.cms_estimate(
+            direct, items, "token", depth=2, width=16
+        ).collect()
+    }
+    assert est["x"] >= 3 and est["y"] >= 1 and est["z"] >= 2
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """The winnowing theorem: two documents sharing a substring of
     length ≥ window + k - 1 (= 23 chars here) MUST share at least one
