@@ -280,3 +280,21 @@ def test_intersect_except_plan_semi_anti(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_zero_shuffles(spark, sf_dir):
+    """Winnowing fingerprints are a pure projection: zero exchanges,
+    no join — scan-speed at any corpus size."""
+    df = q("tx_winnowing_fingerprints", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_shuffles(df, plan) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_cms_sketch_broadcast_estimation(spark, sf_dir):
+    """CMS estimation joins must broadcast the (depth x width) sketch —
+    the items side never shuffles for the join."""
+    df = q("tx_cms_heavy_hitters", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert count_broadcast_joins(df, plan) >= 4, plan
+    assert count_sort_merge_joins(df, plan) == 0, plan
