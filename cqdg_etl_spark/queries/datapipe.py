@@ -607,8 +607,13 @@ def tx_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash fingerprints per document:
     k=8-char-gram polynomial hashes, 16-hash window minima, distinct
     sorted set — any shared substring of ≥ 23 chars between two
-    documents guarantees a shared fingerprint."""
-    docs = load(spark, sf_dir, "documents")
+    documents guarantees a shared fingerprint. The operator is
+    shuffle-free; the one repartition fans the single-row-group local
+    fixture across cores (unnecessary at scale, like
+    tx_repetition_metrics)."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return textstats.winnowing_fingerprints(docs, "text", "doc_id")
 
 

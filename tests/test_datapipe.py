@@ -88,6 +88,20 @@ def test_cms_mergeable_and_one_sided(spark):
     assert est["x"] >= 3 and est["y"] >= 1 and est["z"] >= 2
 
 
+def test_winnowing_pandas_matches_expr(spark, sf_dir):
+    """The Arrow winnowing path and the declarative HOF fallback must
+    produce identical rows (all-integer arithmetic — exact parity)."""
+    from cqdg_etl_spark.operators.textstats import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fast = sorted(tuple(r) for r in winnowing_fingerprints(docs, "text", "doc_id").collect())
+    slow = sorted(tuple(r) for r in winnowing_fingerprints_expr(docs, "text", "doc_id").collect())
+    assert fast == slow
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """The winnowing theorem: two documents sharing a substring of
     length ≥ window + k - 1 (= 23 chars here) MUST share at least one

