@@ -37,16 +37,27 @@ def brute_force_topk(
 
     Ties broken by neighbor id — fully deterministic output.
     """
+    from cqdg_etl_spark.functions.vectors import dot, l2_norm
+
+    # Norms are per-VECTOR quantities: compute them in each side's
+    # projection (once per vector), not inside the pair expression —
+    # inline cosine re-folds the corpus norm once per QUERY (|Q|×
+    # wasted work at scale). Same IEEE values, same oracle.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).select("query_id", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).select("neighbor_id", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm"))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -111,6 +122,8 @@ def lsh_bucket_topk(
             expr = expr * 2 + b
         return expr
 
+    from cqdg_etl_spark.functions.vectors import dot, l2_norm
+
     if multiprobe:
         # query bucket plus every 1-bit flip: bucket XOR 2^j
         probes = F.array_distinct(
@@ -133,15 +146,21 @@ def lsh_bucket_topk(
             F.col(vec_col).alias("q_vec"),
             bucket(vec_col).alias("bucket"),
         )
+    # per-vector norms computed in the projections, not per pair (the
+    # corpus norm would otherwise re-fold once per matching query)
+    q = q.select("*", l2_norm(F.col("q_vec")).alias("q_norm"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         bucket(vec_col).alias("bucket"),
-    )
+    ).select("*", l2_norm(F.col("c_vec")).alias("c_norm"))
     scored = q.join(c, "bucket").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -208,20 +227,25 @@ def ivf_topk(
         ranked = F.slice(F.array_sort(dists), 1, n)
         return F.transform(ranked, lambda s: s["cell"])
 
+    from cqdg_etl_spark.functions.vectors import dot, l2_norm
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         nearest_cells(vec_col, 1)[0].alias("cell"),
-    )
+    ).select("*", l2_norm(F.col("c_vec")).alias("c_norm"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(nearest_cells(vec_col, nprobe)).alias("cell"),
-    )
+    ).select("*", l2_norm(F.col("q_vec")).alias("q_norm"))
     scored = q.join(c, "cell").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
