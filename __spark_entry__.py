@@ -75,6 +75,7 @@ _FRONT = [
     "dd_canonical_per_cluster",
     "tx_top_bigrams",
     "pf_profile_orders",
+    "pf_expect_orders",
     "emb_label_centroids",
     "pf_histogram_totalprice",
     "emb_quantize_int8",

@@ -1042,3 +1042,59 @@ def tx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(normalize_ws(F.col("text")))).alias("token")
     )
     return sketches.cms_heavy_hitters(toks, "token", top_n=100)
+
+
+@query(
+    "pf_expect_orders",
+    tags=("datapipe", "profile", "expectations"),
+    oracle="""
+        WITH agg AS (
+          SELECT 'o_custkey_not_null' AS "check",
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS violations
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate_not_null',
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice_in_range',
+                 CAST(sum(CASE WHEN o_totalprice < 0
+                                 OR o_totalprice > 1000000000
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderkey_unique',
+                 CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                      AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey_ri_c_custkey',
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM orders o LEFT JOIN customer c
+                    ON c_custkey = o_custkey
+                  WHERE o_custkey IS NOT NULL AND c_custkey IS NULL)
+        )
+        SELECT "check", violations, violations = 0 AS passed FROM agg
+    """,
+)
+def pf_expect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate over orders
+    (operators/expectations.py): one aggregate pass folds the
+    null/range/uniqueness checks (single exchange, map-side combined);
+    the foreign-key check is a broadcast anti-join orphan count."""
+    from cqdg_etl_spark.operators import expectations as ex
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return ex.expectation_report(
+        orders,
+        [
+            ex.not_null("o_custkey"),
+            ex.not_null("o_orderdate"),
+            ex.in_range("o_totalprice", 0, 1_000_000_000),
+            ex.unique("o_orderkey"),
+        ],
+        ref_checks=[("o_custkey", customer, "c_custkey")],
+    )

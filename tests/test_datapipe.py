@@ -57,6 +57,31 @@ def test_banded_cosine_pairs_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
 
 
+def test_expectations_detect_violations(spark):
+    """Each check kind must actually fire: nulls, out-of-range values,
+    duplicate keys, and orphan foreign keys all produce non-zero
+    violation counts with passed=False."""
+    from cqdg_etl_spark.operators import expectations as ex
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, -3.0), (2, None, 50.0), (3, 99, 2.0)],
+        ["k", "fk", "v"],
+    )
+    dim = spark.createDataFrame([(10,), (20,)], ["pk"])
+    rep = {
+        r.check: (r.violations, r.passed)
+        for r in ex.expectation_report(
+            fact,
+            [ex.not_null("fk"), ex.in_range("v", 0, 10), ex.unique("k")],
+            ref_checks=[("fk", dim, "pk")],
+        ).collect()
+    }
+    assert rep["fk_not_null"] == (1, False)
+    assert rep["v_in_range"] == (2, False)  # -3.0 and 50.0
+    assert rep["k_unique"] == (1, False)  # k=1 twice
+    assert rep["fk_ri_pk"] == (1, False)  # fk=99 orphan (NULL excluded)
+
+
 def test_cms_mergeable_and_one_sided(spark):
     """The two properties that make count-min a 100-TB structure:
     (1) mergeability — sketch(A ∪ B) == counter-wise sum of sketch(A)
