@@ -37,6 +37,7 @@ _FRONT = [
     "ev_moving_avg_3",
     "ev_weekly_retention",
     "ev_rfm_segments",
+    "ev_anomaly_robust_z",
     "ev_tumbling_hourly_stream",
     "ev_stream_dedup_keys",
     "ev_stream_view_purchase_join",

@@ -345,3 +345,67 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_quartile"),
     )
+
+
+@query(
+    "ev_anomaly_robust_z",
+    tags=("events", "anomaly", "percentile"),
+    oracle="""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ), mad AS (
+          SELECT e.event_type,
+                 quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(CAST(e.value AS DOUBLE), 6) AS value,
+               round(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0
+          AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+    """,
+)
+def ev_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (Iglewicz–Hoaglin modified
+    z-score): median + MAD per event_type, flag |0.6745·(x−med)/MAD| >
+    3.5. Unlike mean/stddev z-scores, the estimator itself is immune to
+    the outliers it hunts.
+
+    Scale shape: two grouped exact-percentile passes (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, parity proven by
+    agg_exact_percentiles) producing a #event_types-row stats table
+    that broadcasts back onto the fact scan — the flagging pass itself
+    is shuffle-free. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (KLL-sketch, no per-group sort) and loosen
+    the threshold accordingly.
+    """
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    stats = med.join(mad, "event_type").filter(F.col("mad") > 0)
+    rz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
