@@ -292,6 +292,8 @@ def _band_keys_arrow(
 
     @F.pandas_udf("array<bigint>")
     def band_keys(v):
+        if len(v) == 0:  # Arrow may hand over an empty batch
+            return pd.Series([], dtype=object)
         M = np.stack(v.values).astype(np.float64)  # (n, dim) exact widen
         n = M.shape[0]
         bits = np.empty((n, len(P)), dtype=np.int64)
@@ -321,6 +323,8 @@ def _dot_arrow():
 
     @F.pandas_udf("double")
     def dot_udf(a, b):
+        if len(a) == 0:  # Arrow may hand over an empty batch
+            return pd.Series([], dtype=np.float64)
         A = np.stack(a.values).astype(np.float64)
         B = np.stack(b.values).astype(np.float64)
         return pd.Series(np.add.accumulate(A * B, axis=1)[:, -1])
