@@ -81,6 +81,7 @@ _FRONT = [
     "pf_histogram_totalprice",
     "emb_quantize_int8",
     "dd_minhash_lsh_candidates",
+    "dd_minhash_verified_pairs",
     "dd_simhash_near_pairs",
     "ann_topk_lsh",
     "ann_topk_lsh_multiprobe",

@@ -264,6 +264,53 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The production dedup flow: MinHash-LSH candidate generation +
+    exact Jaccard verify ON CANDIDATES ONLY → (doc_a, doc_b, jaccard).
+
+    Contrast with ngram_jaccard_pairs (exact inverted-index over ALL
+    shingle matches): here the expensive exact set intersection runs
+    only on the O(#candidates) pairs the banding surfaces — the shape
+    that wins when the corpus is large and duplicates are rare. Each
+    doc's distinct shingle-hash SET (bounded by document length) rides
+    the candidate join as an array; |∩| via array_intersect is
+    order-insensitive, so the result is deterministic and
+    oracle-reproducible (portable md5 token hashes throughout).
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_n, seed
+    ).select("doc_a", "doc_b")
+    sets = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n),
+                lambda s: token_hash(s),
+            )
+        ).alias("hs"),
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _hash64_halves(col: Column) -> tuple[Column, Column]:
     """Portable 64-bit token hash as two 32-bit halves (md5-derived, so
     any engine can reproduce it)."""

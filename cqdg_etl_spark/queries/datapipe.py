@@ -112,7 +112,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
     """DuckDB oracle mirroring operators/dedup.minhash_lsh_candidates
     exactly: the portable md5-derived 32-bit token hash
     (CAST('0x'||hex AS BIGINT) ≡ Spark conv(_,16,10)), the same (a,b)
@@ -134,8 +134,7 @@ def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str
         )
         for l in range(bands)
     )
-    return f"""
-        WITH s AS (
+    ctes = f"""s AS (
           SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
           FROM documents
         ), h AS (
@@ -144,13 +143,47 @@ def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str
           FROM s
         ), sig AS (
           SELECT doc, {mins} FROM h GROUP BY doc
-        ), bands AS ({band_selects})
+        ), bands AS ({band_selects})"""
+    return ctes
+
+
+def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """Full MinHash-LSH candidate oracle (see _sql_minhash_ctes)."""
+    return f"""
+        WITH {_sql_minhash_ctes(num_perm, bands, seed)}
         SELECT a.doc AS doc_a, b.doc AS doc_b,
                count(*) AS n_shared_bands
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc < b.doc
         GROUP BY 1, 2
+    """
+
+
+def _sql_minhash_verified(
+    threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """Candidates from the banded MinHash CTEs + exact Jaccard verify
+    over each doc's DISTINCT shingle-hash set — mirrors
+    operators/dedup.minhash_verified_pairs (same md5 token hashes, so
+    identical candidate sets and identical set intersections)."""
+    jac = ("CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) "
+           "/ (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))")
+    return f"""
+        WITH {_sql_minhash_ctes(num_perm, bands, seed)},
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc < b.doc
+        ),
+        sets AS (SELECT doc, list(DISTINCT h) AS hs FROM h GROUP BY doc)
+        SELECT doc_a, doc_b, round({jac}, 6) AS jaccard
+        FROM cand
+        JOIN sets x ON x.doc = doc_a
+        JOIN sets y ON y.doc = doc_b
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -1098,3 +1131,19 @@ def pf_expect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ref_checks=[("o_custkey", customer, "c_custkey")],
     )
+
+
+@query(
+    "dd_minhash_verified_pairs",
+    bench=True,
+    tags=("datapipe", "dedup", "lsh"),
+    oracle=_sql_minhash_verified(),
+)
+def dd_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup flow end to end: MinHash-LSH candidates →
+    exact Jaccard verify on candidates only (operators/dedup.py::
+    minhash_verified_pairs). At corpus scale the exact set
+    intersections run on O(#candidates) pairs instead of every shingle
+    match — the winning shape when duplicates are rare."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_verified_pairs(docs, "text", "doc_id", threshold=0.8)

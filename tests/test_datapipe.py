@@ -202,6 +202,30 @@ def test_ngram_jaccard_max_df_suppresses_hot_shingles(spark):
     assert (100, 101) in cap_pairs
 
 
+def test_minhash_verified_subset_of_exact(spark, sf_dir):
+    """Candidate-then-verify must be a SUBSET of the full exact result
+    (precision 1.0 — verify is exact) with LSH-bounded recall, and
+    every reported jaccard must equal the exact value."""
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == exact[pair]
+    if exact:
+        assert len(verified) / len(exact) >= 0.9  # 16x4 banding at j>=0.8
+
+
 def test_simhash_identical_and_distinct(spark):
     data = [
         (1, "the quick brown fox jumps over the lazy dog"),
