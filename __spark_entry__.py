@@ -60,6 +60,7 @@ _FRONT = [
     "tx_fingerprints",
     "tx_winnowing_fingerprints",
     "tx_cms_heavy_hitters",
+    "tx_sentences_udtf",
     "mm_media_meta",
     "dd_duplicate_clusters",
     "tx_tfidf_term_stats",

@@ -1147,3 +1147,38 @@ def dd_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     match — the winning shape when duplicates are rare."""
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_verified_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+@query(
+    "tx_sentences_udtf",
+    tags=("datapipe", "text", "udtf"),
+    oracle="""
+        WITH parts AS (
+          SELECT doc_id,
+                 string_split_regex(text, '[.!?]+ +') AS ps
+          FROM documents
+        ), pos AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ps) + 1),
+                   i -> struct_pack(pos := i, part := ps[i]))) AS u
+          FROM parts
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY u.pos) AS INT) AS sent_idx,
+               trim(u.part, ' ') AS sentence,
+               CAST(length(trim(u.part, ' ')) AS INT) AS n_chars
+        FROM pos
+        WHERE trim(u.part, ' ') <> ''
+    """,
+)
+def tx_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a Python UDTF lateral join
+    (operators/udtf_text.py) — the user-defined TABLE-function API
+    class, completing the UDF/UDAF/UDTF surface. The split regex lives
+    in the Java∩RE2∩Python common dialect, so the oracle's
+    string_split_regex + renumbering reproduces the rows exactly."""
+    from cqdg_etl_spark.operators.udtf_text import split_sentences
+
+    docs = load(spark, sf_dir, "documents")
+    return split_sentences(spark, docs, "text", "doc_id")

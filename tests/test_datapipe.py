@@ -82,6 +82,28 @@ def test_expectations_detect_violations(spark):
     assert rep["fk_ri_pk"] == (1, False)  # fk=99 orphan (NULL excluded)
 
 
+def test_udtf_sentence_split_renumbering(spark):
+    """UDTF lateral join: multi-sentence docs renumber after blank
+    filtering; parent columns survive without a join node."""
+    from cqdg_etl_spark.operators.udtf_text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine!"), (2, "One only"), (3, "!. ?")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r.doc_id, r.sent_idx, r.sentence, r.n_chars)
+        for r in split_sentences(spark, df, "text", "doc_id").collect()
+    )
+    assert rows == [
+        (1, 1, "Hello world", 11),
+        (1, 2, "How are you", 11),
+        (1, 3, "Fine!", 5),
+        (2, 1, "One only", 8),
+        (3, 1, "?", 1),
+    ]
+
+
 def test_cms_mergeable_and_one_sided(spark):
     """The two properties that make count-min a 100-TB structure:
     (1) mergeability — sketch(A ∪ B) == counter-wise sum of sketch(A)
