@@ -68,6 +68,7 @@ _FRONT = [
     "ds_stratified_sample",
     "ds_decontaminate_vs_benchmark",
     "ds_pack_sequences",
+    "ds_chunk_documents",
     "tx_quality_quantile_filter",
     "tx_quality_calibrated_udf",
     "mm_png_header_roundtrip",

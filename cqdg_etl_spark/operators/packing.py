@@ -73,3 +73,52 @@ def pack_sequences(
         .drop("_cum")
         .withColumnRenamed("_tok", "n_tokens")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window chunking: split each document's whitespace tokens
+    into windows of ``window`` tokens advancing by ``stride`` (overlap =
+    window − stride, the context-carry standard for LLM training data).
+
+    Returns (id, chunk_idx, chunk_text, n_tokens). The final window is
+    the remainder (possibly short); every document yields ≥ 1 chunk
+    (an empty doc yields one empty chunk). Chunk starts are
+    0, stride, 2·stride, … — only starts < n_tokens, except that start
+    0 always exists.
+
+    Scale shape: zero shuffles — tokens, window index sequence, and the
+    per-window slices are one projection; output row count is
+    ⌈n_tokens/stride⌉ per doc, bounded by document length.
+    """
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    toks = tokens(normalize_ws(F.col(text_col)))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, window)
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(window)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        "c.chunk_text",
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )

@@ -1182,3 +1182,40 @@ def tx_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return split_sentences(spark, docs, "text", "doc_id")
+
+
+@query(
+    "ds_chunk_documents",
+    tags=("datapipe", "dataset", "chunking"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+        ), c AS (
+          SELECT doc_id, toks,
+                 greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1, 1)
+                   AS n_chunks
+          FROM t
+        ), e AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, n_chunks + 1)) AS i
+          FROM c
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, (i - 1) * 24 + 1, (i - 1) * 24 + 32), ' ')
+                 AS chunk_text,
+               CAST(least(len(toks) - (i - 1) * 24, 32) AS INT) AS n_tokens
+        FROM e
+    """,
+)
+def ds_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows, stride 24 → 8-token
+    overlap; sized so the harness docs — 10-99 tokens — actually
+    produce multi-chunk output) — the context-carry step between
+    cleaning and sequence packing in an LLM data pipeline. Zero
+    shuffles (operators/packing.py::chunk_documents)."""
+    from cqdg_etl_spark.operators.packing import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", window=32, stride=24)

@@ -82,6 +82,24 @@ def test_expectations_detect_violations(spark):
     assert rep["fk_ri_pk"] == (1, False)  # fk=99 orphan (NULL excluded)
 
 
+def test_chunk_documents_overlap_and_remainder(spark):
+    """Sliding-window chunking: stride overlap carried between chunks,
+    short remainder kept, empty doc yields one empty chunk."""
+    from cqdg_etl_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, "text", "doc_id", window=4, stride=3).collect()
+    }
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)  # 1-token overlap
+    assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in rows  # 10 tokens fully covered by 3 windows
+    assert rows[(2, 0)] == ("", 0)
+
+
 def test_udtf_sentence_split_renumbering(spark):
     """UDTF lateral join: multi-sentence docs renumber after blank
     filtering; parent columns survive without a join node."""
