@@ -80,10 +80,15 @@ def cms_estimate(
                 F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
             )
         )
+        # LEFT join + coalesce 0: an item hashing to a bucket no token
+        # ever touched has counter 0 — an inner join would silently
+        # DROP unseen items instead of estimating them as ~0.
         out = out.withColumn(f"b{d}", _bucket(F.col(token_col), d, width)).join(
-            s, f"b{d}"
+            s, f"b{d}", "left"
         )
-    est = F.least(*[F.col(f"c{d}") for d in range(depth)])
+    est = F.least(
+        *[F.coalesce(F.col(f"c{d}"), F.lit(0)) for d in range(depth)]
+    )
     return out.select(
         *items.columns, est.cast("bigint").alias("cms_estimate")
     )

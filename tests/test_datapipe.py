@@ -143,7 +143,9 @@ def test_cms_mergeable_and_one_sided(spark):
     as_set = lambda df: {(r.d, r.bucket, r.cnt) for r in df.collect()}
     assert as_set(merged) == as_set(direct)
 
-    items = spark.createDataFrame([("x",), ("y",), ("z",)], ["token"])
+    items = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("never-seen",)], ["token"]
+    )
     est = {
         r.token: r.cms_estimate
         for r in sketches.cms_estimate(
@@ -151,6 +153,9 @@ def test_cms_mergeable_and_one_sided(spark):
         ).collect()
     }
     assert est["x"] >= 3 and est["y"] >= 1 and est["z"] >= 2
+    # unseen items are ESTIMATED (possibly 0 or a collision count),
+    # never dropped
+    assert "never-seen" in est and est["never-seen"] >= 0
 
 
 def test_winnowing_pandas_matches_expr(spark, sf_dir):
