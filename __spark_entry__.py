@@ -16,13 +16,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cqdg_etl_spark.queries import REGISTRY
 
-# Round-1 driver CORRECTNESS covered exactly the first 50 names in
-# registry insertion order, leaving the event/streaming/LLM-pipeline
-# suites without driver rows. Publish the registry with the
-# not-yet-driver-verified names first (oracle-bearing before rows-only,
-# so the strongest checks land inside any per-round cap), then the 50
-# already-green round-1 names.
+# Rounds 1+2 driver CORRECTNESS covered 100/116 registry names (the
+# driver caps a round at 50). Round 3 front-loads the 16 names that
+# have never had a driver row (positions 1-16), then q9 — the one
+# query whose implementation changed after its r01 row (de-vacuated
+# '%green%'→'%red%' in round 2) — then the rest of the registry so the
+# remaining ~33 slots re-confirm previously-green names.
 _FRONT = [
+    # -- never driver-verified (r01+r02 capped them out) ------------
+    "dd_minhash_lsh_candidates",
+    "dd_minhash_verified_pairs",
+    "dd_simhash_near_pairs",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "mm_media_features",
+    "tx_c4_rule_filter",
+    "tx_pii_redaction",
+    "dd_canonical_per_cluster",
+    "tx_top_bigrams",
+    "pf_profile_orders",
+    "pf_expect_orders",
+    "emb_label_centroids",
+    "pf_histogram_totalprice",
+    "emb_quantize_int8",
+    # -- changed since its last driver row --------------------------
+    "q9_profit_by_nation_year",
+    # -- re-confirmation of previously-green rows (driver cap fills
+    #    the remaining slots from here in order) --------------------
+    "dd_embedding_cosine_pairs",
+    "dd_ngram_jaccard_pairs",
+    "dd_exact_fingerprint_groups",
+    "dd_duplicate_clusters",
+    "ann_topk_bruteforce",
+    "pipe_clinical_e2e",
+    "pipe_customer_document",
     "agg_cube_priority_status",
     "set_intersect_except_buyers",
     "agg_unpivot_order_metrics",
@@ -45,15 +73,9 @@ _FRONT = [
     "ev_stream_hopping_halfhour",
     "ev_stream_session_windows",
     "ev_stream_stateful_totals",
-    "pipe_customer_document",
-    "pipe_clinical_e2e",
     "ev_asof_purchase_view",
     "ev_range_error_near_signup",
     "etl_scd2_customer_merge",
-    "dd_exact_fingerprint_groups",
-    "dd_ngram_jaccard_pairs",
-    "dd_embedding_cosine_pairs",
-    "ann_topk_bruteforce",
     "tx_quality_features",
     "tx_language_id",
     "tx_token_counts_by_source",
@@ -62,7 +84,6 @@ _FRONT = [
     "tx_cms_heavy_hitters",
     "tx_sentences_udtf",
     "mm_media_meta",
-    "dd_duplicate_clusters",
     "tx_tfidf_term_stats",
     "ds_train_val_split",
     "ds_stratified_sample",
@@ -73,22 +94,6 @@ _FRONT = [
     "tx_quality_calibrated_udf",
     "mm_png_header_roundtrip",
     "tx_repetition_metrics",
-    "tx_c4_rule_filter",
-    "tx_pii_redaction",
-    "dd_canonical_per_cluster",
-    "tx_top_bigrams",
-    "pf_profile_orders",
-    "pf_expect_orders",
-    "emb_label_centroids",
-    "pf_histogram_totalprice",
-    "emb_quantize_int8",
-    "dd_minhash_lsh_candidates",
-    "dd_minhash_verified_pairs",
-    "dd_simhash_near_pairs",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf",
-    "mm_media_features",
 ]
 
 
