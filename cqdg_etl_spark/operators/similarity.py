@@ -170,74 +170,171 @@ def lsh_bucket_topk(
     )
 
 
+def _srp_cell(vec_col_name: str, planes: list[list[int]]):
+    """Seed-cell id: packed sign bits of <v, h_j> for Rademacher planes.
+    Same fold/packing as lsh_bucket_topk's bucket() — JVM HOF, left-to-
+    right, so DuckDB's list_sum reproduces the identical cell ids."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col_name).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    expr = bits[0]
+    for b in bits[1:]:
+        expr = expr * 2 + b
+    return expr
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    seed: int = 42,
+    train_mod: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: deterministic SRP seed cells →
+    one Lloyd refinement (per-cell element-wise mean). Returns the
+    sorted [(cell_id, centroid)] list — at most 2^n_bits entries.
+
+    Engine-portable by construction (this is what upgraded ann_topk_ivf
+    from the registry's last rows-only check to a full value-hash
+    oracle): seed cells come from seeded ±1 Rademacher planes (compact
+    literals both engines share), and the mean is computed as an EXACT
+    decimal(38,12) sum divided in double — decimal addition is
+    associative, so the centroid is bit-identical regardless of
+    partitioning or engine, unlike a double sum whose value depends on
+    accumulation order. MLlib KMeans (the previous trainer) was neither
+    reproducible outside Spark nor cheap: implementation-defined init
+    and convergence, and a full-corpus fit.
+
+    ``train_mod`` is the seeded systematic sample for the fit: only
+    rows with id % train_mod == 0 train the centroids (assignment still
+    covers everything). At 100 TB you fit on a ~1e-3 sample
+    (train_mod=1000); the default 1 trains on all rows at test scale.
+
+    Scale shape: one pass over the (sampled) corpus — posexplode to
+    (cell, dim, value) skinny rows, map-side partial decimal sums, one
+    shuffle of #cells × #dims rows, and a ≤2^n_bits-row collect. That
+    collect is the index-build action every IVF engine performs (FAISS
+    trains the quantizer before indexing too); the centroids are tiny
+    (cells × dims doubles) and travel to executors as task data, not as
+    plan literals.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = rademacher_planes(dim, n_bits, seed)
+    seeded = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _srp_cell(vec_col, planes).alias("cell"),
+    )
+    if train_mod > 1:
+        seeded = seeded.filter(F.pmod(F.col("_id"), F.lit(train_mod)) == 0)
+    per_dim = (
+        seeded.select("cell", F.posexplode(F.col("_vec").cast("array<double>")).alias("d", "v"))
+        .groupBy("cell", "d")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count("v")
+            ).alias("m")
+        )
+    )
+    rows = (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .collect()
+    )
+    return sorted(
+        (int(r["cell"]), [float(s["m"]) for s in r["dm"]]) for r in rows
+    )
+
+
+def _nearest_cells_arrow(centers: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-vectorized nearest-centroid assignment, bit-identical to
+    the SQL oracle's left-to-right (a-b)^2 fold: elementwise float64
+    subtract/multiply + np.add.accumulate, ties → lower cell id (stable
+    argsort over ascending-sorted cells). Centroids ride in the UDF
+    closure — O(1) plan size however many cells, vs the previous
+    per-centroid literal expression array that grew the plan (and
+    Catalyst time) linearly in n_cells."""
+    import numpy as np
+    import pandas as pd
+
+    cells = np.asarray([c for c, _ in centers], dtype=np.int32)
+    mat = np.asarray([v for _, v in centers], dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def nearest(v):
+        if len(v) == 0:  # Arrow may hand over an empty batch
+            return pd.Series([], dtype=object)
+        M = np.stack(v.values).astype(np.float64)
+        n = M.shape[0]
+        dists = np.empty((n, len(cells)), dtype=np.float64)
+        for j in range(len(cells)):
+            diff = M - mat[j][None, :]  # single-rounded IEEE subtract
+            dists[:, j] = np.add.accumulate(diff * diff, axis=1)[:, -1]
+        order = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cells[row].tolist() for row in order])
+
+    return nearest
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_bits: int = 4,
     nprobe: int = 6,
     seed: int = 42,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
-    Train: k-means (Spark MLlib, seeded) over the corpus embeddings →
-    ``n_cells`` centroids. Index: each corpus vector is assigned to its
-    nearest centroid — ONE pass, and the (cell → vectors) assignment is
-    exactly an inverted file expressed as a DataFrame keyed by cell id.
-    Search: each query scores the (driver-side, tiny) centroid table,
-    probes its ``nprobe`` closest cells, and scores only those cells'
-    vectors with exact cosine.
+    Train: ivf_fit_centroids — deterministic SRP seed cells + one
+    exact-decimal Lloyd step over a seeded systematic sample. Index:
+    each corpus vector is assigned to its nearest centroid (Arrow UDF,
+    centroids as closure data). Search: each query probes its ``nprobe``
+    closest cells and scores only those cells' vectors with exact
+    cosine.
 
-    At 100 TB: n_cells scales with corpus size (√n is the classic
-    choice) so each cell is a bounded partition; the query→cell explode
-    shuffles queries (small side) while the corpus shuffles once on cell
-    id at index-build time. Raising nprobe trades latency for recall —
-    measured against brute force in tests/test_datapipe.py.
+    At 100 TB: n_bits scales with corpus size (2^n_bits ≈ √n is the
+    classic cell count) with NO plan growth — assignment cost is one
+    vectorized numpy pass per batch and the plan carries zero centroid
+    literals; the corpus shuffles once on cell id, the query explode
+    multiplies only the small side. Raising nprobe trades latency for
+    recall — measured against brute force in tests/test_datapipe.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-
-    def nearest_cells(vec_name: str, n: int):
-        """Array of the n nearest cell ids by squared L2 distance."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_name).cast("array<double>"),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centers)
-            ]
-        )
-        ranked = F.slice(F.array_sort(dists), 1, n)
-        return F.transform(ranked, lambda s: s["cell"])
-
     from cqdg_etl_spark.functions.vectors import dot, l2_norm
+
+    centers = ivf_fit_centroids(
+        corpus, id_col, vec_col, n_bits=n_bits, seed=seed, train_mod=train_mod
+    )
+    assign1 = _nearest_cells_arrow(centers, 1)
+    assignp = _nearest_cells_arrow(centers, nprobe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        nearest_cells(vec_col, 1)[0].alias("cell"),
+        assign1(F.col(vec_col))[0].alias("cell"),
     ).select("*", l2_norm(F.col("c_vec")).alias("c_norm"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_cells(vec_col, nprobe)).alias("cell"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
     ).select("*", l2_norm(F.col("q_vec")).alias("q_norm"))
     scored = q.join(c, "cell").select(
         "query_id",

@@ -8,8 +8,10 @@ doubles), so thresholds and rankings can't diverge. The LSH-banded
 variants are fully oracle-checked too: every hash/projection constant is
 engine-portable (md5-derived token hashes, shared permutation params,
 full-precision hyperplane literals), so DuckDB reproduces the exact
-candidate sets. Sole exception: ann_topk_ivf (MLlib KMeans training is
-not SQL-expressible) — rows-only, recall-tested against brute force.
+candidate sets. Even ann_topk_ivf is fully oracle-checked: its coarse
+quantizer (SRP seed cells + one exact-decimal Lloyd step) is
+deterministic and engine-portable, so the oracle re-derives the whole
+index in SQL — no rows-only checks remain in this module.
 """
 
 from __future__ import annotations
@@ -460,16 +462,106 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _sql_ivf_topk(
+    k: int = 5, dim: int = 64, n_bits: int = 4, nprobe: int = 6,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle mirroring operators/similarity.ivf_topk END TO END —
+    including training. The quantizer is deterministic and engine-
+    portable: SRP seed cells from shared ±1 Rademacher literals, then
+    per-cell element-wise means summed as EXACT decimal(38,12) (decimal
+    addition is associative, so both engines derive bit-identical
+    centroids regardless of accumulation order) and divided in double.
+    Assignment = argmin of the same left-to-right (a-b)^2 fold, ties →
+    lower cell id; scoring = the shared exact-cosine fold. No fitted
+    constants are embedded — the oracle re-derives the index from the
+    data, so it is valid at any SF."""
+    planes = similarity.rademacher_planes(dim, n_bits, seed)
+
+    def bit(plane: list[int], v: str) -> str:
+        lits = "[" + ",".join(f"CAST({x}.0 AS DOUBLE)" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    def cell(v: str) -> str:
+        expr = bit(planes[0], v)
+        for p in planes[1:]:
+            expr = f"({expr} * 2 + {bit(p, v)})"
+        return expr
+
+    def l2sq(v: str, cv: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> (CAST({v}[k] AS DOUBLE) - {cv}[k]) "
+            f"* (CAST({v}[k] AS DOUBLE) - {cv}[k])))"
+        )
+
+    cos = _sql_cos("qe", "ce", dim)
+    return f"""
+        WITH c0 AS (
+          SELECT vec_id, embedding, {cell('embedding')} AS cell
+          FROM embeddings WHERE vec_id >= 10
+        ),
+        comp AS (
+          SELECT cell, k AS d,
+                 CAST(SUM(CAST(CAST(embedding[k] AS DOUBLE)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM c0, range(1, {dim + 1}) t(k)
+          GROUP BY cell, k
+        ),
+        cent AS (SELECT cell, list(m ORDER BY d) AS cv FROM comp GROUP BY cell),
+        cassign AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT c.vec_id, c.embedding, cent.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {l2sq('c.embedding', 'cent.cv')}, cent.cell
+                   ) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id >= 10) c CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        qprobe AS (
+          SELECT query_id, embedding, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding, cent.cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {l2sq('q.embedding', 'cent.cv')}, cent.cell
+                   ) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10) q CROSS JOIN cent
+          ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 q.embedding AS qe, c.embedding AS ce
+          FROM qprobe q JOIN cassign c USING (cell)
+        )
+        SELECT query_id, neighbor_id, rank, round({cos}, 6) AS cos
+        FROM (SELECT query_id, neighbor_id, qe, ce, row_number() OVER (
+                PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id
+              ) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 @query(
     "ann_topk_ivf",
     tags=("datapipe", "ann", "ivf"),
+    oracle=_sql_ivf_topk(),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5: KMeans coarse quantizer (16 cells), nprobe=4.
-    The ONLY remaining rows-only check in the registry: the centroids
-    come from MLlib KMeans training (iterative, implementation-defined
-    init/convergence), which no SQL oracle can reproduce; recall vs
-    brute force is asserted in tests instead."""
+    """IVF top-5: deterministic coarse quantizer (SRP seed cells + one
+    exact-decimal Lloyd step, ≤16 cells), nprobe=6. Fully oracle-checked
+    — the previous MLlib-KMeans trainer was the registry's last
+    rows-only check AND embedded every centroid as plan literals (plan
+    size grew linearly in n_cells); centroids now travel as Arrow-UDF
+    closure data, and the oracle re-derives the identical index in SQL.
+    Recall vs brute force asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
         emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5

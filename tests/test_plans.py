@@ -300,3 +300,19 @@ def test_cms_sketch_broadcast_estimation(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert count_broadcast_joins(df, plan) >= 4, plan
     assert count_sort_merge_joins(df, plan) == 0, plan
+
+
+def test_ivf_plan_has_no_centroid_literals(spark, sf_dir):
+    """IVF assignment must carry centroids as Arrow-UDF closure data,
+    not as a per-centroid literal expression array — the literal plan
+    grows O(n_cells × dim) and chokes Catalyst at the √n cell counts a
+    100-TB corpus needs. Bounded plan text + ArrowEvalPython prove the
+    data-plane design; no cartesian between the probe and index sides."""
+    df = q("ann_topk_ivf", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # 16 cells × 64 dims × ~20 chars/literal would exceed this bound on
+    # its own; the closure-data plan stays O(1) in n_cells.
+    assert len(plan) < 20_000, f"plan text {len(plan)} chars — literal blowup?"
