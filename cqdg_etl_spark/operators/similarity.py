@@ -463,13 +463,22 @@ def banded_cosine_dup_pairs(
     """
     from cqdg_etl_spark.functions.vectors import l2_norm
 
+    from pyspark import StorageLevel
+
     planes = rademacher_planes(dim, bands * rows_per_band, seed)
+    # Persist the skinny band index: its two self-join sides would each
+    # re-run the Arrow banding pass over the full corpus otherwise (the
+    # differing pushed filters per side make the subtrees non-canonical,
+    # so exchange reuse never fires — same finding as
+    # dedup.minhash_verified_pairs). Measured 1.8 s → 1.3 s at sf0.1;
+    # the index is 3 bigints × bands per vector, far smaller than the
+    # embeddings themselves, and spills to disk at scale.
     skinny = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
             _band_keys_arrow(planes, bands, rows_per_band)(F.col(vec_col))
         ).alias("band_idx", "band_key"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = skinny.alias("a"), skinny.alias("b")
     cand = (
         a.join(
