@@ -61,24 +61,30 @@ def expectation_report(
     """Run all checks → (check, violations, passed), one row per check.
 
     ``ref_checks``: (fk_col, dim_df, key_col) triples; each contributes
-    a broadcast left-anti orphan count.
+    a broadcast left-anti orphan count. Either list may be empty (a
+    referential-integrity-only gate passes checks=[]; df.agg() with no
+    expressions would raise), but not both.
     """
-    agg_row = df.agg(
-        *[c.violations.cast("bigint").alias(c.name) for c in checks]
-    )
-    report = agg_row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c.name).alias("check"),
-                        F.col(c.name).alias("violations"),
-                    )
-                    for c in checks
-                ]
-            )
-        ).alias("r")
-    ).select("r.check", "r.violations")
+    if not checks and not ref_checks:
+        raise ValueError("expectation_report needs at least one check")
+    report = None
+    if checks:
+        agg_row = df.agg(
+            *[c.violations.cast("bigint").alias(c.name) for c in checks]
+        )
+        report = agg_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c.name).alias("check"),
+                            F.col(c.name).alias("violations"),
+                        )
+                        for c in checks
+                    ]
+                )
+            ).alias("r")
+        ).select("r.check", "r.violations")
     for fk, dim, key in ref_checks:
         orphans = (
             df.select(F.col(fk))
@@ -89,7 +95,7 @@ def expectation_report(
                 F.lit(f"{fk}_ri_{key}").alias("check"), "violations"
             )
         )
-        report = report.unionByName(orphans)
+        report = orphans if report is None else report.unionByName(orphans)
     return report.select(
         "check", "violations", (F.col("violations") == 0).alias("passed")
     )

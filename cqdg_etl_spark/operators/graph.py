@@ -57,12 +57,21 @@ def connected_components_auto(
     star_edge_threshold: int = 5_000_000,
     checkpoint: str = "local",
 ) -> DataFrame:
-    """Pick the CC algorithm by edge count (one count() pass, trivial
-    next to any iteration): min-label propagation for small pair graphs
-    (near-clique dup clusters, diameter 2-3 — fewer, cheaper rounds),
-    large/small-star contraction above the threshold — its O(log n)
-    round bound holds for ANY topology, so an unknown 100-TB pair graph
-    can't stall on a long chain the way O(diameter) min-label can."""
+    """Pick the CC algorithm by edge count: min-label propagation for
+    small pair graphs (near-clique dup clusters, diameter 2-3 — fewer,
+    cheaper rounds), large/small-star contraction above the threshold —
+    its O(log n) round bound holds for ANY topology, so an unknown
+    100-TB pair graph can't stall on a long chain the way O(diameter)
+    min-label can.
+
+    The edge frame is materialized (checkpoint/localCheckpoint) BEFORE
+    the count: edges typically arrive as an expensive candidate-pair
+    plan (e.g. the full ngram-Jaccard shingle self-join), and a naive
+    count() would execute that plan once for the dispatch decision and
+    again inside the chosen algorithm — roughly doubling candidate
+    generation. Materializing first pays the scan once; both the count
+    and every CC round read the stored blocks."""
+    edges = _truncate(edges.select(src, dst), checkpoint)
     n_edges = edges.count()
     if n_edges > star_edge_threshold:
         return connected_components_star(edges, src, dst, checkpoint=checkpoint)

@@ -100,8 +100,16 @@ def chunk_documents(
 
     toks = tokens(normalize_ws(F.col(text_col)))
     n = F.size(toks)
+    # least(..., ceil(n/stride)) clamps starts to < n_tokens: with
+    # stride > window the first term over-counts (n=11, window=2,
+    # stride=8 gave a phantom start at 16 with empty text and negative
+    # n_tokens); for stride <= window the first term is always the
+    # smaller one, so overlap behavior is unchanged.
     n_chunks = F.greatest(
-        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int") + F.lit(1),
+        F.least(
+            F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int") + F.lit(1),
+            F.ceil(n / F.lit(stride)).cast("int"),
+        ),
         F.lit(1),
     )
     chunks = F.transform(

@@ -77,8 +77,10 @@ def _repetition_metrics_pandas(
         # Java \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's trim()
         # strips spaces; Python \s/strip() are Unicode-aware. Use the
         # explicit ASCII class + strip(' ') so tokenization matches
-        # functions.text.normalize_ws/tokens (and the DuckDB oracle's
-        # RE2 \s) byte for byte on Unicode-whitespace documents.
+        # functions.text.normalize_ws/tokens and the DuckDB oracle's
+        # SQL_NORM byte for byte — the oracle spells out the same
+        # explicit class, because RE2's \s EXCLUDES \x0B while Java's
+        # includes it (the one byte the two dialects disagree on).
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         def doc_stats(text):

@@ -24,7 +24,12 @@ from cqdg_etl_spark.queries.registry import load, query
 
 # --- SQL fragments mirroring functions/text.py and functions/vectors.py ---
 
-SQL_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+# Explicit ASCII whitespace class, NOT RE2 '\s': Java's \s (the Spark
+# side, functions/text.WHITESPACE_RE) includes vertical tab \x0B while
+# RE2's \s does not — a document containing \v would tokenize
+# differently. The explicit class is the same byte set in both dialects
+# (and in the pandas operators' r"[ \t\n\x0b\f\r]+").
+SQL_NORM = r"trim(regexp_replace(lower({c}), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
 SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
 
 def _sql_shingles(c: str, n: int = 3) -> str:
@@ -994,7 +999,7 @@ def ds_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
         WITH toks AS (
           SELECT source, doc_id,
-                 len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                 len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '))
                    AS n_tokens
           FROM documents
         ), packed AS (

@@ -100,6 +100,44 @@ def test_chunk_documents_overlap_and_remainder(spark):
     assert rows[(2, 0)] == ("", 0)
 
 
+def test_chunk_documents_stride_gt_window_no_phantom(spark):
+    """stride > window (gapped sampling) must not emit a phantom chunk
+    past the end: n=11, window=2, stride=8 yields starts 0 and 8 only —
+    the old formula produced start 16 with empty text and n_tokens=-5."""
+    from cqdg_etl_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(11))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, "text", "doc_id", window=2, stride=8).collect()
+    }
+    assert rows[(1, 0)] == ("t0 t1", 2)
+    assert rows[(1, 1)] == ("t8 t9", 2)
+    assert (1, 2) not in rows
+    assert all(n >= 0 for _, n in rows.values())
+
+
+def test_expectation_report_ref_checks_only(spark):
+    """A referential-integrity-only gate (checks=[]) must work — the
+    empty aggregate used to raise; and both-empty raises a clear error."""
+    import pytest
+
+    from cqdg_etl_spark.operators import expectations as ex
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], ["k", "fk"])
+    dim = spark.createDataFrame([(10,), (20,)], ["pk"])
+    rep = {
+        r.check: (r.violations, r.passed)
+        for r in ex.expectation_report(
+            fact, [], ref_checks=[("fk", dim, "pk")]
+        ).collect()
+    }
+    assert rep == {"fk_ri_pk": (1, False)}
+    with pytest.raises(ValueError, match="at least one check"):
+        ex.expectation_report(fact, [], ref_checks=[])
+
+
 def test_udtf_sentence_split_renumbering(spark):
     """UDTF lateral join: multi-sentence docs renumber after blank
     filtering; parent columns survive without a join node."""
