@@ -32,30 +32,48 @@ from cqdg_etl_spark.queries.ops import _arr_str
 from cqdg_etl_spark.queries.registry import load, query
 
 
+# Fixture stage dir, created once per process and removed at exit —
+# every invocation used to mkdtemp a fresh copy, so repeated driver /
+# bench runs accumulated temp dirs for the life of the machine.
+_E2E_STAGE: str | None = None
+
+
+def _staged_fixtures() -> str:
+    global _E2E_STAGE
+    if _E2E_STAGE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from cqdg_etl_spark.pipeline.fixtures import (
+            write_clinical_fixtures,
+            write_dictionary,
+            write_ontology_fixtures,
+        )
+
+        root = tempfile.mkdtemp(prefix="cqdg_e2e_")
+        write_clinical_fixtures(f"{root}/raw")
+        write_ontology_fixtures(f"{root}/ontology")
+        write_dictionary(f"{root}/dictionary.json")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _E2E_STAGE = root
+    return _E2E_STAGE
+
+
 def _clinical_e2e_frames(spark: SparkSession):
     """Run the full reference pipeline (pre-process → process) on the
     package's deterministic clinical fixtures in a temp dir, returning
     the three index DataFrames (reference: PreProcessETL.scala:24-92 +
     ProcessETL.scala:62-130)."""
-    import tempfile
-
     from cqdg_etl_spark.pipeline.clients import (
         DeterministicIdResolver,
         FixtureDictionary,
         RecordingKeycloak,
     )
     from cqdg_etl_spark.pipeline.etl import ProcessETL
-    from cqdg_etl_spark.pipeline.fixtures import (
-        write_clinical_fixtures,
-        write_dictionary,
-        write_ontology_fixtures,
-    )
     from cqdg_etl_spark.pipeline.preprocess import PreProcessETL
 
-    root = tempfile.mkdtemp(prefix="cqdg_e2e_")
-    write_clinical_fixtures(f"{root}/raw")
-    write_ontology_fixtures(f"{root}/ontology")
-    write_dictionary(f"{root}/dictionary.json")
+    root = _staged_fixtures()
     PreProcessETL(
         spark,
         FixtureDictionary(f"{root}/dictionary.json"),
