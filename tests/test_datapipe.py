@@ -640,3 +640,34 @@ def test_png_header_parse_rejects_non_png(spark):
     df = spark.createDataFrame([(1, b"GIF89a junk")], "doc_id long, b binary")
     row = df.select(png_dimensions(F.col("b")).alias("d")).collect()[0]
     assert row.d is None
+
+
+def test_dedup_adversarial_hot_shingle_and_giant_cluster(spark):
+    """Scale-stress for the dedup suite: (a) a boilerplate shingle
+    shared by 1200 docs must not create a quadratic bucket (~719k
+    pairs) when max_df caps it; (b) a 400-doc IDENTICAL cluster — whose
+    shingles exceed max_df by construction — is the EXACT-dedup layer's
+    job, documenting the intended division of labor at corpus scale:
+    fingerprint groupBy catches identical docs first, the n-gram pass
+    only handles near-duplicates whose shingles are rare."""
+    boiler = "click here to subscribe to our newsletter today"
+    data = [
+        (i, f"{boiler} article {i} body text segment {i % 7} tail {i}")
+        for i in range(1200)
+    ]
+    dup_text = "the quick brown fox jumps over the lazy dog again"
+    data += [(10_000 + i, dup_text) for i in range(400)]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_df=100
+    ).collect()
+    # Bounded output: no boilerplate-bucket blowup (the uncapped run
+    # would emit hundreds of thousands of pairs), and the suppressed
+    # giant cluster contributes none — its shingles all have df=400.
+    assert len(pairs) == 0, f"{len(pairs)} pairs leaked through max_df"
+
+    # The giant cluster IS caught — by the exact layer.
+    groups = dedup.exact_duplicates(df, "text", "doc_id").collect()
+    giant = [g for g in groups if g.n_docs == 400]
+    assert len(giant) == 1 and giant[0].keep_id == 10_000
