@@ -239,6 +239,12 @@ class HttpKeycloak:
     (name, type, scope) triple the reference registers. Returns the
     count of successfully created resources; 409 (already exists) counts
     as success so re-runs are idempotent.
+
+    Registration fans out over a BOUNDED thread pool, matching the
+    reference's ``Future.traverse`` over its cached executor
+    (processes/processes.scala:12-16) — per-resource POSTs are
+    independent, so latency is pool-parallel while ``max_workers`` caps
+    the concurrent load on the Keycloak server.
     """
 
     def __init__(
@@ -249,6 +255,7 @@ class HttpKeycloak:
         secret: str,
         enabled: bool = True,
         http: RetryingHttp | None = None,
+        max_workers: int = 8,
     ):
         self.base = auth_server_url.rstrip("/")
         self.realm = realm
@@ -256,6 +263,7 @@ class HttpKeycloak:
         self.secret = secret
         self.enabled = enabled
         self.http = http or RetryingHttp()
+        self.max_workers = max_workers
 
     def is_enabled(self) -> bool:
         return self.enabled
@@ -277,26 +285,33 @@ class HttpKeycloak:
             raise RuntimeError(f"Keycloak token request failed ({status}).\n{text}")
         return json.loads(text)["access_token"]
 
+    def _create_one(self, url: str, token: str, rid: str) -> None:
+        body = json.dumps(
+            {
+                "name": rid,
+                "type": "file",
+                "ownerManagedAccess": True,
+                "resource_scopes": ["read"],
+            }
+        )
+        status, text = self.http.request(
+            "POST", url, auth=f"Bearer {token}", body=body
+        )
+        if status not in (200, 201, 409):
+            raise RuntimeError(
+                f"Keycloak resource_set POST for {rid} failed ({status}).\n{text}"
+            )
+
     def create_resources(self, ids: set[str]) -> int:
+        from concurrent.futures import ThreadPoolExecutor
+
         token = self._token()
         url = f"{self.base}/realms/{self.realm}/authz/protection/resource_set"
-        created = 0
-        for rid in sorted(ids):
-            body = json.dumps(
-                {
-                    "name": rid,
-                    "type": "file",
-                    "ownerManagedAccess": True,
-                    "resource_scopes": ["read"],
-                }
-            )
-            status, text = self.http.request(
-                "POST", url, auth=f"Bearer {token}", body=body
-            )
-            if status in (200, 201, 409):
-                created += 1
-            else:
-                raise RuntimeError(
-                    f"Keycloak resource_set POST for {rid} failed ({status}).\n{text}"
-                )
-        return created
+        rids = sorted(ids)
+        if not rids:
+            return 0
+        workers = min(self.max_workers, len(rids))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # list() propagates the first failure, like Future.traverse
+            list(pool.map(lambda rid: self._create_one(url, token, rid), rids))
+        return len(rids)

@@ -177,3 +177,35 @@ def test_keycloak_raises_on_resource_failure():
     kc = HttpKeycloak("http://kc:8080", "R", "c", "s", http=_http(t))
     with pytest.raises(RuntimeError, match="resource_set"):
         kc.create_resources({"file_1"})
+
+
+def test_keycloak_registration_fans_out_concurrently():
+    """Parity with the reference's Future.traverse fan-out
+    (processes/processes.scala:12-16): resource POSTs run on a bounded
+    pool. A 2-party barrier inside the transport only releases when two
+    POSTs are in flight simultaneously — a sequential client deadlocks
+    (and trips the barrier timeout) here."""
+    import threading
+
+    token_body = json.dumps({"access_token": "tok123"})
+    barrier = threading.Barrier(2, timeout=10)
+
+    class BarrierTransport:
+        def __init__(self):
+            self.requests = []
+            self.lock = threading.Lock()
+
+        def request(self, method, url, headers, body, timeout):
+            with self.lock:
+                self.requests.append((method, url, headers, body))
+            if url.endswith("/resource_set"):
+                barrier.wait()  # needs a concurrent partner to pass
+                return (201, "{}")
+            return (200, token_body)
+
+    t = BarrierTransport()
+    kc = HttpKeycloak(
+        "http://kc:8080", "R", "c", "s", http=_http(t), max_workers=2
+    )
+    assert kc.create_resources({"file_1", "file_2"}) == 2
+    assert len(t.requests) == 3  # 1 token + 2 parallel resource POSTs
