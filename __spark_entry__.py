@@ -42,6 +42,13 @@ _FRONT = [
     "emb_quantize_int8",
     # -- changed since its last driver row --------------------------
     "q9_profit_by_nation_year",
+    # -- new in round 3 (never driver-verified) ---------------------
+    "dd_semantic_prune",
+    "ds_mixture_weighted_sample",
+    "tx_bigram_lm_score",
+    "ev_json_props",
+    "dd_span_dedup",
+    "ev_stream_left_outer_join",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",

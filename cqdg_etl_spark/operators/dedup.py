@@ -475,3 +475,59 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-level repeated-span suppression — the span-removal analog
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): break each document into DISJOINT ``span_tokens``-
+    token spans, keep only the globally FIRST occurrence of each
+    distinct span (first = smallest (doc, span_idx) position), and
+    report per-document survival → (id, n_spans, n_kept,
+    n_tokens_kept).
+
+    Unlike document-level dedup, this removes boilerplate that repeats
+    INSIDE otherwise-unique documents (headers, license blocks,
+    navigation chrome) — the paper found ~1% of tokens in C4 are
+    exact repeated spans.
+
+    Scale shape: spans are a zero-shuffle projection (packing.
+    chunk_documents with stride = window); first-occurrence resolution
+    is ONE map-side-combined groupBy on the span hash — an aggregation,
+    deliberately not a window over the hash, so a hot span (the same
+    header in 10M docs) partial-aggregates on every mapper instead of
+    landing on one reducer; the join back on the hash is the only wide
+    exchange, and the per-doc rollup reuses the doc key. Position keys
+    pack (doc_id, span_idx) into one bigint (span_idx < 2^20 ⇒ docs to
+    2^43) so min() needs no struct ordering.
+    """
+    from cqdg_etl_spark.operators.packing import chunk_documents
+
+    spans = chunk_documents(
+        df, text_col, id_col, window=span_tokens, stride=span_tokens
+    )
+    keyed = spans.select(
+        F.col(id_col).alias("doc"),
+        "n_tokens",
+        F.md5("chunk_text").alias("h"),
+        (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("chunk_idx"))
+        .alias("pos_key"),
+    )
+    firsts = keyed.groupBy("h").agg(F.min("pos_key").alias("first_key"))
+    flagged = keyed.join(firsts, "h").withColumn(
+        "kept", F.col("pos_key") == F.col("first_key")
+    )
+    return flagged.groupBy("doc").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("n_tokens_kept"),
+    ).select(
+        F.col("doc").alias(id_col), "n_spans", "n_kept", "n_tokens_kept"
+    )

@@ -1,0 +1,93 @@
+"""Corpus-trained n-gram language-model scoring — quality signal for
+training-data curation (the CCNet/Gopher "perplexity bucket" idea,
+here with the LM trained on the corpus itself so no external model
+file is needed).
+
+Formulation: add-one-smoothed bigram conditional probabilities
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+and a per-document score = MEAN conditional probability over the
+document's bigrams. The classic score is mean log-prob, but log() is a
+transcendental whose low bits are libm-implementation-defined — not
+reproducible across engines — while this ratio-of-counts form is a
+single correctly-rounded IEEE division per bigram, so any engine
+derives bit-identical scores (the ranking is monotone-equivalent for
+filtering "most-predictable / least-predictable" tails; callers who
+want log-space can take log of the per-bigram column downstream and
+accept engine variance there).
+
+Scale shape: the bigram frame (doc, w1, w2) is the corpus token stream
+— built per-row from the token array (no per-doc window/shuffle).
+Counts: one shuffle for c(w1,w2) (map-side combined); c(w1 ·) is the
+marginal SUM over the already-aggregated bigram counts (vocabulary-
+sized input, not corpus-sized). Vocabulary size is one scalar
+countDistinct, broadcast back. Scoring joins the token stream to the
+count tables on their keys — shuffle hash joins; natural-language
+token frequencies are Zipfian, so at fleet scale the hot-prefix join
+is the salting candidate (operators/skew.py) — and re-aggregates per
+doc. Per-doc mean accumulates in exact decimal so partitioning can't
+reorder a double sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) multiset — one row per adjacent token pair."""
+    toks = tokens(normalize_ws(F.col(text_col)))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("g")
+    ).select("doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score each document by mean smoothed bigram conditional
+    probability under the corpus-trained LM → (id, n_bigrams,
+    mean_condp). Documents with fewer than two tokens have no bigrams
+    and are omitted (no LM evidence either way)."""
+    big = _bigrams(df, text_col, id_col)
+    bigram_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # marginal from the aggregated counts: vocabulary-sized input
+    prefix_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(normalize_ws(F.col(text_col)))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    scored = (
+        big.join(bigram_counts, ["w1", "w2"])
+        .join(prefix_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            (
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("vocab")).cast("double")
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_condp"),
+    ).select(F.col("doc").alias(id_col), "n_bigrams", "mean_condp")

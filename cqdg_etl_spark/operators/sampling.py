@@ -81,3 +81,60 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def mixture_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: Mapping[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample the LARGEST corpus whose domain mixture matches ``weights``
+    (target proportions per domain value, e.g. language or source mix
+    for a training run). Domains absent from ``weights`` are dropped.
+
+    Derivation: each domain d with n_d rows caps the feasible total at
+    floor(n_d / w_d); the binding constraint N = min_d of those caps;
+    per-domain keep-rate = N·w_d / n_d. Membership is then the usual
+    deterministic md5-bucket test, so the sample is reproducible on any
+    engine and stable under repartitioning — and nested: lowering N
+    keeps a subset of the same rows per domain.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus for
+    the domain counts; the per-domain threshold table (|domains| rows)
+    is derived from it and broadcast back; membership is a per-row
+    projection+filter in the scan stage. All float arithmetic is a
+    fixed left-to-right expression both engines evaluate identically
+    (each IEEE op correctly rounded), and thresholds go through an
+    explicit floor() so no engine-specific double→int rounding is
+    involved.
+    """
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("n_domain"))
+        .withColumn("w", w_map[F.col(domain_col)])
+        .filter(F.col("w").isNotNull())
+    )
+    n_target = counts.agg(
+        F.min(
+            F.floor(F.col("n_domain").cast("double") / F.col("w"))
+        ).alias("n_target")
+    )
+    thresholds = counts.crossJoin(F.broadcast(n_target)).select(
+        F.col(domain_col),
+        F.col("n_domain"),
+        F.floor(
+            F.col("n_target").cast("double")
+            * F.col("w")
+            / F.col("n_domain").cast("double")
+            * F.lit(float(_BUCKETS))
+        ).alias("thr"),
+    )
+    bucket = hash_bucket(F.col(id_col), salt)
+    return df.join(F.broadcast(thresholds), domain_col).filter(
+        bucket < F.col("thr")
+    )

@@ -1,0 +1,294 @@
+"""Round-3 training-data queries: semantic dedup (SemDeDup), mixture-
+weighted sampling, corpus-trained bigram-LM scoring, and typed JSON
+extraction from semi-structured event payloads.
+
+Oracle notes follow the package convention: every float expression is
+a fixed left-to-right chain of correctly-rounded IEEE ops shared with
+the SQL text, sums accumulate in exact decimal, thresholds go through
+explicit floor() — so DuckDB re-derives bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cqdg_etl_spark.operators import similarity
+from cqdg_etl_spark.queries.datapipe import SQL_TOKS, _sql_cos
+from cqdg_etl_spark.queries.registry import load, query
+
+# ------------------------------------------------- semantic dedup
+
+_SEM_BITS = 4
+_SEM_TAU = 0.4
+_DIM = 64
+
+
+def _sql_semantic_prune(
+    tau: float, dim: int = _DIM, n_bits: int = _SEM_BITS, seed: int = 42
+) -> str:
+    """Mirrors operators/similarity.semantic_dedup end to end, training
+    included — same deterministic quantizer recipe as the ann_topk_ivf
+    oracle (SRP seed cells from shared ±1 literals, exact-decimal
+    Lloyd-step means, argmin assignment with ties → lower cell id)."""
+    planes = similarity.rademacher_planes(dim, n_bits, seed)
+
+    def bit(plane: list[int], v: str) -> str:
+        lits = "[" + ",".join(f"CAST({x}.0 AS DOUBLE)" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    cell = bit(planes[0], "embedding")
+    for p in planes[1:]:
+        cell = f"({cell} * 2 + {bit(p, 'embedding')})"
+
+    def l2sq(v: str, cv: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> (CAST({v}[k] AS DOUBLE) - {cv}[k]) "
+            f"* (CAST({v}[k] AS DOUBLE) - {cv}[k])))"
+        )
+
+    cos = _sql_cos("a.embedding", "b.embedding", dim)
+    return f"""
+        WITH c0 AS (
+          SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+        ),
+        comp AS (
+          SELECT cell, k AS d,
+                 CAST(SUM(CAST(CAST(embedding[k] AS DOUBLE)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM c0, range(1, {dim + 1}) t(k)
+          GROUP BY cell, k
+        ),
+        cent AS (SELECT cell, list(m ORDER BY d) AS cv FROM comp GROUP BY cell),
+        cassign AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT c.vec_id, c.embedding, cent.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {l2sq('c.embedding', 'cent.cv')}, cent.cell
+                   ) AS rn
+            FROM c0 c CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        pr AS (
+          SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+          FROM cassign a JOIN cassign b USING (cell)
+          WHERE a.vec_id < b.vec_id AND {cos} >= {tau!r}
+          GROUP BY b.vec_id
+        )
+        SELECT c.vec_id, c.cell,
+               coalesce(pr.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+        FROM cassign c LEFT JOIN pr USING (vec_id)
+    """
+
+
+@query(
+    "dd_semantic_prune",
+    bench=True,
+    tags=("datapipe", "dedup", "vector", "semdedup"),
+    oracle=_sql_semantic_prune(_SEM_TAU),
+)
+def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): IVF-cell
+    clustering confines the quadratic cosine compare to ~√n-sized
+    cells; within a cell, keep-lowest-id prunes near-duplicates with
+    cos ≥ 0.4. One row per vector with its cell and dup_of (-1 = kept).
+    Fully oracle-checked, training included."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=_SEM_TAU, n_bits=_SEM_BITS)
+
+
+# --------------------------------------- mixture-weighted sampling
+
+_MIX_W = {"en": 0.4, "fr": 0.15, "es": 0.15, "de": 0.15, "zh": 0.15}
+
+
+def _sql_mixture_sample(weights: dict[str, float], salt: str = "mix") -> str:
+    vals = ", ".join(
+        f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in weights.items()
+    )
+    return f"""
+        WITH counts AS (
+          SELECT lang, count(*) AS n_domain FROM documents GROUP BY lang
+        ),
+        w AS (SELECT * FROM (VALUES {vals}) t(lang, w)),
+        cw AS (SELECT c.lang, c.n_domain, w.w FROM counts c JOIN w USING (lang)),
+        nt AS (
+          SELECT min(CAST(floor(CAST(n_domain AS DOUBLE) / w) AS BIGINT))
+                 AS n_target
+          FROM cw
+        ),
+        r AS (
+          SELECT lang, n_domain,
+                 CAST(floor(CAST(n_target AS DOUBLE) * w
+                            / CAST(n_domain AS DOUBLE)
+                            * 4294967296.0) AS BIGINT) AS thr
+          FROM cw, nt
+        )
+        SELECT d.lang, r.n_domain, count(*) AS n_sampled
+        FROM documents d JOIN r USING (lang)
+        WHERE CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) < r.thr
+        GROUP BY d.lang, r.n_domain
+    """
+
+
+@query(
+    "ds_mixture_weighted_sample",
+    tags=("datapipe", "sampling", "mixture"),
+    oracle=_sql_mixture_sample(_MIX_W),
+)
+def ds_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest deterministic sample matching a target language mixture
+    (en 40% / fr,es,de,zh 15% each): per-domain keep-rates derived from
+    the binding domain's cap, membership by md5 bucket. Counts per
+    lang; exact-assignment parity with the oracle."""
+    from cqdg_etl_spark.operators.sampling import mixture_weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        mixture_weighted_sample(docs, "doc_id", "lang", _MIX_W)
+        .groupBy("lang", "n_domain")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+@query(
+    "tx_bigram_lm_score",
+    bench=True,
+    tags=("datapipe", "text", "lm", "quality"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents
+        ),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+                 unnest(list_slice(t, 2, len(t))) AS w2
+          FROM toks WHERE len(t) >= 2
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        pc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+        v AS (
+          SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(t) AS tok FROM toks)
+        ),
+        scored AS (
+          SELECT big.doc_id,
+                 CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE) AS p
+          FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+                     / count(*), 6) AS mean_condp
+        FROM scored GROUP BY doc_id
+    """,
+)
+def tx_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM: per-document mean conditional
+    probability (engine-exact ratio-of-counts form — see operators/lm.py
+    for why not log-space). Low scores = surprising/low-quality text."""
+    from cqdg_etl_spark.operators.lm import bigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "text", "doc_id")
+
+
+# --------------------------------------- semi-structured extraction
+
+
+@query(
+    "ev_json_props",
+    tags=("events", "json"),
+    oracle="""
+        SELECT event_type,
+               count(k) AS n,
+               CAST(sum(k) AS BIGINT) AS k_sum,
+               min(k) AS k_min,
+               max(k) AS k_max
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        GROUP BY event_type
+    """,
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON payload
+    (``from_json`` with an explicit schema — the parse happens once in
+    the scan projection, stays whole-stage-codegen, and malformed JSON
+    degrades to NULL on both engines) + per-type aggregate."""
+    ev = load(spark, sf_dir, "events")
+    j = F.from_json(
+        F.col("props"), T.StructType([T.StructField("k", T.LongType())])
+    )
+    return (
+        ev.select("event_type", j["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+# --------------------------------------------- repeated-span dedup
+
+_SPAN_W = 8
+
+
+@query(
+    "dd_span_dedup",
+    bench=True,
+    tags=("datapipe", "dedup", "span"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS toks FROM documents
+        ), e AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(CAST(ceil(len(toks) / {_SPAN_W}.0)
+                                               AS INT), 1) + 1)) AS i
+          FROM t
+        ), spans AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   list_slice(toks, (i - 1) * {_SPAN_W} + 1,
+                              (i - 1) * {_SPAN_W} + {_SPAN_W}), ' ')) AS h,
+                 least(len(toks) - (i - 1) * {_SPAN_W}, {_SPAN_W}) AS n_tokens,
+                 doc_id * {1 << 20} + (i - 1) AS pos_key
+          FROM e
+        ), firsts AS (
+          SELECT h, min(pos_key) AS first_key FROM spans GROUP BY h
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN pos_key = first_key THEN n_tokens
+                             ELSE 0 END) AS BIGINT) AS n_tokens_kept
+        FROM spans JOIN firsts USING (h)
+        GROUP BY doc_id
+    """.format(toks=SQL_TOKS.format(c="text")),
+)
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span suppression (Lee et al. 2022 analog): disjoint
+    8-token spans, global first occurrence kept, per-doc survival
+    stats. First-occurrence resolution is a map-side-combined hash
+    aggregate (hot spans never converge on one reducer)."""
+    from cqdg_etl_spark.operators.dedup import span_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return span_dedup(docs, "text", "doc_id", span_tokens=_SPAN_W)

@@ -300,3 +300,68 @@ def ev_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "ev_stream_left_outer_join",
+    tags=("streaming", "stream-stream-join", "outer"),
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               coalesce(v.event_id, CAST(-1 AS BIGINT)) AS view_id,
+               CAST(coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS BIGINT)
+                 AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def ev_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    purchase with its preceding-hour views, or a null-side row when no
+    view matched. The outer (null-emitting) path is the stateful part
+    append-mode can only resolve once the watermark passes the join
+    window — unmatched left rows wait in state and flush when late
+    views are provably impossible. Unmatched markers surface as -1 (the
+    oracle's batch LEFT JOIN does the same) so the nullable side stays
+    BIGINT on both engines. State eviction bounds match the inner
+    variant: watermark 2 h + 1 h condition window."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.streaming import read_event_stream_with_flush
+
+    # Watermark BEFORE the event-type filter: the far-future sentinel
+    # rows must flow through the watermark node to advance it (a
+    # post-filter watermark would never see them and the outer state
+    # would sit unflushed — exactly the bug this source exists to
+    # avoid). The alias keeps the event-time metadata.
+    ev = read_event_stream_with_flush(
+        spark, sf_dir, sentinel_types=("purchase", "view")
+    ).withWatermark("ts", "2 hours")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        F.coalesce(F.col("view_id"), F.lit(-1).cast("long")).alias("view_id"),
+        F.coalesce(
+            F.unix_micros("p_ts") - F.unix_micros("v_ts"),
+            F.lit(-1).cast("long"),
+        ).alias("gap_us"),
+    ).filter(F.col("purchase_id") >= 0)  # drop the flush sentinels
+    return _drain(joined, "ev_stream_lojoin", "append", spark)

@@ -63,6 +63,31 @@ def read_json_literal(spark: SparkSession, json_str: str) -> DataFrame:
     return spark.read.json(spark.sparkContext.parallelize([json_str]))
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (ORC
+    carries stripe-level min/max + bloom indexes; Spark's vectorized
+    ORC reader applies predicate pushdown and column pruning)."""
+    return spark.read.orc(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """General CSV scan with an EXPLICIT schema (typed columns, single
+    pass). ``inferSchema`` is deliberately not exposed: at 100 TB,
+    inference reads the whole input once before the real scan —
+    callers must declare the schema (the all-string reference-parity
+    shape lives in ``read_tsv``)."""
+    reader = spark.read.options(sep=sep, header=header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the harness testdata tables from an sf directory."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

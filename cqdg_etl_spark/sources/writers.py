@@ -39,6 +39,24 @@ def write_single_tsv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """ORC sink (zlib default) — columnar alternative where the reading
+    stack is Hive/ORC-native; same partitioned-layout contract as the
+    parquet sink."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", header: bool = True
+) -> None:
+    """Parallel CSV sink (one file per partition — unlike the
+    single-file human-facing ``write_single_tsv``)."""
+    df.write.mode("overwrite").options(sep=sep, header=header).csv(path)
+
+
 def write_range_sorted_parquet(
     df: DataFrame,
     path: str,

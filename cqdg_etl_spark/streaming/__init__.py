@@ -11,7 +11,10 @@ from cqdg_etl_spark.streaming.dedup_stream import (
     first_occurrence_stream,
     first_occurrence_within_watermark,
 )
-from cqdg_etl_spark.streaming.sources import read_event_stream
+from cqdg_etl_spark.streaming.sources import (
+    read_event_stream,
+    read_event_stream_with_flush,
+)
 from cqdg_etl_spark.streaming.stateful import running_user_totals
 from cqdg_etl_spark.streaming.windowed import (
     session_windows,
@@ -23,6 +26,7 @@ __all__ = [
     "first_occurrence_stream",
     "first_occurrence_within_watermark",
     "read_event_stream",
+    "read_event_stream_with_flush",
     "running_user_totals",
     "session_windows",
     "session_windows_batch",

@@ -1,0 +1,175 @@
+"""Behavioral tests for the round-3 operators: semantic dedup,
+mixture-weighted sampling, bigram-LM scoring, JSON props extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators.lm import bigram_lm_scores
+from cqdg_etl_spark.operators.sampling import (
+    hash_bucket,
+    mixture_weighted_sample,
+)
+from cqdg_etl_spark.operators.similarity import (
+    cosine_dup_pairs,
+    semantic_dedup,
+)
+
+
+# ------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_identical_vectors_pruned(spark):
+    """Exact duplicate vectors always share a cell → higher id pruned
+    to the lowest id; distinct directions survive."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # dup of 1
+        (3, [2.0, 0.0, 0.0, 0.0]),  # colinear with 1 → cos = 1
+        (4, [0.0, 1.0, 0.0, 0.0]),  # orthogonal — kept
+        (5, [0.0, -1.0, 0.0, 0.0]),  # anti-parallel to 4 — kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(df, threshold=0.99, n_bits=2, seed=7).collect()
+    }
+    assert out[1] == -1
+    assert out[2] == 1
+    assert out[3] == 1
+    assert out[4] == -1
+    assert out[5] == -1
+
+
+def test_semantic_dedup_subset_of_exact_pairs(spark, sf_dir):
+    """Every pruned vector must have an exact-cosine duplicate pair
+    with its dup_of — cell confinement can lower recall, never add
+    false positives."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pruned = {
+        (r["dup_of"], r["vec_id"])
+        for r in semantic_dedup(emb, threshold=0.4).collect()
+        if r["dup_of"] >= 0
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert pruned <= exact
+    # keep-lowest-id: dup_of is always smaller than the pruned id
+    assert all(a < b for a, b in pruned)
+
+
+# ------------------------------------- mixture-weighted sampling
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 0.5, "fr": 0.25, "es": 0.25}
+    out = mixture_weighted_sample(docs, "doc_id", "lang", weights)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= set(weights)  # unweighted domains dropped
+    total = sum(counts.values())
+    for lang, w in weights.items():
+        # md5 buckets are uniform; binomial noise at n≈50 per stratum
+        assert abs(counts.get(lang, 0) / total - w) < 0.15
+
+
+def test_mixture_sample_deterministic_and_nested(spark, sf_dir):
+    """Same salt → identical membership across invocations; the
+    binding domain keeps (nearly) everything."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 0.4, "fr": 0.6}
+    ids1 = {
+        r["doc_id"]
+        for r in mixture_weighted_sample(docs, "doc_id", "lang", weights)
+        .select("doc_id")
+        .collect()
+    }
+    ids2 = {
+        r["doc_id"]
+        for r in mixture_weighted_sample(
+            docs.repartition(7), "doc_id", "lang", weights
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2  # partitioning-invariant
+
+
+# --------------------------------------------- bigram LM scoring
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Tiny corpus checked by hand.
+
+    Corpus: doc1 = "a b", doc2 = "a b", doc3 = "a c".
+    Bigrams: (a,b)×2, (a,c)×1; prefix a → c1 = 3; vocab V = 3.
+    p(b|a) = (2+1)/(3+3) = 0.5; p(c|a) = (1+1)/(3+3) = 1/3.
+    """
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_condp"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert out[1] == (1, 0.5)
+    assert out[2] == (1, 0.5)
+    assert out[3] == (1, round(1 / 3, 6))
+
+
+def test_bigram_lm_short_docs_omitted(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = bigram_lm_scores(df).collect()
+    assert {r["doc_id"] for r in out} == {3}
+
+
+def test_hash_bucket_uniformity(spark, sf_dir):
+    """Mixture sampling relies on bucket uniformity — mean of the
+    bucket column over the docs ids should sit near 2^31."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mean = docs.select(
+        F.avg(hash_bucket(F.col("doc_id"), "mix")).alias("m")
+    ).first()["m"]
+    assert abs(mean / 2**31 - 1.0) < 0.1
+
+
+# --------------------------------------------- repeated-span dedup
+
+
+def test_span_dedup_boilerplate_suppressed(spark):
+    """A license header repeated across docs survives only in the
+    earliest doc; unique content is always kept."""
+    from cqdg_etl_spark.operators.dedup import span_dedup
+
+    header = "h1 h2 h3 h4"  # one 4-token span
+    rows = [
+        (1, header + " a b c d"),
+        (2, header + " e f g h"),
+        (3, "i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["n_tokens_kept"])
+        for r in span_dedup(df, "text", "doc_id", span_tokens=4).collect()
+    }
+    assert out[1] == (2, 2, 8)  # first occurrence keeps everything
+    assert out[2] == (2, 1, 4)  # header span dropped, unique span kept
+    assert out[3] == (2, 2, 8)
+
+
+def test_span_dedup_within_doc_repeats(spark):
+    from cqdg_etl_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(7, "x y x y")], "doc_id long, text string"
+    )
+    out = span_dedup(df, "text", "doc_id", span_tokens=2).collect()[0]
+    assert (out["n_spans"], out["n_kept"]) == (2, 1)

@@ -316,3 +316,25 @@ def test_ivf_plan_has_no_centroid_literals(spark, sf_dir):
     # 16 cells × 64 dims × ~20 chars/literal would exceed this bound on
     # its own; the closure-data plan stays O(1) in n_cells.
     assert len(plan) < 20_000, f"plan text {len(plan)} chars — literal blowup?"
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """SemDeDup's within-cell compare must be an equi-join on cell
+    (hash/sort-merge over the persisted assignment frame) — never a
+    cartesian over vectors; dots are Arrow-vectorized."""
+    df = q("dd_semantic_prune", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # one assignment pass, 3 uses
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mixture_sample_scan_stage_membership(spark, sf_dir):
+    """Mixture sampling = one agg over the corpus + a broadcast of the
+    |domains|-row threshold table; membership must not shuffle the
+    corpus (no exchange on the fact side beyond the count agg)."""
+    df = q("ds_mixture_weighted_sample", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
