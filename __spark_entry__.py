@@ -49,6 +49,8 @@ _FRONT = [
     "ev_json_props",
     "dd_span_dedup",
     "ev_stream_left_outer_join",
+    "graph_pagerank_coparts",
+    "dd_fuzzy_name_pairs",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",

@@ -531,3 +531,69 @@ def span_dedup(
     ).select(
         F.col("doc").alias(id_col), "n_spans", "n_kept", "n_tokens_kept"
     )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy record linkage: pairs of rows whose ``key_col`` strings
+    are within Levenshtein distance ``max_dist`` — via SymSpell-style
+    DELETION-NEIGHBORHOOD blocking (Garbe's symmetric delete): each
+    string is indexed under itself plus every single-character
+    deletion; two strings within edit distance 1 (one substitution,
+    insertion, or deletion) always share at least one index key, so
+    recall is EXACT for max_dist=1 — not a heuristic block. Candidates
+    are then verified with the real ``levenshtein`` (a guard, and what
+    bounds false positives from shared deletes).
+
+    Only max_dist=1 is supported: the k-deletion neighborhood for k≥2
+    grows O(len^k) keys per string; at that point the right tool is
+    the q-gram count filter, and the verify step stays the same.
+
+    Scale shape: mirrors the banded near-dup family — a SKINNY
+    (id, variant) inverted index self-joins on the variant equi-key
+    (shuffle hash join, never a cartesian), candidate id pairs are
+    distinct-ed BEFORE the strings are re-fetched for the verify, and
+    the per-key bucket size is bounded by the true near-duplicate
+    cluster size (a delete key only collides for strings within
+    distance 1 of each other). Index size is len(s)+1 rows per input
+    row — the same O(tokens) blow-up every shingle index pays.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking supports max_dist=1")
+    base = df.select(F.col(id_col).alias("fid"), F.col(key_col).alias("s"))
+    idx = base.select(
+        "fid",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, length(s)), "
+                "i -> concat(substring(s, 1, i-1), "
+                "substring(s, i+1, length(s)))), s)"
+            )
+        ).alias("v"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.fid") < F.col("b.fid")),
+        )
+        .select(F.col("a.fid").alias("id_a"), F.col("b.fid").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("fid").alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("fid").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("sa", "sb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

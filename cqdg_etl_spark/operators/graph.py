@@ -217,3 +217,96 @@ def connected_components_star(
         )
         .distinct()
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node,
+    rank_rel) where rank_rel = rank × N (so a uniform graph scores 1.0
+    per node regardless of size).
+
+    Deterministic and engine-portable by construction, like the rest of
+    the iterative family: per-target contribution sums accumulate in
+    exact DECIMAL(38,18) (double summation is partitioning-order-
+    dependent; decimal addition is associative), and the damping update
+    ``d/N + damping·Σ`` is the same left-to-right chain of correctly-
+    rounded IEEE ops the SQL oracle evaluates — so a fixed iteration
+    count yields bit-identical ranks on any engine. Callers supply a
+    symmetric edge list when they mean an undirected graph; nodes with
+    no out-edges (dangling) contribute nothing (the classic
+    simplification — callers who need mass conservation add the
+    dangling term upstream).
+
+    Scale shape (the Pregel plan): the adjacency (src, dst, out_deg)
+    frame is built once — one groupBy for degrees, one join — and
+    persisted; each iteration is join(ranks) on src + groupBy dst with
+    map-side partial decimal sums: exactly 2 shuffles per round, both
+    keyed on node ids. Rank frames are lineage-truncated per round
+    (local/reliable checkpoint, same contract as connected_components)
+    so the plan doesn't deepen, and the previous round's persist is
+    released. No driver collect anywhere — N rides along as a
+    broadcast 1-row frame.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    adj = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_row = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    # NOTE: 1 - 0.85 in IEEE double is 0.15000000000000002, not 0.15 —
+    # the oracle must embed repr(1 - damping) verbatim or ranks drift
+    # in the last ulp and the value hash flips.
+    teleport = 1.0 - damping
+    ranks = _truncate(
+        nodes.crossJoin(n_row).select(
+            "node",
+            (F.lit(1.0) / F.col("n").cast("double")).alias("rank"),
+            "n",
+        ),
+        checkpoint,
+    )
+    for _ in range(iterations):
+        msgs = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
+        )
+        sums = msgs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).alias("sumc")
+        )
+        # left join from the node set: a node with no in-edges keeps
+        # receiving the teleport term instead of silently vanishing.
+        new_ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n").cast("double")
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("sumc"), F.lit(0).cast("decimal(38,18)")
+                    ).cast("double")
+                ).alias("rank"),
+                "n",
+            )
+        )
+        old = ranks
+        ranks = _truncate(new_ranks, checkpoint)
+        old.unpersist()
+    adj.unpersist()
+    out = ranks.select(
+        "node",
+        F.round(F.col("rank") * F.col("n").cast("double"), 6).alias("rank_rel"),
+    )
+    nodes.unpersist()
+    return out

@@ -292,3 +292,124 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return span_dedup(docs, "text", "doc_id", span_tokens=_SPAN_W)
+
+
+# ------------------------------------------------ graph analytics
+
+
+def _sql_pagerank_coparts(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration (DuckDB disallows aggregates in a
+    recursive CTE term, so the fixed iteration count is generated as a
+    CTE chain). Embeds repr(1 - damping) verbatim: 1 - 0.85 in IEEE
+    double is 0.15000000000000002, and the oracle must use the exact
+    literal the Spark side computes or the last ulp flips the hash."""
+    tele, d = repr(1.0 - damping), repr(damping)
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        s{i} AS (
+          SELECT e.dst AS node,
+                 SUM(CAST(r.rank / CAST(e.out_deg AS DOUBLE)
+                          AS DECIMAL(38,18))) AS sumc
+          FROM {prev} r JOIN adj e ON r.node = e.src
+          GROUP BY e.dst
+        ),
+        r{i} AS (
+          SELECT n.node,
+                 CAST({tele} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                 + CAST({d} AS DOUBLE)
+                   * CAST(coalesce(s.sumc, CAST(0 AS DECIMAL(38,18)))
+                          AS DOUBLE) AS rank
+          FROM nodes n LEFT JOIN s{i} s ON n.node = s.node, nn
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM op a JOIN op b USING (l_orderkey)
+          WHERE a.l_partkey < b.l_partkey
+        ),
+        adj0 AS (
+          SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS out_deg FROM adj0 GROUP BY src),
+        adj AS (SELECT a.src, a.dst, d.out_deg
+                FROM adj0 a JOIN deg d USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM adj0),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+          SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+          FROM nodes, nn
+        ),{",".join(steps)}
+        SELECT node, round(rank * CAST(nn.n AS DOUBLE), 6) AS rank_rel
+        FROM {prev}, nn
+    """
+
+
+@query(
+    "graph_pagerank_coparts",
+    tags=("graph", "pagerank", "iterative"),
+    oracle=_sql_pagerank_coparts(),
+)
+def graph_pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) over the part
+    co-purchase graph — parts are linked when they appear in the same
+    order. The iterative Pregel-shaped plan: 2 shuffles per round,
+    exact-decimal contribution sums, lineage truncated per round.
+    Fully oracle-checked (unrolled power iteration in SQL) — fixed
+    iteration counts make even iterative algorithms hash-matchable."""
+    from cqdg_etl_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=5, damping=0.85)
+
+
+# -------------------------------------------- fuzzy record linkage
+
+
+@query(
+    "dd_fuzzy_name_pairs",
+    tags=("datapipe", "dedup", "fuzzy", "linkage"),
+    oracle="""
+        WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        vars AS (
+          SELECT id,
+                 unnest(list_append(list_transform(range(1, length(s) + 1),
+                   i -> substr(s, 1, i - 1) || substr(s, i + 1)), s)) AS v
+          FROM c
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(ca.s, cb.s) AS BIGINT) AS dist
+        FROM cand JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
+        WHERE levenshtein(ca.s, cb.s) <= 1
+    """,
+)
+def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage on customer names: pairs within Levenshtein
+    distance 1, found via SymSpell deletion-neighborhood blocking
+    (exact recall at distance 1, no cartesian) + levenshtein verify —
+    the entity-resolution primitive for catalog/CRM dedup."""
+    from cqdg_etl_spark.operators.dedup import fuzzy_self_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)

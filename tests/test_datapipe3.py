@@ -173,3 +173,81 @@ def test_span_dedup_within_doc_repeats(spark):
     )
     out = span_dedup(df, "text", "doc_id", span_tokens=2).collect()[0]
     assert (out["n_spans"], out["n_kept"]) == (2, 1)
+
+
+# ------------------------------------------------------- pagerank
+
+
+def test_pagerank_star_graph(spark):
+    """Undirected star: the hub must outrank every leaf, leaves tie,
+    and (no dangling nodes) total rank mass stays 1."""
+    from cqdg_etl_spark.operators.graph import pagerank
+
+    leaves = [2, 3, 4, 5]
+    pairs = [(1, v) for v in leaves] + [(v, 1) for v in leaves]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r["node"]: r["rank_rel"] for r in pagerank(edges).collect()}
+    assert out[1] > out[2]
+    assert len({out[v] for v in leaves}) == 1
+    n = len(out)
+    assert abs(sum(out.values()) / n - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is perfectly symmetric — every node scores
+    exactly 1.0 relative rank at any iteration count."""
+    from cqdg_etl_spark.operators.graph import pagerank
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    out = {r["node"]: r["rank_rel"] for r in pagerank(edges, iterations=3).collect()}
+    assert all(v == 1.0 for v in out.values())
+
+
+def test_pagerank_dangling_node_keeps_teleport(spark):
+    """A node with an in-edge but no out-edge must not vanish from the
+    rank table (regression: inner-join rebuild dropped sink nodes)."""
+    from cqdg_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["node"]: r["rank_rel"] for r in pagerank(edges, iterations=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] > 0  # no in-edges: teleport term only
+    assert out[2] > out[1]
+
+
+# ---------------------------------------------- fuzzy record linkage
+
+
+def test_fuzzy_pairs_exact_recall_at_distance_one(spark):
+    """Every true distance≤1 pair must be found (deletion-neighborhood
+    recall is exact, not heuristic): sub, ins, del, and a far pair."""
+    from cqdg_etl_spark.operators.dedup import fuzzy_self_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "mitten"),   # substitution → dist 1
+        (3, "kittens"),  # insertion → dist 1
+        (4, "kitte"),    # deletion → dist 1
+        (5, "sitting"),  # dist 5 from kitten — never a candidate match
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_pairs(df, "name", "id").collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert (3, 4) not in got  # kittens↔kitte = dist 2
+    assert all(5 not in p for p in got)
+
+
+def test_fuzzy_pairs_identical_strings(spark):
+    from cqdg_etl_spark.operators.dedup import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "id long, name string"
+    )
+    out = fuzzy_self_pairs(df, "name", "id").collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 0)]

@@ -338,3 +338,12 @@ def test_mixture_sample_scan_stage_membership(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark, sf_dir):
+    """Deletion-neighborhood blocking must join on the variant equi-key
+    — an all-pairs levenshtein cross join is the O(n^2) failure."""
+    df = q("dd_fuzzy_name_pairs", spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
