@@ -51,6 +51,7 @@ _FRONT = [
     "ev_stream_left_outer_join",
     "graph_pagerank_coparts",
     "dd_fuzzy_name_pairs",
+    "graph_triangle_counts",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",

@@ -310,3 +310,60 @@ def pagerank(
     )
     nodes.unpersist()
     return out
+
+
+def triangle_counts(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph given
+    as canonical distinct pairs (a < b) → (node, n_triangles).
+
+    Uses the FORWARD algorithm (degree orientation — Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): every edge is directed from its lower-(degree,
+    id) endpoint to the higher, so a vertex's out-degree is bounded by
+    O(√m) on any graph — the wedge join's fan-out is bounded by
+    arboricity instead of by the max degree. This is THE fix for the
+    hot-celebrity-vertex skew that kills the naive two-hop join at
+    scale: the 10M-degree hub receives edges instead of emitting
+    10M² wedges. Each triangle is then found exactly once, at its
+    orientation-minimal vertex.
+
+    Plan: one degree aggregate, one orientation projection, a wedge
+    self-join on the source vertex, and a closing equi-join against the
+    oriented edge set — all shuffle hash joins on vertex keys; the
+    per-node rollup explodes each triangle's 3 vertices and
+    map-side-combines.
+    """
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ranked = e.join(dx, "x").join(dy, "y")
+    # orient lower (degree, id) → higher; out-degree becomes O(√m)
+    oriented = ranked.select(
+        F.when(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+            F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+        )
+        .otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
+        .alias("o")
+    ).select("o.u", "o.v")
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = w1.join(w2, "u").filter(F.col("p") != F.col("q"))
+    close = oriented.select(
+        F.col("u").alias("p"), F.col("v").alias("q")
+    )
+    tris = wedges.join(close, ["p", "q"]).select("u", "p", "q")
+    return (
+        tris.select(F.explode(F.array("u", "p", "q")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -413,3 +413,56 @@ def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load(spark, sf_dir, "customer")
     return fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)
+
+
+@query(
+    "graph_triangle_counts",
+    tags=("graph", "triangles"),
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM op a JOIN op b USING (l_orderkey)
+          WHERE a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM
+            (SELECT x AS node FROM pairs UNION ALL SELECT y FROM pairs)
+          GROUP BY node
+        ),
+        o AS (
+          SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+                      THEN x ELSE y END AS u,
+                 CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND x < y)
+                      THEN y ELSE x END AS v
+          FROM pairs JOIN deg dx ON dx.node = x JOIN deg dy ON dy.node = y
+        ),
+        w AS (
+          SELECT a.u, a.v AS p, b.v AS q
+          FROM o a JOIN o b USING (u) WHERE a.v <> b.v
+        ),
+        t AS (SELECT w.u, w.p, w.q FROM w JOIN o ON o.u = w.p AND o.v = w.q)
+        SELECT node, count(*) AS n_triangles
+        FROM (SELECT u AS node FROM t
+              UNION ALL SELECT p FROM t
+              UNION ALL SELECT q FROM t)
+        GROUP BY node
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph via the
+    degree-oriented FORWARD algorithm (operators/graph.py::
+    triangle_counts) — out-degrees bounded O(√m) by orientation, so
+    the wedge join survives hot-hub skew. Exact integer counts,
+    hash-checked."""
+    from cqdg_etl_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(pairs)

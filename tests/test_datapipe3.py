@@ -251,3 +251,25 @@ def test_fuzzy_pairs_identical_strings(spark):
     )
     out = fuzzy_self_pairs(df, "name", "id").collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 0)]
+
+
+# ------------------------------------------------------ triangles
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes 1-2-3 and 2-3-4 form two triangles;
+    nodes 1 and 4 are each in one, nodes 2 and 3 in two."""
+    from cqdg_etl_spark.operators.graph import triangle_counts
+
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from cqdg_etl_spark.operators.graph import triangle_counts
+
+    star = [(1, 2), (1, 3), (1, 4)]
+    df = spark.createDataFrame(star, "a long, b long")
+    assert triangle_counts(df).count() == 0
