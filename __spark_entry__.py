@@ -52,6 +52,8 @@ _FRONT = [
     "graph_pagerank_coparts",
     "dd_fuzzy_name_pairs",
     "graph_triangle_counts",
+    "agg_grouping_sets_mix",
+    "ev_range_frame_hourly_avg",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",

@@ -466,3 +466,82 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(pairs)
+
+
+# ------------------------------- window/grouping surface completion
+
+
+@query(
+    "agg_grouping_sets_mix",
+    tags=("agg", "grouping-sets"),
+    oracle="""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the two single-dimension marginals +
+    grand total, WITHOUT the full cross product CUBE would add) — one
+    Expand + one hash aggregate, one shuffle. Uses the SQL surface;
+    completes the cube/rollup/pivot/unpivot family."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "ev_range_frame_hourly_avg",
+    tags=("events", "window", "range-frame"),
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_hour,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     / count(*) OVER w, 4) AS avg_1h
+        FROM (SELECT user_id, event_id, value,
+                     epoch_us(ts) // 1000000 AS sec FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_range_frame_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (RANGE BETWEEN 3600 PRECEDING on event
+    seconds): each event's average over the preceding hour of the SAME
+    user's activity — the time-decay feature the ROWS-frame moving
+    average can't express. The frame is a SET (ties in the sort key
+    share one frame), so the mean accumulates in exact decimal — a
+    double sum's value would depend on each engine's tie order."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        # integer div, not double-div-then-cast: the oracle's `//` is
+        # exact and a rounded double quotient can truncate differently
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_in_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w),
+            4,
+        ).alias("avg_1h"),
+    )
