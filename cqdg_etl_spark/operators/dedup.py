@@ -511,13 +511,16 @@ def span_dedup(
     spans = chunk_documents(
         df, text_col, id_col, window=span_tokens, stride=span_tokens
     )
+    # One exchange on the span hash feeds BOTH the first-occurrence
+    # aggregate and the join back (same hash partitioning) —
+    # ReusedExchange, so the corpus is chunked exactly once.
     keyed = spans.select(
         F.col(id_col).alias("doc"),
         "n_tokens",
         F.md5("chunk_text").alias("h"),
         (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("chunk_idx"))
         .alias("pos_key"),
-    )
+    ).repartition("h")
     firsts = keyed.groupBy("h").agg(F.min("pos_key").alias("first_key"))
     flagged = keyed.join(firsts, "h").withColumn(
         "kept", F.col("pos_key") == F.col("first_key")

@@ -94,11 +94,18 @@ def chunk_documents(
 
     Scale shape: zero shuffles — tokens, window index sequence, and the
     per-window slices are one projection; output row count is
-    ⌈n_tokens/stride⌉ per doc, bounded by document length.
+    ⌈n_tokens/stride⌉ per doc, bounded by document length. The token
+    array is materialized as a COLUMN before the window transform
+    touches it — inlining the tokens(...) expression re-runs the regex
+    split for every slice()/size() reference (one per chunk), measured
+    ~4× slower at sf0.1.
     """
     from cqdg_etl_spark.functions.text import normalize_ws, tokens
 
-    toks = tokens(normalize_ws(F.col(text_col)))
+    df = df.select(
+        F.col(id_col), tokens(normalize_ws(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # least(..., ceil(n/stride)) clamps starts to < n_tokens: with
     # stride > window the first term over-counts (n=11, window=2,
