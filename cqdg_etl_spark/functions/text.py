@@ -29,25 +29,52 @@ def tokens(col: Column) -> Column:
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``bound`` ONCE per row and
+    pass it to ``body`` as a lambda variable.
+
+    ``element_at(transform(array(bound), x -> body(x)), 1)`` — the
+    array literal makes ``bound`` the higher-order function's input
+    (evaluated once); inside the lambda every reference to ``x`` is a
+    bound-variable read, not a re-evaluation. Without this, a per-
+    element lambda that captures an outer EXPRESSION re-evaluates it on
+    every element — for shingling that is one full regex tokenization
+    per shingle per row (measured 7.2 s → 0.35 s for top-bigrams at
+    sf0.1). Same values, same types; purely a plan-cost rewrite, so
+    every DuckDB oracle stays valid.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """n-word shingles of the whitespace tokens → array<string>.
 
     Built from ``slice`` over a ``transform`` on token indexes — stays
     declarative. Documents shorter than n words yield a single shingle of
-    the whole text.
+    the whole text. The token array is let-bound (see ``_let``) so the
+    tokenization runs once per row, not once per shingle.
     """
-    toks = tokens(normalize_ws(col))
-    count = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(count - F.lit(n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def build(t: Column) -> Column:
+        count = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(count - F.lit(n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    return _let(tokens(normalize_ws(col)), build)
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
-    """Character n-grams of the normalized text → array<string>."""
-    norm = normalize_ws(col)
-    length = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(norm, i, n))
+    """Character n-grams of the normalized text → array<string>.
+
+    The normalized string is let-bound so the lower+regex-collapse runs
+    once per row, not once per n-gram."""
+
+    def build(s: Column) -> Column:
+        length = F.length(s)
+        idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.substring(s, i, n))
+
+    return _let(normalize_ws(col), build)
 
 
 def fingerprint(col: Column) -> Column:
