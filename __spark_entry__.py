@@ -54,6 +54,7 @@ _FRONT = [
     "graph_triangle_counts",
     "agg_grouping_sets_mix",
     "ev_range_frame_hourly_avg",
+    "ev_group_order_stats_pandas",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",

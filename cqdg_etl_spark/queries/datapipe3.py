@@ -545,3 +545,37 @@ def ev_range_frame_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_1h"),
     )
+
+
+# ------------------------------- grouped-map Pandas (applyInPandas)
+
+
+@query(
+    "ev_group_order_stats_pandas",
+    tags=("events", "pandas", "grouped-map"),
+    oracle="""
+        WITH s AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        )
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med_lo,
+               max(CASE WHEN rn = n // 2 + 1 THEN value END) AS med_hi,
+               min(value) AS v_min,
+               max(value) AS v_max
+        FROM s GROUP BY user_id
+    """,
+)
+def ev_group_order_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user order statistics via grouped-map ``applyInPandas`` —
+    the whole-group-as-DataFrame Python API class (scalar pandas_udf
+    and applyInPandasWithState are covered elsewhere). Outputs are
+    sorted-multiset SELECTIONS, not float accumulations, so the result
+    is row-order independent and exactly oracle-checkable."""
+    from cqdg_etl_spark.operators.pandas_ops import grouped_order_stats
+
+    ev = load(spark, sf_dir, "events")
+    return grouped_order_stats(ev, "user_id", "value")

@@ -81,3 +81,39 @@ def write_range_sorted_parquet(
         else df.repartitionByRange(*cols)
     )
     parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-file parquet dataset into ~``target_file_bytes``
+    files at ``dest_path``; returns the output file count.
+
+    The small-files problem is the classic operational failure of
+    incremental ingest (every micro-batch/upsert leaves a sliver; scans
+    then pay per-file open + footer read + scheduler overhead — at
+    100 TB a million 1 MB files is a cluster-killer). Compaction reads
+    the dataset once and rewrites it with the file count derived from
+    the ACTUAL on-disk bytes (Hadoop FS content summary — works for any
+    supported filesystem, not just local), so output files land near
+    the parquet sweet spot regardless of incoming slivers.
+
+    Writes to a NEW path: atomic swap/retention is table-format
+    territory (the foreachBatch upsert sink covers transactional
+    overwrite); this utility stays a pure rewrite.
+    """
+    import math
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest_path)
+    return n_files

@@ -273,3 +273,19 @@ def test_triangle_counts_triangle_free(spark):
     star = [(1, 2), (1, 3), (1, 4)]
     df = spark.createDataFrame(star, "a long, b long")
     assert triangle_counts(df).count() == 0
+
+
+# --------------------------------------- grouped-map applyInPandas
+
+
+def test_grouped_order_stats_hand_computed(spark):
+    from cqdg_etl_spark.operators.pandas_ops import grouped_order_stats
+
+    rows = [(1, 3.0), (1, 1.0), (1, 2.0), (2, 5.0), (2, 7.0)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = {
+        r["user_id"]: (r["n"], r["med_lo"], r["med_hi"], r["v_min"], r["v_max"])
+        for r in grouped_order_stats(df, "user_id", "value").collect()
+    }
+    assert out[1] == (3, 2.0, 2.0, 1.0, 3.0)  # odd n: med_lo == med_hi
+    assert out[2] == (2, 5.0, 7.0, 5.0, 7.0)  # even n: the two middles

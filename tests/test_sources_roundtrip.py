@@ -59,3 +59,21 @@ def test_csv_roundtrip_with_explicit_schema(spark, sf_dir):
         assert back.schema == schema
         cols = src.columns
         assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
+
+
+def test_compact_parquet_small_files(spark, sf_dir):
+    """20 sliver files compact to 1; data identical."""
+    import glob
+
+    from cqdg_etl_spark.sources.writers import compact_parquet
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        src.repartition(20).write.parquet(f"{d}/slivers")
+        assert len(glob.glob(f"{d}/slivers/part-*")) == 20
+        n = compact_parquet(spark, f"{d}/slivers", f"{d}/compacted")
+        assert n == 1
+        assert len(glob.glob(f"{d}/compacted/part-*")) == 1
+        back = spark.read.parquet(f"{d}/compacted")
+        cols = src.columns
+        assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
