@@ -117,3 +117,31 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(dest_path)
     return n_files
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "object"] | None = None,
+    name: str = "write_metrics",
+) -> dict[str, object]:
+    """Parquet sink with SINGLE-PASS data-quality metrics: attaches
+    ``df.observe(...)`` so row counts / null counts / sums are
+    collected by accumulators DURING the write — no second scan of the
+    input, which at 100 TB is the difference between "audited" and
+    "unaffordable to audit". Returns {metric_name: value}.
+
+    ``metrics`` maps output names to aggregate Columns (default: row
+    count). Observation aggregates must be accumulator-friendly
+    (count/sum/min/max — no distinct), which is exactly the audit-row
+    contract.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return dict(obs.get)

@@ -77,3 +77,56 @@ def test_compact_parquet_small_files(spark, sf_dir):
         back = spark.read.parquet(f"{d}/compacted")
         cols = src.columns
         assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
+
+
+def test_observed_write_single_pass_metrics(spark, sf_dir):
+    """df.observe collects audit metrics during the write itself; the
+    values must equal a direct aggregation of the same input."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.sources.writers import write_parquet_observed
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        got = write_parquet_observed(
+            src,
+            f"{d}/audited",
+            {
+                "n_rows": F.count(F.lit(1)),
+                "n_null_priority": F.sum(
+                    F.col("o_orderpriority").isNull().cast("long")
+                ),
+                "max_total": F.max("o_totalprice"),
+            },
+        )
+        expect = src.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderpriority").isNull().cast("long")).alias(
+                "n_null_priority"
+            ),
+            F.max("o_totalprice").alias("max_total"),
+        ).first()
+        assert got["n_rows"] == expect["n_rows"]
+        assert got["n_null_priority"] == expect["n_null_priority"]
+        assert got["max_total"] == expect["max_total"]
+        assert spark.read.parquet(f"{d}/audited").count() == got["n_rows"]
+
+
+def test_merge_schema_evolution(spark, sf_dir):
+    """Long-lived tables evolve: batch 2 adds a column; a mergeSchema
+    read unifies both batches with nulls for the missing column."""
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        nation.write.parquet(f"{d}/t/batch=1")
+        nation.withColumn("ingest_tag", F.lit("v2")).write.parquet(
+            f"{d}/t/batch=2"
+        )
+        merged = spark.read.option("mergeSchema", True).parquet(f"{d}/t")
+        assert "ingest_tag" in merged.columns
+        assert merged.count() == 2 * nation.count()
+        assert (
+            merged.filter(F.col("ingest_tag").isNull()).count()
+            == nation.count()
+        )
