@@ -556,20 +556,44 @@ def fuzzy_self_pairs(
     grows O(len^k) keys per string; at that point the right tool is
     the q-gram count filter, and the verify step stays the same.
 
-    Scale shape: mirrors the banded near-dup family — a SKINNY
-    (id, variant) inverted index self-joins on the variant equi-key
-    (shuffle hash join, never a cartesian), candidate id pairs are
-    distinct-ed BEFORE the strings are re-fetched for the verify, and
-    the per-key bucket size is bounded by the true near-duplicate
-    cluster size (a delete key only collides for strings within
-    distance 1 of each other). Index size is len(s)+1 rows per input
-    row — the same O(tokens) blow-up every shingle index pays.
+    Scale shape — two guards the naive version lacks:
+
+    1. The inverted index is built over DISTINCT strings only (one
+       representative per exact value). A c-sized identical-string
+       cluster would otherwise put all c ids under every one of its
+       len(s)+1 delete keys and the bucket join would grind through
+       (len+1)·c² index pairs; on distinct strings the index cost is
+       independent of duplication, and identical-string pairs come
+       from a direct self-join on the string key whose output is
+       exactly the answer (c² pairs ARE the result, not overhead).
+    2. Candidate string pairs are distinct-ed BEFORE the levenshtein
+       verify, and verified string pairs expand to id pairs via two
+       joins on the string key — again output-sized.
+
+    Like the banded near-dup family: skinny index, equi-joins only,
+    never a cartesian.
     """
     if max_dist != 1:
         raise ValueError("deletion-neighborhood blocking supports max_dist=1")
     base = df.select(F.col(id_col).alias("fid"), F.col(key_col).alias("s"))
-    idx = base.select(
-        "fid",
+    # identical strings: every pair, distance 0 — direct group self-join
+    xa, xb = base.alias("xa"), base.alias("xb")
+    same = (
+        xa.join(
+            xb,
+            (F.col("xa.s") == F.col("xb.s"))
+            & (F.col("xa.fid") < F.col("xb.fid")),
+        )
+        .select(
+            F.col("xa.fid").alias("id_a"),
+            F.col("xb.fid").alias("id_b"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    # distinct-string representatives carry the index
+    strings = base.select("s").distinct()
+    idx = strings.select(
+        "s",
         F.explode(
             F.expr(
                 "array_append(transform(sequence(1, length(s)), "
@@ -582,21 +606,23 @@ def fuzzy_self_pairs(
     cand = (
         a.join(
             b,
-            (F.col("a.v") == F.col("b.v")) & (F.col("a.fid") < F.col("b.fid")),
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.s") < F.col("b.s")),
         )
-        .select(F.col("a.fid").alias("id_a"), F.col("b.fid").alias("id_b"))
+        .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
         .distinct()
     )
-    sa = base.select(F.col("fid").alias("id_a"), F.col("s").alias("sa"))
-    sb = base.select(F.col("fid").alias("id_b"), F.col("s").alias("sb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    near_strings = cand.select(
+        "sa", "sb", F.levenshtein("sa", "sb").alias("dist")
+    ).filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+    ga = base.select(F.col("fid").alias("ia"), F.col("s").alias("sa"))
+    gb = base.select(F.col("fid").alias("ib"), F.col("s").alias("sb"))
+    cross = (
+        near_strings.join(ga, "sa")
+        .join(gb, "sb")
         .select(
-            "id_a",
-            "id_b",
-            F.levenshtein("sa", "sb").alias("dist"),
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.col("dist").cast("long").alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+    return same.unionByName(cross)

@@ -289,3 +289,22 @@ def test_grouped_order_stats_hand_computed(spark):
     }
     assert out[1] == (3, 2.0, 2.0, 1.0, 3.0)  # odd n: med_lo == med_hi
     assert out[2] == (2, 5.0, 7.0, 5.0, 7.0)  # even n: the two middles
+
+
+def test_fuzzy_pairs_giant_identical_cluster_bounded(spark):
+    """A 200-row identical-name cluster must not blow up the index:
+    identical strings never enter the variant join (the index holds
+    DISTINCT strings), and the c²/2 output pairs come from the direct
+    group self-join. Also checks cross-group expansion."""
+    from cqdg_etl_spark.operators.dedup import fuzzy_self_pairs
+
+    rows = [(i, "duplicate name") for i in range(200)]
+    rows += [(1000, "duplicate nam"), (1001, "duplicate nam")]  # dist 1 group
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = fuzzy_self_pairs(df, "name", "id").collect()
+    n_same_a = 200 * 199 // 2          # within big cluster, dist 0
+    n_same_b = 1                       # within small cluster, dist 0
+    n_cross = 200 * 2                  # across the two groups, dist 1
+    assert len(out) == n_same_a + n_same_b + n_cross
+    assert sum(1 for r in out if r["dist"] == 0) == n_same_a + n_same_b
+    assert all(r["id_a"] < r["id_b"] for r in out)
