@@ -55,6 +55,8 @@ _FRONT = [
     "agg_grouping_sets_mix",
     "ev_range_frame_hourly_avg",
     "ev_group_order_stats_pandas",
+    "ds_deterministic_shuffle",
+    "fe_hashing_trick",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",

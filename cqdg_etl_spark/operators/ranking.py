@@ -1,0 +1,72 @@
+"""Scalable global ranking / deterministic corpus shuffling.
+
+Training pipelines need a reproducible global ORDER over the corpus
+(shuffled-but-deterministic example order, resumable by rank range).
+A naive ``row_number() OVER (ORDER BY ...)`` has an empty PARTITION BY
+— Spark moves the entire dataset to ONE task (the WindowExec warning),
+which is exactly the thing that cannot happen at 100 TB.
+
+``global_rank`` computes the same total order with the classic
+two-pass recipe: range-repartition + in-partition sort (each output
+partition owns a disjoint key range), count rows per partition (a
+K-row driver action, K = #partitions — the same class of scalar as an
+iterative algorithm's convergence check), broadcast the cumulative
+offsets back, and add them to a PER-PARTITION row_number (window
+partitioned by ``spark_partition_id()`` — parallel, no single-task
+sort). The resulting rank is independent of K and of range-sampling
+boundaries because the order columns form a TOTAL order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Add a 1-based global rank by ``order_cols`` without a
+    single-partition sort. ``order_cols`` MUST form a total order
+    (add a unique id as the last column) — otherwise ties make the
+    rank partition-dependent."""
+    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    counts = (
+        with_pid.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.join(off_df, "_pid")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Reproducible pseudo-random global order: rank rows by
+    md5(salt || id) with the id as tiebreaker — the engine-portable
+    corpus shuffle every training run can re-derive (and resume from
+    any rank offset). Changing ``salt`` redraws the permutation."""
+    from cqdg_etl_spark.operators.sampling import hash_bucket
+
+    keyed = df.withColumn("_hk", hash_bucket(F.col(id_col), salt))
+    return global_rank(
+        keyed, [F.col("_hk"), F.col(id_col)], rank_col="shuffle_rank"
+    ).drop("_hk")

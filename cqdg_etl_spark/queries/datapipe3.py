@@ -579,3 +579,95 @@ def ev_group_order_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return grouped_order_stats(ev, "user_id", "value")
+
+
+# ---------------------------------- deterministic corpus shuffling
+
+
+@query(
+    "ds_deterministic_shuffle",
+    tags=("datapipe", "sampling", "ordering"),
+    oracle="""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY CAST(('0x' || substring(md5('shuffle'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                 doc_id) AS BIGINT) AS shuffle_rank
+        FROM documents
+    """,
+)
+def ds_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle for training-example order:
+    rank by md5 hash of the id (engine-portable, resumable by rank
+    range). Computed with the scalable two-pass global rank
+    (operators/ranking.py) — range partitions + per-partition windows
+    + broadcast offsets, never a single-task ORDER BY."""
+    from cqdg_etl_spark.operators.ranking import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+# ----------------------------------------- hashing-trick features
+
+_HT_BUCKETS = 64
+
+
+@query(
+    "fe_hashing_trick",
+    tags=("datapipe", "features"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                   % {_HT_BUCKETS} AS bucket
+          FROM toks
+        ),
+        bc AS (
+          SELECT doc_id, bucket, count(*) AS c
+          FROM b GROUP BY doc_id, bucket
+        )
+        SELECT doc_id,
+               string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                          ',' ORDER BY bucket) AS features
+        FROM bc GROUP BY doc_id
+    """,
+)
+def fe_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): tokens
+    hash into a fixed 64-bucket space, per-doc bucket counts serialize
+    as sorted "bucket:count" pairs — the bounded-vocabulary sparse
+    feature vector for linear/quality models at corpus scale. All
+    integer ops on the portable md5-derived token hash; single
+    groupBy, map-side combined."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.explode(tokens(normalize_ws(F.col("text")))).alias("tok")
+    )
+    bucketed = toked.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+            F.lit(_HT_BUCKETS),
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+                lambda s: F.concat_ws(
+                    ":", s["bucket"].cast("string"), s["c"].cast("string")
+                ),
+            ),
+        ).alias("features")
+    )

@@ -308,3 +308,39 @@ def test_fuzzy_pairs_giant_identical_cluster_bounded(spark):
     assert len(out) == n_same_a + n_same_b + n_cross
     assert sum(1 for r in out if r["dist"] == 0) == n_same_a + n_same_b
     assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+# -------------------------------------- global rank / det shuffle
+
+
+def test_global_rank_partition_invariant(spark, sf_dir):
+    """Same total order regardless of input partitioning; ranks are a
+    1..n permutation; no single-partition window in the plan."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.ranking import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r1 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(docs, "doc_id").collect()
+    }
+    r2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(docs.repartition(13), "doc_id").collect()
+    }
+    assert r1 == r2
+    n = docs.count()
+    assert sorted(r1.values()) == list(range(1, n + 1))
+
+
+def test_global_rank_no_single_partition_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.ranking import global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranked = global_rank(docs, [F.col("doc_id")])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # the window must partition by spark_partition_id, never be global
+    assert "SinglePartition" not in plan, plan
