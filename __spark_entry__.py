@@ -57,6 +57,16 @@ _FRONT = [
     "ev_group_order_stats_pandas",
     "ds_deterministic_shuffle",
     "fe_hashing_trick",
+    # -- implementation changed in round 3 (word_shingles/char_ngrams
+    #    let-binding + chunk_documents materialization touched every
+    #    shingle/chunk-based plan; values identical, but the driver row
+    #    is the hard signal) — re-queued per VERDICT r2 #2 ------------
+    "tx_tfidf_term_stats",
+    "ds_decontaminate_vs_benchmark",
+    "ds_pack_sequences",
+    "ds_chunk_documents",
+    "tx_cms_heavy_hitters",
+    "tx_fingerprints",
     # -- re-confirmation of previously-green rows (driver cap fills
     #    the remaining slots from here in order) --------------------
     "dd_embedding_cosine_pairs",
