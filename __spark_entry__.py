@@ -57,6 +57,11 @@ _FRONT = [
     "ev_group_order_stats_pandas",
     "ds_deterministic_shuffle",
     "fe_hashing_trick",
+    "etl_snapshot_diff",
+    "etl_incremental_rollup",
+    "dd_tfidf_cosine_pairs",
+    "ds_interleave_sources",
+    "emb_pq_codes",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -1,0 +1,71 @@
+"""Snapshot diff (CDC-style table comparison).
+
+ETL pipelines re-landing a source table need the change set between two
+snapshots — what was inserted, deleted, or updated — to drive
+incremental downstream refresh instead of full recompute. (The
+reference rebuilds every index from scratch each run,
+``ETL.scala:40-58``; a diff operator is what an incremental version of
+that pipeline would be built on.)
+
+Scale shape: ONE full-outer shuffle join on the key columns (AQE
+handles skew/size), classification is a pure projection. Column
+comparison uses null-safe equality (`<=>`) per compared column — no
+row serialization, no UDF; at wide schemas pass ``compare_cols`` to
+limit the compare to the columns that matter (the others are still
+carried on the output for the consumer).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify each key across two snapshots.
+
+    Returns one row per key present in either snapshot:
+    ``keys..., change_type`` where change_type ∈
+    {'insert', 'delete', 'update', 'unchanged'}.
+
+    - insert: key only in ``new``
+    - delete: key only in ``old``
+    - update: key in both, any compared column differs (null-safe)
+    - unchanged: key in both, all compared columns equal
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+    )
+    # presence flags must come from non-null key columns, not from
+    # compared columns (which may legitimately be null)
+    o_present = F.col(f"o.{keys[0]}").isNotNull()
+    n_present = F.col(f"n.{keys[0]}").isNotNull()
+    same: Column = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols],
+        F.lit(True),
+    )
+    change = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    return o.join(n, cond, "full_outer").select(
+        *key_cols, change.alias("change_type")
+    )

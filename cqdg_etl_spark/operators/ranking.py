@@ -57,6 +57,62 @@ def global_rank(
     )
 
 
+def interleave_by_weight(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into ONE training
+    order (the data-mixing step after mixture sampling): each domain is
+    shuffled independently (md5 rank), then example ``r`` of a domain
+    with weight ``w`` lands at position ``(r - 0.5) / w`` — domains
+    stream in proportion to their weights instead of concatenating,
+    so a training run sees the target mixture in every window of the
+    stream, not just in aggregate.
+
+    Scale shape: per-domain ranks come from ONE global_rank over
+    (domain, hash, id) — domains occupy contiguous rank ranges, so the
+    in-domain rank is the global rank minus a broadcast per-domain
+    offset (#domains rows), not a per-domain single-task window. The
+    final order is a second global_rank. Two range shuffles + two
+    K-row driver actions total, independent of domain count/skew.
+    """
+    from cqdg_etl_spark.operators.sampling import hash_bucket
+
+    w_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()],
+            f"{domain_col} string, _w double",
+        )
+    )
+    keyed = df.join(w_df, domain_col).withColumn(
+        "_hk", hash_bucket(F.col(id_col), salt)
+    )
+    ranked = global_rank(
+        keyed,
+        [F.col(domain_col), F.col("_hk"), F.col(id_col)],
+        rank_col="_grank",
+    )
+    base = F.broadcast(
+        ranked.groupBy(domain_col).agg(F.min("_grank").alias("_base"))
+    )
+    positioned = (
+        ranked.join(base, domain_col)
+        .withColumn("src_rank", F.col("_grank") - F.col("_base") + 1)
+        .withColumn(
+            "pos", (F.col("src_rank") - F.lit(0.5)) / F.col("_w")
+        )
+    )
+    out = global_rank(
+        positioned,
+        [F.col("pos"), F.col(domain_col), F.col(id_col)],
+        rank_col="train_order",
+    )
+    return out.drop("_hk", "_w", "_grank", "_base", "pos")
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, salt: str = "shuffle"
 ) -> DataFrame:

@@ -720,3 +720,67 @@ def semantic_dedup(
             F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
         )
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_bits: int = 4,
+    seed: int = 42,
+    train_mod: int = 1,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011, TPAMI): split the
+    vector into ``m`` contiguous sub-vectors and quantize each subspace
+    independently with the deterministic coarse quantizer
+    (``ivf_fit_centroids`` — SRP seed cells + one exact-decimal Lloyd
+    step, seeded ``seed + s`` per subspace so subspace codebooks are
+    independent draws). A 64-dim float32 vector (256 bytes) compresses
+    to ``m`` sub-codes (m bytes at 8 bits) — the memory step that makes
+    billion-vector ANN feasible; at search time asymmetric distances
+    are computed from per-subspace lookup tables.
+
+    Returns (id, code_0..code_{m-1}, code) where ``code`` is the
+    pipe-joined string form (hash-friendly).
+
+    Scale shape: ``m`` independent fits, each one pass over a SLICED
+    projection of the (sampled) corpus — the slice happens in the scan
+    projection, so each fit reads only dim/m of the vector bytes.
+    Assignment is one Arrow-vectorized pass per subspace over the full
+    corpus with codebooks as closure data (no plan literals); no
+    shuffles at all in the assignment (the fits shuffle cells×dims
+    skinny rows as documented in ivf_fit_centroids).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = corpus.select(F.col(id_col), F.col(vec_col))
+    code_cols = []
+    for s in range(m):
+        lo = s * sub  # 0-based; F.slice is 1-based
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), lo + 1, sub).alias("_sub"),
+        )
+        centers = ivf_fit_centroids(
+            sliced,
+            id_col,
+            "_sub",
+            n_bits=n_bits,
+            seed=seed + s,
+            train_mod=train_mod,
+        )
+        assign = _nearest_cells_arrow(centers, 1)
+        out = out.withColumn(
+            f"code_{s}", assign(F.slice(F.col(vec_col), lo + 1, sub))[0]
+        )
+        code_cols.append(f"code_{s}")
+    return out.select(
+        id_col,
+        *code_cols,
+        F.concat_ws("|", *[F.col(c).cast("string") for c in code_cols]).alias(
+            "code"
+        ),
+    )

@@ -1,0 +1,327 @@
+"""Round-3 batch 2: incremental-ETL primitives (snapshot diff,
+partial-rollup merge), sparse TF-IDF cosine pairs, weighted source
+interleave, and product-quantization codes.
+
+Oracle conventions as per the package: exact-decimal accumulation for
+every float sum, round(ln, 6) for the one libm-dependent value, md5-
+derived portable hashes, total-order tiebreakers on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators import similarity
+from cqdg_etl_spark.queries.datapipe import SQL_TOKS  # noqa: F401
+from cqdg_etl_spark.queries.datapipe2 import _sql_multiset_shingles
+from cqdg_etl_spark.queries.registry import load, query
+
+# ------------------------------------------------- snapshot diff (CDC)
+
+
+@query(
+    "etl_snapshot_diff",
+    tags=("etl", "cdc", "diff"),
+    oracle="""
+        WITH old AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 97 <> 3
+        ),
+        new AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 89 = 7
+                      THEN o_totalprice + 1.0 ELSE o_totalprice
+                 END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 101 <> 5
+        )
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                     AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                      THEN 'unchanged'
+                    ELSE 'update' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every order key across two
+    simulated table versions (deterministic deletes / inserts / price
+    updates) as insert/delete/update/unchanged — the change set an
+    incremental downstream refresh consumes instead of a full rebuild.
+    One full-outer shuffle join, null-safe column compare, no UDF
+    (operators/diff.py)."""
+    from cqdg_etl_spark.operators.diff import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 97 != 3)
+    new = orders.filter(F.col("o_orderkey") % 101 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 7, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# ------------------------------------- incremental rollup maintenance
+
+
+@query(
+    "etl_incremental_rollup",
+    tags=("etl", "incremental", "rollup"),
+    oracle="""
+        SELECT l_returnflag,
+               strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(27,6))), 2)
+                    AS DOUBLE) AS v_sum,
+               count(l_quantity) AS n,
+               min(l_quantity) AS v_min,
+               max(l_quantity) AS v_max,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(l_quantity), 4) AS v_avg
+        FROM lineitem
+        GROUP BY l_returnflag, ship_month
+    """,
+)
+def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the fact table lands in three
+    deterministic batches (l_orderkey % 3); each batch aggregates to a
+    mergeable partial state (exact-decimal sum/count/min/max), the
+    partials merge (operators/incremental.py) — and the ORACLE is the
+    full recompute, so the merge is verified exactly, not by spot check.
+    The merge step's cost depends on #groups, never on fact-table size
+    — the shape that replaces full-corpus rollup re-runs at 100 TB."""
+    from cqdg_etl_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    batches = [
+        partial_rollup(
+            li.filter(F.col("l_orderkey") % 3 == i),
+            ["l_returnflag", "ship_month"],
+            "l_quantity",
+        )
+        for i in range(3)
+    ]
+    return merge_rollups(batches, ["l_returnflag", "ship_month"])
+
+
+# ---------------------------------------- sparse TF-IDF cosine pairs
+
+_TFIDF_TAU = 0.3
+_TFIDF_MAX_DF = 1000
+
+
+@query(
+    "dd_tfidf_cosine_pairs",
+    bench=True,
+    tags=("datapipe", "dedup", "tfidf", "similarity"),
+    oracle=f"""
+        WITH tf AS (
+          SELECT doc, h, count(*) AS tf FROM (
+            SELECT doc_id AS doc,
+                   CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id,
+                         unnest({_sql_multiset_shingles('text', 3)}) AS term
+                  FROM documents)
+          ) GROUP BY doc, h
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dfreq AS (SELECT h, count(*) AS df FROM tf GROUP BY h),
+        wt AS (
+          SELECT doc, h,
+                 tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS w
+          FROM tf JOIN dfreq USING (h), n
+          WHERE df >= 2 AND df <= {_TFIDF_MAX_DF}
+        ),
+        norms AS (
+          SELECT doc, sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18)))
+                                AS DOUBLE)) AS nrm
+          FROM wt GROUP BY doc
+        ),
+        dots AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b,
+                 CAST(sum(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+          FROM wt a JOIN wt b ON a.h = b.h AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        )
+        SELECT doc_a, doc_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots
+        JOIN norms na ON na.doc = doc_a
+        JOIN norms nb ON nb.doc = doc_b
+        WHERE dot / (na.nrm * nb.nrm) >= {_TFIDF_TAU!r}
+    """,
+)
+def dd_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs over the raw text — the
+    lexical counterpart of dd_embedding_cosine_pairs, no embedding
+    model needed. Terms are word trigrams — same n as the Jaccard
+    shingles: unigram (even bigram) vocabulary here is tiny relative
+    to corpus size, so posting lists pair quadratically (measured 36.6M
+    candidate rows at sf0.1 for bigrams vs 1.4M for trigrams); n=3
+    keeps df in the informative tail. Inverted-index self-join on a
+    portable 60-bit term hash, df ∈ [2, max_df] vector space (hapax
+    can't pair; hot terms are the quadratic risk), skew-safe df
+    band-filter join + one persisted weighted index shared by all four
+    consumers (operators/sparse_sim.py)."""
+    from cqdg_etl_spark.operators.sparse_sim import tfidf_cosine_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "text", "doc_id", threshold=_TFIDF_TAU, ngram=3,
+        max_df=_TFIDF_MAX_DF,
+    )
+
+
+# --------------------------------------- weighted source interleave
+
+_ILV_W = {"en": 0.4, "fr": 0.15, "es": 0.15, "de": 0.15, "zh": 0.15}
+
+
+def _sql_interleave(weights: dict[str, float], salt: str = "interleave") -> str:
+    vals = ", ".join(
+        f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in weights.items()
+    )
+    return f"""
+        WITH w AS (SELECT * FROM (VALUES {vals}) t(lang, w)),
+        d AS (
+          SELECT doc_id, lang, w,
+                 CAST(('0x' || substring(md5('{salt}'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+          FROM documents JOIN w USING (lang)
+        ),
+        r AS (
+          SELECT doc_id, lang, w,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY hk, doc_id) AS src_rank
+          FROM d
+        )
+        SELECT doc_id, lang, src_rank,
+               CAST(row_number() OVER (
+                 ORDER BY (src_rank - 0.5) / w, lang, doc_id)
+               AS BIGINT) AS train_order
+        FROM r
+    """
+
+
+@query(
+    "ds_interleave_sources",
+    tags=("datapipe", "sampling", "ordering", "mixture"),
+    oracle=_sql_interleave(_ILV_W),
+)
+def ds_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of language sources into one
+    training order: domain-local md5 shuffle, then example r of a
+    weight-w domain streams at position (r-0.5)/w — every window of
+    the resulting stream sees the target mixture. Built on the two-pass
+    scalable global rank (never a single-task ORDER BY); the in-domain
+    rank is derived from ONE global rank + broadcast per-domain offsets
+    (operators/ranking.py::interleave_by_weight)."""
+    from cqdg_etl_spark.operators.ranking import interleave_by_weight
+
+    docs = load(spark, sf_dir, "documents")
+    out = interleave_by_weight(docs, "doc_id", "lang", _ILV_W)
+    return out.select("doc_id", "lang", "src_rank", "train_order")
+
+
+# ---------------------------------------- product-quantization codes
+
+_PQ_M = 4
+_PQ_BITS = 4
+_PQ_DIM = 64
+
+
+def _sql_pq_codes(
+    m: int = _PQ_M, dim: int = _PQ_DIM, n_bits: int = _PQ_BITS, seed: int = 42
+) -> str:
+    """Per-subspace copy of the deterministic-quantizer recipe the
+    ann_topk_ivf oracle uses (SRP seed cells from shared ±1 literals,
+    exact-decimal Lloyd mean, argmin with ties → lower cell), applied
+    to list_slice sub-vectors with per-subspace seeds."""
+    sub = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        planes = similarity.rademacher_planes(sub, n_bits, seed + s)
+        lo = s * sub
+
+        def bit(plane: list[int], v: str) -> str:
+            lits = "[" + ",".join(f"CAST({x}.0 AS DOUBLE)" for x in plane) + "]"
+            return (
+                f"(CASE WHEN list_sum(list_transform(range(1, {sub + 1}), "
+                f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+                f"THEN 1 ELSE 0 END)"
+            )
+
+        cell = bit(planes[0], "sv")
+        for p in planes[1:]:
+            cell = f"({cell} * 2 + {bit(p, 'sv')})"
+        l2 = (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"k -> (CAST(c.sv[k] AS DOUBLE) - cent{s}.cv[k]) "
+            f"* (CAST(c.sv[k] AS DOUBLE) - cent{s}.cv[k])))"
+        )
+        ctes.append(f"""
+        v{s} AS (SELECT vec_id, list_slice(embedding, {lo + 1}, {lo + sub})
+                        AS sv FROM embeddings),
+        c{s} AS (SELECT vec_id, sv, {cell} AS cell FROM v{s}),
+        comp{s} AS (
+          SELECT cell, k AS d,
+                 CAST(SUM(CAST(CAST(sv[k] AS DOUBLE) AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*) AS m
+          FROM c{s}, range(1, {sub + 1}) t(k)
+          GROUP BY cell, k
+        ),
+        cent{s} AS (SELECT cell, list(m ORDER BY d) AS cv
+                    FROM comp{s} GROUP BY cell),
+        a{s} AS (
+          SELECT vec_id, cell AS code_{s} FROM (
+            SELECT c.vec_id, cent{s}.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {l2}, cent{s}.cell) AS rn
+            FROM v{s} c CROSS JOIN cent{s}
+          ) WHERE rn = 1
+        )""")
+    joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    code_str = " || '|' || ".join(
+        f"CAST(code_{s} AS VARCHAR)" for s in range(m)
+    )
+    code_cols = ", ".join(f"code_{s}" for s in range(m))
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT vec_id, {code_cols}, {code_str} AS code
+        FROM a0 {joins}
+    """
+
+
+@query(
+    "emb_pq_codes",
+    tags=("datapipe", "vector", "pq", "compression"),
+    oracle=_sql_pq_codes(),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou 2011): 4 subspaces × 16 dims,
+    each quantized by the deterministic engine-portable coarse
+    quantizer with an independent seed — 256 bytes of float32 → 4
+    sub-codes, the compression step behind billion-vector ANN. Codes
+    fully value-hash-checked, training included
+    (operators/similarity.py::pq_codes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(
+        emb, "vec_id", "embedding", m=_PQ_M, n_bits=_PQ_BITS
+    )

@@ -1,0 +1,158 @@
+"""Behavioral tests for the round-3 batch-2 operators: snapshot diff,
+incremental rollup merge, sparse TF-IDF cosine, weighted interleave,
+PQ codes. (Oracle parity is covered by test_correctness over the
+registry; these pin the operator semantics directly.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators.diff import snapshot_diff
+from cqdg_etl_spark.operators.incremental import merge_rollups, partial_rollup
+from cqdg_etl_spark.operators.ranking import interleave_by_weight
+from cqdg_etl_spark.operators.similarity import pq_codes
+from cqdg_etl_spark.operators.sparse_sim import tfidf_cosine_pairs
+from cqdg_etl_spark.plans.introspect import explain_str
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", None), (4, "d", 41.0), (5, "e", 50.0)],
+        "id long, s string, v double",
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    # null v on both sides is null-safe-equal -> unchanged
+    assert got == {
+        1: "delete",
+        2: "unchanged",
+        3: "unchanged",
+        4: "update",
+        5: "insert",
+    }
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    old = spark.createDataFrame([(1, None)], "id long, v double")
+    new = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    [row] = snapshot_diff(old, new, ["id"]).collect()
+    assert row["change_type"] == "update"
+
+
+def test_merge_rollups_equals_full_recompute(spark, sf_dir):
+    from cqdg_etl_spark.queries.registry import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    batches = [
+        partial_rollup(
+            li.filter(F.col("l_orderkey") % 2 == i), ["l_returnflag"], "l_quantity"
+        )
+        for i in range(2)
+    ]
+    merged = merge_rollups(batches, ["l_returnflag"])
+    full = merge_rollups(
+        [partial_rollup(li, ["l_returnflag"], "l_quantity")], ["l_returnflag"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "completely different words here"),
+            (4, "completely different words here"),
+            (5, "unrelated text entirely nomatch"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert pairs.get((3, 4)) == 1.0
+    assert (1, 3) not in pairs and (1, 5) not in pairs
+
+
+def test_tfidf_plan_no_cartesian(spark, sf_dir):
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = explain_str(tfidf_cosine_pairs(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interleave_stream_tracks_mixture(spark):
+    rows = [(i, "big" if i % 4 else "small") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = interleave_by_weight(
+        df, "doc_id", "src", {"big": 0.75, "small": 0.25}
+    ).collect()
+    assert len(out) == 400
+    # every rank is unique and 1..400
+    orders = sorted(r["train_order"] for r in out)
+    assert orders == list(range(1, 401))
+    # in the first quarter of the stream, the mixture already holds
+    head = [r for r in out if r["train_order"] <= 100]
+    n_big = sum(1 for r in head if r["src"] == "big")
+    assert 70 <= n_big <= 80  # 75 expected; exact interleave is tight
+
+
+def test_interleave_is_deterministic(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    w = {"a": 0.5, "b": 0.5}
+    got1 = sorted(
+        map(tuple, interleave_by_weight(df, "doc_id", "src", w).collect())
+    )
+    got2 = sorted(
+        map(tuple, interleave_by_weight(df, "doc_id", "src", w).collect())
+    )
+    assert got1 == got2
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(60)
+    out = pq_codes(emb, m=4, n_bits=4).collect()
+    assert len(out) == 60
+    for r in out:
+        parts = r["code"].split("|")
+        assert len(parts) == 4
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 16
+            assert parts[s] == str(r[f"code_{s}"])
+
+
+def test_pq_codes_group_similar_vectors(spark):
+    # two exact clusters far apart in every subspace -> identical codes
+    # within a cluster, different codes across clusters. (Exact
+    # duplicates, not jittered ones: a Rademacher plane whose entries
+    # sum to 0 gives <v, h> = 0 for any constant vector, and then the
+    # jitter alone would decide the bit per vector.)
+    rows = [(i, [10.0] * 64, 0) for i in range(10)] + [
+        (i, [-10.0] * 64, 1) for i in range(10, 20)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = pq_codes(emb, m=4, n_bits=2).collect()
+    codes_a = {r["code"] for r in out if r["vec_id"] < 10}
+    codes_b = {r["code"] for r in out if r["vec_id"] >= 10}
+    assert len(codes_a) == 1 and len(codes_b) == 1
+    assert codes_a != codes_b
