@@ -62,6 +62,8 @@ _FRONT = [
     "dd_tfidf_cosine_pairs",
     "ds_interleave_sources",
     "emb_pq_codes",
+    "etl_keep_latest_event",
+    "ds_per_group_sample",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -23,6 +23,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def keep_latest(
+    log: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Compact a change log to its latest row per key — the
+    merge-on-read / CDC-upsert compaction primitive (the read side of
+    what ``foreach_batch_parquet_upsert`` maintains incrementally).
+
+    Shape matters at scale: this is a ``groupBy(keys).agg(max_by(...))``
+    — an associative aggregate with MAP-SIDE partial combine, so each
+    input partition pre-reduces to ≤ #distinct-keys rows before the
+    shuffle. The obvious window formulation (row_number over key order
+    by ts desc) shuffles and SORTS every log row instead; for a log
+    with high update multiplicity the aggregate moves a fraction of the
+    data the window does.
+
+    ``order_cols`` must form a total order per key (add a unique id as
+    tiebreaker) — otherwise "latest" is partition-dependent.
+    """
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    val_struct = F.struct(*[F.col(c) for c in payload_cols + order_cols])
+    latest = log.groupBy(*keys).agg(
+        F.max_by(val_struct, ord_struct).alias("_latest")
+    )
+    return latest.select(
+        *keys,
+        *[F.col(f"_latest.{c}").alias(c) for c in payload_cols + order_cols],
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -57,6 +57,41 @@ def global_rank(
     )
 
 
+def per_domain_rank(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    salt: str = "shuffle",
+    rank_col: str = "src_rank",
+) -> DataFrame:
+    """1-based deterministic md5-shuffle rank WITHIN each domain,
+    computed scalably: one global_rank over (domain, hash, id) —
+    domains occupy contiguous global-rank ranges, so the in-domain
+    rank is the global rank minus a broadcast per-domain offset
+    (#domains rows). NEVER a window partitioned by the domain column:
+    a window partition cannot be split, so at corpus scale a big
+    domain would sort on one task.
+
+    The building block for per-group sampling (filter rank ≤ k) and
+    weighted interleave (rank → stream position)."""
+    from cqdg_etl_spark.operators.sampling import hash_bucket
+
+    keyed = df.withColumn("_hk", hash_bucket(F.col(id_col), salt))
+    ranked = global_rank(
+        keyed,
+        [F.col(domain_col), F.col("_hk"), F.col(id_col)],
+        rank_col="_grank",
+    )
+    base = F.broadcast(
+        ranked.groupBy(domain_col).agg(F.min("_grank").alias("_base"))
+    )
+    return (
+        ranked.join(base, domain_col)
+        .withColumn(rank_col, F.col("_grank") - F.col("_base") + 1)
+        .drop("_hk", "_grank", "_base")
+    )
+
+
 def interleave_by_weight(
     df: DataFrame,
     id_col: str,
@@ -79,38 +114,24 @@ def interleave_by_weight(
     final order is a second global_rank. Two range shuffles + two
     K-row driver actions total, independent of domain count/skew.
     """
-    from cqdg_etl_spark.operators.sampling import hash_bucket
-
     w_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(k, float(v)) for k, v in weights.items()],
             f"{domain_col} string, _w double",
         )
     )
-    keyed = df.join(w_df, domain_col).withColumn(
-        "_hk", hash_bucket(F.col(id_col), salt)
+    ranked = per_domain_rank(
+        df.join(w_df, domain_col), id_col, domain_col, salt
     )
-    ranked = global_rank(
-        keyed,
-        [F.col(domain_col), F.col("_hk"), F.col(id_col)],
-        rank_col="_grank",
-    )
-    base = F.broadcast(
-        ranked.groupBy(domain_col).agg(F.min("_grank").alias("_base"))
-    )
-    positioned = (
-        ranked.join(base, domain_col)
-        .withColumn("src_rank", F.col("_grank") - F.col("_base") + 1)
-        .withColumn(
-            "pos", (F.col("src_rank") - F.lit(0.5)) / F.col("_w")
-        )
+    positioned = ranked.withColumn(
+        "pos", (F.col("src_rank") - F.lit(0.5)) / F.col("_w")
     )
     out = global_rank(
         positioned,
         [F.col("pos"), F.col(domain_col), F.col(id_col)],
         rank_col="train_order",
     )
-    return out.drop("_hk", "_w", "_grank", "_base", "pos")
+    return out.drop("_w", "pos")
 
 
 def deterministic_shuffle(

@@ -325,3 +325,84 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(
         emb, "vec_id", "embedding", m=_PQ_M, n_bits=_PQ_BITS
     )
+
+
+# ------------------------------------- CDC keep-latest compaction
+
+
+@query(
+    "etl_keep_latest_event",
+    tags=("etl", "cdc", "compaction"),
+    oracle="""
+        SELECT user_id, event_id, event_type, value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM (
+          SELECT user_id, event_id, event_type, value,
+                 ts,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+)
+def etl_keep_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-upsert compaction: the latest event per user from the full
+    change log, computed as groupBy + max_by (map-side-combinable
+    aggregate — each partition pre-reduces before the shuffle) instead
+    of the sort-everything window the oracle spells. (event_id breaks
+    ts ties deterministically; operators/diff.py::keep_latest.)"""
+    from cqdg_etl_spark.operators.diff import keep_latest
+
+    ev = load(spark, sf_dir, "events")
+    out = keep_latest(
+        ev,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+# ------------------------------------- per-domain deterministic sample
+
+_PG_K = 20
+
+
+@query(
+    "ds_per_group_sample",
+    tags=("datapipe", "sampling"),
+    oracle=f"""
+        SELECT doc_id, lang, src_rank FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5('pgsample'
+                     || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                   doc_id) AS src_rank
+          FROM documents
+        ) WHERE src_rank <= {_PG_K}
+    """,
+)
+def ds_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (k=20 docs per language): the
+    reservoir-sampling analog every eval-set / few-shot builder needs,
+    reproducible from the ids alone. Rank comes from the scalable
+    per-domain rank (range-partitioned global rank + broadcast offsets,
+    operators/ranking.py::per_domain_rank) — NEVER a window partitioned
+    by the group column, which would sort a whole domain on one task at
+    corpus scale (the oracle spells the window form; values are
+    identical)."""
+    from cqdg_etl_spark.operators.ranking import per_domain_rank
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = per_domain_rank(docs, "doc_id", "lang", salt="pgsample")
+    return ranked.filter(F.col("src_rank") <= _PG_K).select(
+        "doc_id", "lang", "src_rank"
+    )

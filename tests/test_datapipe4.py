@@ -156,3 +156,54 @@ def test_pq_codes_group_similar_vectors(spark):
     codes_b = {r["code"] for r in out if r["vec_id"] >= 10}
     assert len(codes_a) == 1 and len(codes_b) == 1
     assert codes_a != codes_b
+
+
+def test_keep_latest_picks_max_order_with_tiebreak(spark):
+    from cqdg_etl_spark.operators.diff import keep_latest
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "a"),
+            (1, 11, "2024-01-02 00:00:00", "b"),
+            (1, 12, "2024-01-02 00:00:00", "c"),  # ts tie -> higher id
+            (2, 20, "2024-01-01 00:00:00", "d"),
+        ],
+        "k long, id long, ts string, v string",
+    )
+    got = {
+        r["k"]: (r["id"], r["v"])
+        for r in keep_latest(log, ["k"], ["ts", "id"], ["v"]).collect()
+    }
+    assert got == {1: (12, "c"), 2: (20, "d")}
+
+
+def test_keep_latest_is_aggregate_not_window(spark, sf_dir):
+    from cqdg_etl_spark.operators.diff import keep_latest
+    from cqdg_etl_spark.queries.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    df = keep_latest(ev, ["user_id"], ["ts", "event_id"], ["value"])
+    plan = explain_str(df, mode="formatted")
+    # map-side-combinable aggregate, not a sort-everything window
+    assert "max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_per_group_sample_exact_k(spark, sf_dir):
+    from cqdg_etl_spark.operators.ranking import per_domain_rank
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = per_domain_rank(docs, "doc_id", "lang")
+    k = 5
+    sample = ranked.filter(F.col("src_rank") <= k)
+    counts = {
+        r["lang"]: r["n"]
+        for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in counts.items():
+        assert n == min(k, full[lang])
