@@ -64,6 +64,7 @@ _FRONT = [
     "emb_pq_codes",
     "etl_keep_latest_event",
     "ds_per_group_sample",
+    "sk_linear_count_users",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -120,3 +120,71 @@ def cms_heavy_hitters(
     return cms_estimate(sketch, exact, "token", depth, width).orderBy(
         F.desc("exact_cnt"), F.asc("token")
     )
+
+
+# ---------------------------------------------------------------------
+# Linear-counting cardinality sketch (Whang, Vander-Zanden & Taylor,
+# TODS'90): the mergeable DISTINCT-COUNT companion to the count-min
+# FREQUENCY sketch above. Each value sets one bit of an m-bit bitmap
+# (bit = portable hash mod m); the estimate is -m·ln(V) where V is the
+# fraction of zero bits. Unlike HyperLogLog it is exactly reproducible
+# from the hash alone — which is what makes it oracle-checkable — and
+# for n ≲ m it is MORE accurate than HLL.
+#
+# Spark shape: bitmap words, not rows — (word = bit div 64) groupBy
+# with a bit_or aggregate. bit_or is associative/commutative, so each
+# partition folds to ≤ m/64 words before the shuffle, the sketch
+# merges across corpora by another bit_or, and the final estimate reads
+# m/64 rows. Shuffle volume is bounded by the sketch size, never by
+# row count — same 100-TB property as the CMS.
+
+LC_M = 4096  # bits; stderr ≈ √m·(e^t − t − 1)/ (t·m), t = n/m
+
+
+def linear_count(
+    df: DataFrame, value_col: str, m: int = LC_M, salt: str = "lc"
+) -> DataFrame:
+    """One-row frame: (m, n_set, estimate) for distinct ``value_col``.
+
+    estimate = round(-m·ln(1 − n_set/m), 2); saturated bitmaps
+    (n_set = m) report NULL (the sketch's documented failure mode —
+    size m to the expected cardinality).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bit = F.pmod(h, F.lit(m))
+    words = (
+        df.select(bit.alias("bit"))
+        .select(
+            F.expr("CAST(bit DIV 64 AS INT)").alias("word"),
+            # shiftleft's bit-count arg must be an expression, so spell
+            # it in SQL (the DataFrame helper only takes an int literal)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.agg(
+        F.lit(m).alias("m"),
+        F.sum(F.bit_count("bits")).alias("n_set"),
+    ).select(
+        "m",
+        "n_set",
+        F.when(
+            F.col("n_set") < m,
+            F.round(
+                -F.lit(float(m))
+                * F.log(F.lit(1.0) - F.col("n_set") / F.lit(float(m))),
+                2,
+            ),
+        ).alias("estimate"),
+    )

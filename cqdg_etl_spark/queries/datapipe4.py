@@ -406,3 +406,39 @@ def ds_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("src_rank") <= _PG_K).select(
         "doc_id", "lang", "src_rank"
     )
+
+
+# ------------------------------------ linear-counting distinct sketch
+
+
+@query(
+    "sk_linear_count_users",
+    tags=("datapipe", "sketch", "cardinality"),
+    oracle="""
+        WITH b AS (
+          SELECT DISTINCT
+                 CAST(('0x' || substring(md5('lc'
+                   || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 4096 AS bit
+          FROM events
+        ),
+        s AS (SELECT count(*) AS n_set FROM b)
+        SELECT 4096 AS m, n_set,
+               CASE WHEN n_set < 4096
+                    THEN round(-4096.0 * ln(1 - n_set / 4096.0), 2)
+               END AS estimate
+        FROM s
+    """,
+)
+def sk_linear_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting cardinality sketch over event users — the
+    mergeable DISTINCT-COUNT companion to the CMS frequency sketch:
+    a 4096-bit bitmap built as bit_or'd 64-bit words (map-side
+    combined; shuffle volume = sketch size, never row count), estimate
+    -m·ln(V). Exactly reproducible from the portable hash, so the
+    sketch itself is oracle-checked — not just its error bound
+    (operators/sketches.py::linear_count)."""
+    from cqdg_etl_spark.operators.sketches import linear_count
+
+    ev = load(spark, sf_dir, "events")
+    return linear_count(ev, "user_id", m=4096)

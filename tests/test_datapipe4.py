@@ -207,3 +207,62 @@ def test_per_group_sample_exact_k(spark, sf_dir):
     }
     for lang, n in counts.items():
         assert n == min(k, full[lang])
+
+
+def test_linear_count_close_to_exact(spark, sf_dir):
+    from cqdg_etl_spark.operators.sketches import linear_count
+    from cqdg_etl_spark.queries.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    [row] = linear_count(ev, "user_id", m=4096).collect()
+    exact = ev.select("user_id").distinct().count()
+    assert row["n_set"] <= exact
+    # linear counting stderr at t = n/m <= 0.5 is ~1.5%; allow 10%
+    assert abs(row["estimate"] - exact) <= max(0.1 * exact, 5)
+
+
+def test_linear_count_merges_across_batches(spark, sf_dir):
+    """bit_or mergeability: sketching the union == OR of the two
+    batch bitmaps (here verified through n_set of the union frame)."""
+    from cqdg_etl_spark.operators.sketches import linear_count
+    from cqdg_etl_spark.queries.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    [whole] = linear_count(ev, "user_id").collect()
+    [merged] = linear_count(a.unionByName(b), "user_id").collect()
+    assert tuple(whole) == tuple(merged)
+
+
+def test_tfidf_hot_term_stays_bounded(spark):
+    """Scale-stress for TF-IDF cosine (the dedup-suite hot-shingle test's
+    analog): a boilerplate trigram shared by 1500 docs must be excluded
+    from the vector space by max_df — the uncapped posting list would
+    self-join to ~1.1M candidate rows. Docs still pair through their
+    RARE terms; the hot term contributes neither to dots nor norms."""
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (i, f"{boiler} article body {i % 3} unique tail {i}")
+        for i in range(1500)
+    ]
+    # two docs sharing a rare trigram beyond the boilerplate
+    docs += [
+        (9_001, f"{boiler} rare shared trigram alpha beta"),
+        (9_002, f"{boiler} rare shared trigram alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = tfidf_cosine_pairs(
+        df, "text", "doc_id", threshold=0.3, ngram=3, max_df=100
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (9_001, 9_002) in got
+    # identical rare-term docs → cosine exactly 1 in the capped space
+    cos = {(r["doc_a"], r["doc_b"]): r["cos"] for r in pairs}
+    assert cos[(9_001, 9_002)] == 1.0
+    # boilerplate-only overlap creates NO pairs: every surviving pair
+    # shares a term with df <= max_df
+    for a, b in got:
+        assert not (a < 9_000 and b < 9_000 and (a % 3) != (b % 3)), (
+            f"pair ({a},{b}) can only share the suppressed hot term"
+        )
