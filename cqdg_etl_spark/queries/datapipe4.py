@@ -442,3 +442,41 @@ def sk_linear_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return linear_count(ev, "user_id", m=4096)
+
+
+# --------------------------------- VARIANT semi-structured extraction
+
+
+@query(
+    "ev_variant_props",
+    tags=("events", "json", "variant"),
+    oracle="""
+        SELECT event_type, k_bucket, count(*) AS n
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 // 10 AS k_bucket
+          FROM events
+        )
+        WHERE k_bucket IS NOT NULL
+        GROUP BY event_type, k_bucket
+    """,
+)
+def ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: parse the
+    JSON once into the binary VARIANT encoding (``parse_json``), then
+    typed ``variant_get`` extraction — the schema-flexible alternative
+    to ``from_json`` (ev_json_props) when payload shapes drift: the
+    parse doesn't bake in a struct schema, and extraction pushes into
+    the scan projection. Decile-bucketed counts per event type."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        # floor-div (matches DuckDB `//` on negatives too, unlike a
+        # truncating cast of the double quotient)
+        ev.select("event_type", F.floor(k / 10).cast("bigint").alias("k_bucket"))
+        .filter(F.col("k_bucket").isNotNull())
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
