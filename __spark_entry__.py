@@ -66,6 +66,7 @@ _FRONT = [
     "ds_per_group_sample",
     "sk_linear_count_users",
     "ev_variant_props",
+    "src_pysource_docs_stats",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

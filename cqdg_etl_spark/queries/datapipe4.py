@@ -480,3 +480,72 @@ def ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# -------------------------------- custom Python DataSource (Spark 4)
+
+_SRC_N = 2000
+
+
+def _sql_pysource_stats(n: int = _SRC_N) -> str:
+    from cqdg_etl_spark.sources.pysource import LANGS, POOL
+
+    langs = "[" + ",".join(f"'{x}'" for x in LANGS) + "]"
+    pool = "[" + ",".join(f"'{x}'" for x in POOL) + "]"
+    return f"""
+        WITH g AS (
+          SELECT i AS doc_id,
+                 CAST(('0x' || substring(md5('sd' || CAST(i AS VARCHAR)),
+                       1, 15)) AS BIGINT) AS h
+          FROM range(0, {n}) t(i)
+        ),
+        d AS (
+          SELECT doc_id,
+                 {langs}[(h % 5) + 1] AS lang,
+                 5 + (h // 5) % 20 AS n_tokens,
+                 array_to_string(
+                   list_transform(range(0, CAST(5 + (h // 5) % 20 AS INT)),
+                     j -> {pool}[CAST((h // 7 + j * 31) % 32 AS INT) + 1]),
+                   ' ') AS text
+          FROM g
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(CAST(('0x' || substring(md5(text), 1, 15))
+                             AS BIGINT) % 1000003) AS BIGINT)
+                 AS text_checksum
+        FROM d GROUP BY lang
+    """
+
+
+@query(
+    "src_pysource_docs_stats",
+    tags=("sources", "python-datasource"),
+    oracle=_sql_pysource_stats(),
+)
+def src_pysource_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end check of the custom Python DataSource
+    (sources/pysource.py — Spark 4 DataSource API with
+    partition-parallel generation and doc_id filter pushdown): read
+    2000 generated docs, aggregate per-language counts, token sums and
+    an md5 text checksum. The oracle RE-DERIVES the identical corpus
+    from range(n) in SQL, so the source's generation — not just its
+    row count — is value-hash-checked."""
+    from cqdg_etl_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", _SRC_N)
+        .option("partitions", 16)
+        .load()
+    )
+    chk = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        % 1000003
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(chk).alias("text_checksum"),
+    )
