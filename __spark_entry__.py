@@ -67,6 +67,8 @@ _FRONT = [
     "sk_linear_count_users",
     "ev_variant_props",
     "src_pysource_docs_stats",
+    "sql_recursive_supplier_tree",
+    "sql_scalar_udf_revenue",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -13,6 +13,7 @@ from cqdg_etl_spark.queries import streaming_q as _streaming_q  # noqa: F401,E40
 from cqdg_etl_spark.queries import pipeline_q as _pipeline_q  # noqa: F401,E402
 from cqdg_etl_spark.queries import temporal_q as _temporal_q  # noqa: F401,E402
 from cqdg_etl_spark.queries import scd_q as _scd_q  # noqa: F401,E402
+from cqdg_etl_spark.queries import sqlfeat as _sqlfeat  # noqa: F401,E402
 
 try:  # training-data operators (added incrementally)
     from cqdg_etl_spark.queries import datapipe as _datapipe  # noqa: F401,E402
