@@ -69,6 +69,7 @@ _FRONT = [
     "src_pysource_docs_stats",
     "sql_recursive_supplier_tree",
     "sql_scalar_udf_revenue",
+    "ret_bm25_topk",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -549,3 +549,67 @@ def src_pysource_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.sum(chk).alias("text_checksum"),
     )
+
+
+# ---------------------------------------------- BM25 retrieval top-k
+
+_BM25_Q = ["merge", "scan", "filter", "window"]
+_BM25_K = 20
+
+
+def _sql_bm25(terms: list[str], k: int) -> str:
+    qlist = "[" + ",".join(f"'{t}'" for t in terms) + "]"
+    toks = SQL_TOKS.format(c="text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS doc, unnest({toks}) AS tok FROM documents
+        ),
+        dl AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+                   AS avgdl
+          FROM dl
+        ),
+        q AS (SELECT unnest({qlist}) AS tok),
+        tf AS (
+          SELECT doc, tok, count(*) AS tf
+          FROM toks JOIN q USING (tok) GROUP BY doc, tok
+        ),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+          SELECT doc,
+                 round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   AS term_score
+          FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc), stats
+        ),
+        per_doc AS (
+          SELECT doc,
+                 round(CAST(sum(CAST(term_score AS DECIMAL(38,18)))
+                            AS DOUBLE), 6) AS score
+          FROM scored GROUP BY doc
+        )
+        SELECT doc, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc) AS INT)
+                 AS rank
+        FROM per_doc ORDER BY score DESC, doc LIMIT {k}
+    """
+
+
+@query(
+    "ret_bm25_topk",
+    tags=("datapipe", "retrieval", "bm25"),
+    oracle=_sql_bm25(_BM25_Q, _BM25_K),
+)
+def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 4-term query — the lexical retrieval
+    ranker (k1=1.2, b=0.75) used for query-relevant subset mining and
+    hard-negative construction. Broadcast query semi-probe, map-side
+    tf/df aggregates, one-row corpus stats, exact-decimal score sums,
+    TakeOrderedAndProject top-k (operators/retrieval.py)."""
+    from cqdg_etl_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", _BM25_Q, k=_BM25_K)

@@ -266,3 +266,25 @@ def test_tfidf_hot_term_stays_bounded(spark):
         assert not (a < 9_000 and b < 9_000 and (a % 3) != (b % 3)), (
             f"pair ({a},{b}) can only share the suppressed hot term"
         )
+
+
+def test_bm25_ranking_semantics(spark):
+    from cqdg_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge merge merge filler filler"),   # high tf, short
+            (2, "merge filler filler filler filler filler filler filler"),
+            (3, "scan only here"),
+            (4, "nothing relevant at all"),
+            (5, "merge scan together"),               # two query terms
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, "text", "doc_id", ["merge", "scan"], k=10).collect()
+    got = {r["doc"]: (r["score"], r["rank"]) for r in rows}
+    assert 4 not in got                     # no query term -> absent
+    assert got[5][1] == 1                   # both terms -> top ranked
+    assert got[1][0] > got[2][0]            # higher tf, shorter doc wins
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))

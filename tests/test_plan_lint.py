@@ -71,6 +71,8 @@ BNLJ_OK: dict[str, str] = {
     "tx_bigram_lm_score": "single-row vocabulary-size scalar joined "
     "to the scored bigrams",
     "tx_tfidf_term_stats": "single-row corpus-count scalar for idf",
+    "ret_bm25_topk": "single-row corpus stats (N, avgdl) broadcast "
+    "onto the scored terms",
 }
 
 
