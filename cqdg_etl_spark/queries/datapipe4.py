@@ -613,3 +613,94 @@ def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, "text", "doc_id", _BM25_Q, k=_BM25_K)
+
+
+# ------------------------------ hybrid retrieval (RRF fusion)
+
+_RRF_C = 60
+_RRF_DEPTH = 50
+_RRF_K = 20
+
+
+def _sql_rrf(terms: list[str], c: int, depth: int, k: int) -> str:
+    from cqdg_etl_spark.queries.datapipe import _sql_cos
+
+    lex_inner = _sql_bm25(terms, depth)
+    cos = _sql_cos("q.embedding", "c.embedding")
+    return f"""
+        WITH lex AS (
+          SELECT doc AS id, rank AS rank_lex FROM ({lex_inner})
+        ),
+        vec AS (
+          SELECT neighbor_id AS id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id)
+                      AS INT) AS rank_vec
+          FROM (
+            SELECT c.vec_id AS neighbor_id, {cos} AS cos
+            FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id >= 10) c
+          )
+          ORDER BY cos DESC, neighbor_id LIMIT {depth}
+        ),
+        fused AS (
+          SELECT coalesce(lex.id, vec.id) AS id,
+                 coalesce(1.0 / ({c} + rank_lex), 0.0)
+                 + coalesce(1.0 / ({c} + rank_vec), 0.0) AS rrf_raw,
+                 coalesce(rank_lex, -1) AS rank_lex,
+                 coalesce(rank_vec, -1) AS rank_vec
+          FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        )
+        SELECT id, round(rrf_raw, 6) AS rrf,
+               rank_lex, rank_vec,
+               CAST(row_number() OVER (ORDER BY rrf_raw DESC, id) AS INT)
+                 AS rank
+        FROM fused ORDER BY rrf_raw DESC, id LIMIT {k}
+    """
+
+
+@query(
+    "ret_hybrid_rrf",
+    tags=("datapipe", "retrieval", "hybrid", "rrf"),
+    oracle=_sql_rrf(_BM25_Q, _RRF_C, _RRF_DEPTH, _RRF_K),
+)
+def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09) of the BM25 lexical ranking over documents and the exact
+    dense cosine ranking over embeddings (shared id space), rrf =
+    Σ 1/(60 + rank). The fusion needs only the two depth-50 rank
+    lists — a full-outer join of two tiny frames after each ranker's
+    TakeOrderedAndProject — so the hybrid costs no more than its
+    parts; the pattern behind every lexical+vector RAG stack."""
+    from cqdg_etl_spark.operators.retrieval import bm25_topk
+    from cqdg_etl_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "text", "doc_id", _BM25_Q, k=_RRF_DEPTH).select(
+        F.col("doc").alias("id"), F.col("rank").alias("rank_lex")
+    )
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") == 0),
+        k=_RRF_DEPTH,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("rank_vec"))
+    fused = lex.join(vec, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("rank_vec")), F.lit(0.0))
+        ).alias("rrf_raw"),
+        F.coalesce("rank_lex", F.lit(-1)).alias("rank_lex"),
+        F.coalesce("rank_vec", F.lit(-1)).alias("rank_vec"),
+    )
+    top = fused.orderBy(F.desc("rrf_raw"), F.asc("id")).limit(_RRF_K)
+    w = W.orderBy(F.desc("rrf_raw"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id",
+        F.round("rrf_raw", 6).alias("rrf"),
+        "rank_lex",
+        "rank_vec",
+        "rank",
+    )

@@ -73,6 +73,8 @@ BNLJ_OK: dict[str, str] = {
     "tx_tfidf_term_stats": "single-row corpus-count scalar for idf",
     "ret_bm25_topk": "single-row corpus stats (N, avgdl) broadcast "
     "onto the scored terms",
+    "ret_hybrid_rrf": "inherits both reviewed scalar fan-outs: the "
+    "BM25 corpus-stats row and the 1-row-query brute-force dense side",
 }
 
 
