@@ -43,6 +43,8 @@ def keep_latest(
 
     ``order_cols`` must form a total order per key (add a unique id as
     tiebreaker) — otherwise "latest" is partition-dependent.
+    ``payload_cols`` and ``order_cols`` must be disjoint (both are
+    carried on the output, order columns last).
     """
     ord_struct = F.struct(*[F.col(c) for c in order_cols])
     val_struct = F.struct(*[F.col(c) for c in payload_cols + order_cols])
@@ -71,6 +73,11 @@ def snapshot_diff(
     - delete: key only in ``old``
     - update: key in both, any compared column differs (null-safe)
     - unchanged: key in both, all compared columns equal
+
+    ``keys`` must be non-null in both snapshots (the CDC-key contract;
+    presence is detected through the first key column). Compared
+    columns may be null — the compare is null-safe. An empty
+    ``compare_cols`` classifies every both-sides key as unchanged.
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in keys]

@@ -105,7 +105,8 @@ def interleave_by_weight(
     with weight ``w`` lands at position ``(r - 0.5) / w`` — domains
     stream in proportion to their weights instead of concatenating,
     so a training run sees the target mixture in every window of the
-    stream, not just in aggregate.
+    stream, not just in aggregate. Rows whose domain has no entry in
+    ``weights`` are dropped (inner join with the weight table).
 
     Scale shape: per-domain ranks come from ONE global_rank over
     (domain, hash, id) — domains occupy contiguous rank ranges, so the

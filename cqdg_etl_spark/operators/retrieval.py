@@ -44,6 +44,8 @@ def bm25_topk(
 
     Ties (including docs that tie after the 6-dp score round) break on
     the doc id, so the cutoff is total-order deterministic.
+    ``query_terms`` are matched against the NORMALIZED token stream
+    (lowercased, whitespace-collapsed) — pass lowercase terms.
     """
     spark = df.sparkSession
     toks = _spread(df).select(
