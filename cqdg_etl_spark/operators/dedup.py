@@ -626,3 +626,91 @@ def fuzzy_self_pairs(
         )
     )
     return same.unionByName(cross)
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    t_num: int = 4,
+    t_den: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (PPJoin family, Xiao et al.
+    WWW'08): pairs with Jaccard ≥ t_num/t_den, exact — but candidates
+    come from a PREFIX of each doc's features, not the full inverted
+    index.
+
+    Prefix-filter theorem: order every doc's feature set by ONE global
+    order (here (df, h) ascending — rarest first, the canonical
+    choice); two sets with Jaccard ≥ t MUST share a feature within
+    each one's first |d| − ⌈t·|d|⌉ + 1 features. So only prefixes are
+    indexed and self-joined — and because prefixes are the RARE
+    features, hot-feature posting lists vanish from candidate
+    generation entirely (the role max_df plays in ngram_jaccard_pairs,
+    but lossless: no pair above threshold can be missed).
+
+    The threshold is a RATIONAL (t_num/t_den): the prefix length uses
+    exact integer arithmetic ⌈t·L⌉ = (t_num·L + t_den − 1) div t_den —
+    a float ⌈0.8·5⌉ evaluates to 5 in IEEE (0.8·5 rounds to
+    4.000000000000000222), silently shortening the prefix below the
+    theorem's bound.
+
+    Scale shape: per-doc feature ordering is a bounded-size
+    collect+array_sort keyed by doc (map-side combined); the order key
+    packs (df, h) into one bigint (df·2³² + h) so sorting and the
+    candidate equi-join stay on 8-byte keys; verification reuses the
+    persisted distinct-hash sets exactly like minhash_verified_pairs.
+    Length and positional filters are the further PPJoin refinements;
+    prefix filtering alone removes the dominant quadratic term.
+    """
+    from pyspark import StorageLevel
+
+    t = t_num / t_den
+    sets = shingle_hash_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    idx = sets.select("doc", F.explode("hs").alias("h"))
+    dfreq = idx.groupBy("h").agg(F.count("*").alias("df"))
+    okey = (F.col("df") * F.lit(1 << 32) + F.col("h")).alias("okey")
+    ordd = (
+        idx.join(dfreq, "h")
+        .select("doc", okey)
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("okey")).alias("ks"))
+        .withColumn("sz", F.size("ks"))
+        .withColumn(
+            "plen",
+            F.greatest(
+                F.col("sz")
+                - F.expr(f"CAST(({t_num} * sz + {t_den - 1}) DIV {t_den} AS INT)")
+                + 1,
+                F.lit(1),
+            ),
+        )
+    )
+    pref = ordd.select(
+        "doc", F.explode(F.expr("slice(ks, 1, plen)")).alias("okey")
+    )
+    a = pref.alias("a").hint("shuffle_hash")
+    b = pref.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

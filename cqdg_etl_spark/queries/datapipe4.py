@@ -704,3 +704,70 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_vec",
         "rank",
     )
+
+
+# -------------------------------- PPJoin prefix-filtered exact dedup
+
+
+def _sql_ppjoin(t_num: int = 4, t_den: int = 5) -> str:
+    from cqdg_etl_spark.queries.datapipe import _sql_shingles
+
+    jac = (
+        "CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) "
+        "/ (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM documents
+        ),
+        d0 AS (
+          SELECT doc,
+                 CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                   AS h
+          FROM s
+        ),
+        dfq AS (SELECT h, count(*) AS df FROM d0 GROUP BY h),
+        ordd AS (
+          SELECT doc, list_sort(list(df * 4294967296 + h)) AS ks
+          FROM d0 JOIN dfq USING (h) GROUP BY doc
+        ),
+        pref AS (
+          SELECT doc,
+                 unnest(list_slice(ks, 1,
+                   greatest(len(ks)
+                     - (({t_num} * len(ks) + {t_den - 1}) // {t_den})
+                     + 1, 1))) AS okey
+          FROM ordd
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM pref a JOIN pref b
+            ON a.okey = b.okey AND a.doc < b.doc
+        ),
+        sets AS (SELECT doc, list(DISTINCT h) AS hs FROM d0 GROUP BY doc)
+        SELECT doc_a, doc_b, round({jac}, 6) AS jaccard
+        FROM cand
+        JOIN sets x ON x.doc = doc_a
+        JOIN sets y ON y.doc = doc_b
+        WHERE {jac} >= {t_num / t_den!r}
+    """
+
+
+@query(
+    "dd_ppjoin_pairs",
+    bench=True,
+    tags=("datapipe", "dedup", "ppjoin", "prefix-filter"),
+    oracle=_sql_ppjoin(),
+)
+def dd_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard ≥ 0.8 pairs (PPJoin, Xiao
+    WWW'08): only each doc's rarest |d|−⌈t·|d|⌉+1 features (global
+    (df, h) order) are indexed and self-joined, losslessly removing
+    hot-feature posting lists from candidate generation — the exact
+    counterpart of the LSH candidate route, same verify step
+    (operators/dedup.py::ppjoin_pairs; integer-exact prefix bound)."""
+    from cqdg_etl_spark.operators.dedup import ppjoin_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs, "text", "doc_id")

@@ -288,3 +288,46 @@ def test_bm25_ranking_semantics(spark):
     assert got[1][0] > got[2][0]            # higher tf, shorter doc wins
     ranks = sorted(r["rank"] for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_ppjoin_equals_full_inverted_index(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: PPJoin's result must equal the
+    full inverted-index exact-Jaccard pairs at the same threshold."""
+    from cqdg_etl_spark.operators import dedup
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    pp = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ppjoin_pairs(docs, "text", "doc_id").collect()
+    }
+    assert pp == full
+
+
+def test_ppjoin_prefix_shrinks_candidates(spark):
+    """The point of the prefix: a hot boilerplate shingle shared by
+    every doc must NOT appear in candidate generation — docs pair only
+    through rare features, and high-Jaccard pairs still surface."""
+    boiler = "all rights reserved contact us for details"
+    docs = [
+        (i, f"{boiler} article {i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(300)
+    ]
+    docs += [
+        (9_001, f"{boiler} the same rare tail sentence here"),
+        (9_002, f"{boiler} the same rare tail sentence here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from cqdg_etl_spark.operators.dedup import ppjoin_pairs
+
+    rows = ppjoin_pairs(df, "text", "doc_id").collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got[(9_001, 9_002)] == 1.0
+    # boilerplate-only pairs are below threshold and must not appear
+    assert all(a == 9_001 and b == 9_002 for a, b in got)
