@@ -72,6 +72,7 @@ _FRONT = [
     "ret_bm25_topk",
     "ret_hybrid_rrf",
     "dd_ppjoin_pairs",
+    "tx_pmi_bigrams",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -106,3 +106,51 @@ def bigram_lm_scores(
             6,
         ).alias("mean_condp"),
     ).select(F.col("doc").alias(id_col), "n_bigrams", "mean_condp")
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks, CL'90): PMI(w1,w2) = round(ln(N·c12 / (c1·c2)), 6) over the
+    corpus bigram stream, restricted to pairs with c12 ≥ min_count
+    (raw PMI overweights hapax pairs — the standard guard).
+
+    The collocation miner for tokenizer/vocab construction and
+    phrase-aware dedup. Counts are three map-side-combined aggregates
+    (c12; the w1/w2 marginals computed from the ALREADY-AGGREGATED
+    bigram table, vocabulary-sized input); N is the one-row total.
+    ln is pinned to 6 dp (the package's libm convention); ordering
+    uses the rounded PMI + both words, a total order shared with the
+    oracle. orderBy+limit top-k = TakeOrderedAndProject.
+    """
+    big = _bigrams(df, text_col, id_col).select("w1", "w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n_big"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_big") * F.col("c12")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ),
+        )
+        .select("w1", "w2", "c12", "pmi")
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+    return top

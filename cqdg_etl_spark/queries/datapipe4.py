@@ -771,3 +771,44 @@ def dd_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return ppjoin_pairs(docs, "text", "doc_id")
+
+
+# ----------------------------------------------- PMI collocations
+
+
+@query(
+    "tx_pmi_bigrams",
+    tags=("datapipe", "text", "collocations", "pmi"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents
+        ),
+        big AS (
+          SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+                 unnest(list_slice(t, 2, len(t))) AS w2
+          FROM toks WHERE len(t) >= 2
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                FROM c12 GROUP BY w1),
+        c2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+                FROM c12 GROUP BY w2),
+        n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM c12)
+        SELECT w1, w2, c12,
+               round(ln(CAST(n_big * c12 AS DOUBLE)
+                        / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+        FROM c12 JOIN c1t USING (w1) JOIN c2t USING (w2), n
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def tx_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information (Church &
+    Hanks CL'90, c12 ≥ 5 guard) — the phrase/vocab-construction miner.
+    Three map-side-combined count aggregates (marginals from the
+    already-aggregated bigram table), one-row total broadcast, 6-dp ln,
+    TakeOrderedAndProject top-k (operators/lm.py::pmi_bigrams)."""
+    from cqdg_etl_spark.operators.lm import pmi_bigrams
+
+    docs = load(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", "doc_id", min_count=5, k=50)

@@ -75,6 +75,8 @@ BNLJ_OK: dict[str, str] = {
     "onto the scored terms",
     "ret_hybrid_rrf": "inherits both reviewed scalar fan-outs: the "
     "BM25 corpus-stats row and the 1-row-query brute-force dense side",
+    "tx_pmi_bigrams": "single-row bigram-total scalar joined to the "
+    "scored pairs",
 }
 
 
