@@ -73,6 +73,8 @@ _FRONT = [
     "ret_hybrid_rrf",
     "dd_ppjoin_pairs",
     "tx_pmi_bigrams",
+    "pf_equidepth_nchars_by_lang",
+    "fe_zscore_by_lang",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -812,3 +812,130 @@ def tx_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return pmi_bigrams(docs, "text", "doc_id", min_count=5, k=50)
+
+
+# ------------------------- equi-depth histogram via scalable rank
+
+_ED_K = 8
+
+
+@query(
+    "pf_equidepth_nchars_by_lang",
+    tags=("profile", "histogram", "equi-depth"),
+    oracle=f"""
+        SELECT lang, bucket, count(*) AS n,
+               min(n_chars) AS lo, max(n_chars) AS hi
+        FROM (
+          SELECT lang, n_chars,
+                 CAST(((row_number() OVER (
+                          PARTITION BY lang ORDER BY n_chars, doc_id)
+                        - 1) * {_ED_K})
+                      // (count(*) OVER (PARTITION BY lang)) AS INT)
+                   AS bucket
+          FROM documents
+        )
+        GROUP BY lang, bucket
+    """,
+)
+def pf_equidepth_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language equi-depth histogram (8 buckets) of document
+    lengths: bucket = floor((rank−1)·k / n_group) over the (n_chars,
+    doc_id) total order — the quantile profile column stores keep for
+    data skipping, computed with the scalable per-domain rank (range
+    partitions + broadcast offsets; the oracle spells the equivalent
+    single-task window). Equi-DEPTH, not equi-width: each bucket holds
+    ~n/k rows regardless of the value distribution, so min/max per
+    bucket ARE the empirical octile boundaries."""
+    from pyspark.sql import Window as W
+
+    from cqdg_etl_spark.operators.ranking import global_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    ranked = global_rank(
+        docs,
+        [F.col("lang"), F.col("n_chars"), F.col("doc_id")],
+        rank_col="_grank",
+    )
+    base = F.broadcast(
+        ranked.groupBy("lang").agg(
+            F.min("_grank").alias("_base"),
+            F.count("*").alias("_n"),
+        )
+    )
+    bucketed = ranked.join(base, "lang").select(
+        "lang",
+        "n_chars",
+        # integer floor-div, not a double quotient cast: at n beyond
+        # ~4e15 a just-under-integer quotient can round UP in IEEE and
+        # land one bucket high; DIV is exact at any scale (and is what
+        # the oracle's // does)
+        F.expr("CAST(((_grank - _base) * 8) DIV _n AS INT)").alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+
+
+# ----------------------- per-domain feature standardization (z-score)
+
+
+@query(
+    "fe_zscore_by_lang",
+    tags=("datapipe", "features", "normalization"),
+    oracle="""
+        WITH stats AS (
+          SELECT lang,
+                 CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE)
+                   / count(*) AS mu,
+                 count(*) AS n,
+                 CAST(sum(CAST(CAST(n_chars AS DOUBLE)
+                               * CAST(n_chars AS DOUBLE)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*) AS m2
+          FROM documents GROUP BY lang
+        )
+        SELECT doc_id, d.lang,
+               round((n_chars - mu) / sqrt(m2 - mu * mu), 6) AS z
+        FROM documents d JOIN stats USING (lang)
+    """,
+)
+def fe_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain feature standardization: z-score of document length
+    within its language — the per-source normalization quality filters
+    need (a 300-char doc is short for English prose, long for CJK).
+    One map-side-combined stats aggregate per domain (exact-decimal
+    sum and sum-of-squares so mu/sigma are partition-order exact),
+    broadcast back onto the corpus — the same one-pass + broadcast
+    shape as quantize_int8, but grouped. Population sigma via
+    E[X^2] - mu^2."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    stats = docs.groupBy("lang").agg(
+        (
+            F.sum(F.col("n_chars").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        (
+            F.sum(
+                (
+                    F.col("n_chars").cast("double")
+                    * F.col("n_chars").cast("double")
+                ).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("m2"),
+    )
+    return docs.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        F.round(
+            (F.col("n_chars") - F.col("mu"))
+            / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")),
+            6,
+        ).alias("z"),
+    )
