@@ -75,6 +75,9 @@ _FRONT = [
     "tx_pmi_bigrams",
     "pf_equidepth_nchars_by_lang",
     "fe_zscore_by_lang",
+    "tx_novelty_score",
+    "agg_modern_functions",
+    "ev_markov_transitions",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -939,3 +939,158 @@ def fe_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# ------------------------------------------------ n-gram novelty
+
+from cqdg_etl_spark.queries.datapipe import _sql_shingles as _shingles_sql  # noqa: E402
+
+_sql_shingles_novelty = _shingles_sql("text")
+
+
+@query(
+    "tx_novelty_score",
+    tags=("datapipe", "text", "novelty", "quality"),
+    oracle=f"""
+        WITH s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles_novelty})
+            AS shingle FROM documents
+        ),
+        d0 AS (
+          SELECT doc,
+                 CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                   AS h
+          FROM s
+        ),
+        dfq AS (SELECT h, count(*) AS df FROM d0 GROUP BY h)
+        SELECT doc,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique,
+               round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS novelty
+        FROM d0 JOIN dfq USING (h)
+        GROUP BY doc
+    """,
+)
+def tx_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles that appear NOWHERE else in the corpus — high
+    novelty = unique contribution, low = boilerplate/derivative (the
+    diversity counterweight to dedup's similarity scores). One shingle
+    index + one df aggregate joined back on the 60-bit portable hash;
+    both map-side combined."""
+    from cqdg_etl_spark.functions.text import word_shingles
+    from cqdg_etl_spark.operators.dedup import _spread
+
+    docs = load(spark, sf_dir, "documents")
+    idx = _spread(docs).select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dfq = idx.groupBy("h").agg(F.count("*").alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        idx.join(dfq, "h")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(
+                uniq.cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+# --------------------------------- modern aggregate-function surface
+
+
+@query(
+    "agg_modern_functions",
+    tags=("agg", "function"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               round(median(o_totalprice), 2) AS med_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_modern_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate-function surface in one query: count_if,
+    bool_and/bool_or, and interpolated median (= continuous 0.5
+    percentile — both engines average the two middle values on even
+    counts, so the 2-dp round is engine-exact). Completes §2.4's
+    aggregate family with the functions a reference user coming from
+    a warehouse expects."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+    )
+
+
+# ------------------------------------ event transition matrix (Markov)
+
+
+@query(
+    "ev_markov_transitions",
+    tags=("events", "sequence", "markov"),
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events
+        ),
+        c AS (
+          SELECT event_type AS from_type, next_type AS to_type,
+                 count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ),
+        m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+              FROM c GROUP BY from_type)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE) / n_from, 6) AS p
+        FROM c JOIN m USING (from_type)
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type) from lead() over the
+    (ts, event_id) total order — the sequence prior behind
+    next-event prediction and anomaly scoring. The per-user window
+    partitions by user_id (millions of modest partitions at scale —
+    the shape windows are FOR, unlike a single global sort); marginals
+    come from the already-aggregated transition counts."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    m = c.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        c.join(F.broadcast(m), "from_type")
+        .withColumn("p", F.round(F.col("n").cast("double") / F.col("n_from"), 6))
+        .select("from_type", "to_type", "n", "p")
+    )
