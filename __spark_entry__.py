@@ -78,6 +78,12 @@ _FRONT = [
     "tx_novelty_score",
     "agg_modern_functions",
     "ev_markov_transitions",
+    "etl_merge_upsert",
+    "ds_dsir_logweights",
+    "sk_hll_users",
+    "graph_adamic_adar",
+    "ann_topk_pq_adc",
+    "tx_ccnet_buckets",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -108,3 +108,54 @@ def snapshot_diff(
     return o.join(n, cond, "full_outer").select(
         *key_cols, change.alias("change_type")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_missing: bool = False,
+) -> DataFrame:
+    """General MERGE INTO semantics as a batch operator: the next
+    version of ``target`` after applying ``source`` —
+
+    - key in both            → source row wins (WHEN MATCHED UPDATE)
+    - key only in source     → inserted (WHEN NOT MATCHED INSERT)
+    - key only in target     → kept, or dropped when
+      ``delete_missing=True`` (WHEN NOT MATCHED BY SOURCE DELETE —
+      the "source is a full snapshot" mode)
+
+    Both inputs must share a schema and satisfy the CDC-key contract
+    (non-null keys, source unique per key — pre-compact a multi-row
+    change log with ``keep_latest`` first).
+
+    Scale shape: ONE full-outer shuffle join on the keys (AQE handles
+    skew), then a pure per-column coalesce projection — no window, no
+    UDF, no second pass. This is the read-side spec that
+    ``foreach_batch_parquet_upsert`` maintains incrementally partition
+    by partition; as a batch operator it is the engine's equivalent of
+    Delta/Iceberg MERGE for plain-parquet pipelines.
+    """
+    payload = [c for c in target.columns if c not in keys]
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+    )
+    joined = t.join(s, cond, "full_outer")
+    # presence probes through the first key column (non-null contract)
+    in_s = F.col(f"s.{keys[0]}").isNotNull()
+    in_t = F.col(f"t.{keys[0]}").isNotNull()
+    out = joined.select(
+        *[F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
+        *[
+            F.when(in_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in payload
+        ],
+        in_s.alias("_in_s"),
+        in_t.alias("_in_t"),
+    )
+    if delete_missing:
+        out = out.filter(F.col("_in_s"))
+    return out.drop("_in_s", "_in_t")

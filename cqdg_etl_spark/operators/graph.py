@@ -367,3 +367,61 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_center_degree: int = 64,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected simple graph
+    given as canonical distinct pairs (a < b): score every NON-adjacent
+    pair (u < v) sharing ≥ 1 neighbor by
+
+        AA(u,v) = Σ_{w ∈ N(u) ∩ N(v)}  1 / ln(deg(w))
+
+    → (u, v, n_common, aa_score). Existing edges are excluded (the
+    point of link prediction is NEW links); rare shared neighbors
+    dominate the score, which is why AA beats raw common-neighbor
+    counts (Adamic & Adar, Social Networks 2003).
+
+    Scale shape: the wedge enumeration at center w is C(deg(w), 2) —
+    the same last-reducer hub problem triangle counting has, but AA
+    cannot use degree orientation (every wedge must be seen, not each
+    triangle once). The standard exact-enough fix is the
+    ``max_center_degree`` guard: hubs above the cap are EXCLUDED as
+    centers — their per-wedge weight 1/ln(deg) is the smallest signal
+    in the sum (a w connected to everything certifies nothing about
+    u,v), so the cap removes the quadratic term while perturbing
+    scores least. Same role (and same oracle-mirrored semantics) as
+    ``max_df`` in the dedup inverted indexes; at 100 TB set it as a
+    degree-distribution quantile.
+
+    Determinism: each center weight is round(1/ln(d), 6) (the libm
+    convention) and per-pair sums accumulate the rounded terms in
+    DECIMAL(38,6) — associative, partition-order-proof.
+    """
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    adj = e.select(F.col("x").alias("w"), F.col("y").alias("n")).union(
+        e.select(F.col("y").alias("w"), F.col("x").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").alias("d"))
+    centers = deg.filter(
+        (F.col("d") >= 2) & (F.col("d") <= max_center_degree)
+    ).select("w", F.round(F.lit(1.0) / F.log(F.col("d")), 6).alias("wt"))
+    half = adj.join(centers, "w")
+    p1 = half.select("w", F.col("n").alias("u"), "wt")
+    p2 = half.select("w", F.col("n").alias("v"))
+    wedges = p1.join(p2, "w").filter(F.col("u") < F.col("v"))
+    scores = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("n_common"),
+        F.round(
+            F.sum(F.col("wt").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("aa_score"),
+    )
+    return scores.join(
+        e,
+        (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")),
+        "left_anti",
+    )

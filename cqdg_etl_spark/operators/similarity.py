@@ -752,35 +752,169 @@ def pq_codes(
     shuffles at all in the assignment (the fits shuffle cells×dims
     skinny rows as documented in ivf_fit_centroids).
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    out = corpus.select(F.col(id_col), F.col(vec_col))
-    code_cols = []
-    for s in range(m):
-        lo = s * sub  # 0-based; F.slice is 1-based
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), lo + 1, sub).alias("_sub"),
-        )
-        centers = ivf_fit_centroids(
-            sliced,
-            id_col,
-            "_sub",
-            n_bits=n_bits,
-            seed=seed + s,
-            train_mod=train_mod,
-        )
-        assign = _nearest_cells_arrow(centers, 1)
-        out = out.withColumn(
-            f"code_{s}", assign(F.slice(F.col(vec_col), lo + 1, sub))[0]
-        )
-        code_cols.append(f"code_{s}")
+    sub, books = pq_fit_codebooks(
+        corpus, id_col, vec_col, m=m, n_bits=n_bits, seed=seed,
+        train_mod=train_mod,
+    )
+    out = _pq_assign(corpus, books, sub, id_col, vec_col)
+    code_cols = [f"code_{s}" for s in range(m)]
     return out.select(
         id_col,
         *code_cols,
         F.concat_ws("|", *[F.col(c).cast("string") for c in code_cols]).alias(
             "code"
         ),
+    )
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_bits: int = 4,
+    seed: int = 42,
+    train_mod: int = 1,
+) -> tuple[int, list[list[tuple[int, list[float]]]]]:
+    """Train the ``m`` per-subspace PQ codebooks (shared by
+    ``pq_codes`` and ``pq_adc_topk``): each is one
+    ``ivf_fit_centroids`` fit over a SLICED projection with seed
+    ``seed + s`` — independent subspace draws, slice pruned in the
+    scan. Returns (sub_dim, codebooks)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        lo = s * sub  # 0-based; F.slice is 1-based
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), lo + 1, sub).alias("_sub"),
+        )
+        books.append(
+            ivf_fit_centroids(
+                sliced,
+                id_col,
+                "_sub",
+                n_bits=n_bits,
+                seed=seed + s,
+                train_mod=train_mod,
+            )
+        )
+    return sub, books
+
+
+def _pq_assign(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, code_0..code_{m-1}) — per-subspace nearest-centroid
+    codes, Arrow-vectorized with codebooks as closure data."""
+    out = corpus.select(F.col(id_col), F.col(vec_col))
+    for s, centers in enumerate(books):
+        assign = _nearest_cells_arrow(centers, 1)
+        out = out.withColumn(
+            f"code_{s}", assign(F.slice(F.col(vec_col), s * sub + 1, sub))[0]
+        )
+    return out
+
+
+def _adc_distance_arrow(books: list[list[tuple[int, list[float]]]], sub: int):
+    """Arrow-vectorized asymmetric PQ distance: query keeps its full
+    float vector, the corpus row is represented ONLY by its m codes —
+    distance = Σ_s ||q_s − codebook_s[code_s]||². Per subspace the
+    squared-diff fold is left-to-right (np.add.accumulate — the
+    package's oracle-matched fold); subspace partials then add in
+    subspace order, so DuckDB's ((d0+d1)+d2)+d3 reproduces the exact
+    IEEE double. Codebooks ride in the closure — O(1) plan size."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    # cell ids are sparse in [0, 2^n_bits); index a dense table by id
+    tabs = []
+    for centers in books:
+        size = max(c for c, _ in centers) + 1
+        t = np.zeros((size, sub), dtype=np.float64)
+        for c, v in centers:
+            t[c] = v
+        tabs.append(t)
+
+    @F.pandas_udf("double")
+    def adc(qv, codes):
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.float64)
+        Q = np.stack(qv.values).astype(np.float64)
+        C = np.stack(codes.values)
+        total = np.zeros(len(Q), dtype=np.float64)
+        for s in range(m):
+            diff = Q[:, s * sub : (s + 1) * sub] - tabs[s][C[:, s]]
+            total = total + np.add.accumulate(diff * diff, axis=1)[:, -1]
+        return pd.Series(total)
+
+    return adc
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_bits: int = 4,
+    seed: int = 42,
+    train_mod: int = 1,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC —
+    Jégou et al. 2011): corpus vectors are replaced by their ``m``
+    sub-codes, queries stay full-precision, and candidate distance is
+    the sum of per-subspace query-to-assigned-centroid distances.
+    Returns (query_id, neighbor_id, rank, adc_dist) — rank ascending
+    by distance, ties → lower neighbor id.
+
+    Why this is the 100-TB serving shape: after the (tiny) codebook
+    fit, the corpus is represented by m small ints per vector — a
+    256-byte float32 row becomes m bytes — so the scan that scoring
+    streams over is ~64× smaller than the raw embedding column, and
+    per-candidate work is m table lookups + m·sub subtractions instead
+    of a dim-length dot product. The query side is broadcast
+    (queries ≪ corpus, same contract as brute_force_topk); the corpus
+    codes stream map-side with NO shuffle until the per-query top-k.
+    Recall vs the exact baseline is a codebook-resolution knob
+    (n_bits, m), asserted in tests.
+    """
+    sub, books = pq_fit_codebooks(
+        corpus, id_col, vec_col, m=m, n_bits=n_bits, seed=seed,
+        train_mod=train_mod,
+    )
+    coded = _pq_assign(corpus, books, sub, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[F.col(f"code_{s}") for s in range(m)]).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    dist = _adc_distance_arrow(books, sub)
+    scored = F.broadcast(q).crossJoin(coded).select(
+        "query_id",
+        "neighbor_id",
+        dist(F.col("q_vec"), F.col("codes")).alias("adc_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
     )

@@ -188,3 +188,113 @@ def linear_count(
             ),
         ).alias("estimate"),
     )
+
+
+# --------------------------------------------------------- HyperLogLog
+
+HLL_P = 8  # 2^8 = 256 registers
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, p: int = HLL_P, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al., AofA'07) for
+    distinct ``value_col``: (reg, mx) with reg ∈ [0, 2^p) and mx the
+    max leading-zero rank observed in that register.
+
+    Hashing is the package's portable 60-bit md5 int: register = low p
+    bits (mod 2^p), rank ρ = position of the first 1-bit in the NEXT
+    32 bits + 1 (all-zero suffix → ρ = 33). ρ is derived from the
+    BINARY-STRING length of the suffix (exact integer/string ops —
+    Spark ``length(bin(x))``, DuckDB ``length(format('{:b}', x))``) so
+    both engines build bit-identical registers; no float log anywhere
+    in the sketch itself.
+
+    This is THE mergeable cardinality structure at 100 TB: each
+    executor partial-aggregates its partition to ≤ 2^p rows before the
+    shuffle (map-side combine on max), the sketch is 2^p small rows,
+    and merging sketches across corpora/days = union + max per
+    register (``hll_merge``). Standard error ≈ 1.04/√(2^p) ≈ 6.5% at
+    p=8 — size p to the accuracy target, the plan shape is unchanged.
+    """
+    m = 1 << p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # suffix = the next 32 bits above the register bits (integer DIV —
+    # a double-routed '/' would lose exactness above 2^53); ρ = 33 −
+    # bit_length(suffix), suffix=0 → 33. bin() never sees a negative:
+    # h is a 60-bit non-negative int.
+    rows = (
+        df.select(h.alias("h"))
+        .select(
+            F.pmod(F.col("h"), F.lit(m)).alias("reg"),
+            F.expr(f"(h DIV {m}) % {1 << 32}").alias("hsfx"),
+        )
+    ).select(
+        "reg",
+        F.when(F.col("hsfx") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.expr("bin(hsfx)")))
+        .cast("int")
+        .alias("rho"),
+    )
+    return rows.groupBy("reg").agg(F.max("rho").alias("mx"))
+
+
+def hll_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge register tables: union + per-register max (associative,
+    commutative — the property that makes HLL shardable)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row cardinality estimate from a register table:
+    (m, n_zero, estimate).
+
+    E = α_m · m² / Σ_j 2^(−M_j) with the small-range linear-counting
+    correction (E ≤ 2.5m and empty registers exist → m·ln(m/V)).
+
+    Determinism: each 2^(−M) term is computed as 1 / (1::long << M) —
+    exact integer shift + exact power-of-two division, and the Σ is
+    exact in IEEE double for p ≤ 10 (terms are dyadic with ≤ 33
+    fractional bits, ≤ 2^p of them — every partial sum fits a 53-bit
+    mantissa), so the harmonic denominator is bit-identical regardless
+    of engine or accumulation order. The only libm call is the
+    correction's ln, pinned by the package's round-to-2dp convention
+    (same as linear_count).
+    """
+    m = 1 << p
+    spark = registers.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").alias("reg"))
+        .join(registers, "reg", "left")
+        .select("reg", F.coalesce(F.col("mx"), F.lit(0)).alias("mx"))
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = full.agg(
+        F.sum(
+            F.lit(1.0)
+            / F.expr("shiftleft(CAST(1 AS BIGINT), mx)").cast("double")
+        ).alias("s"),
+        F.sum(F.when(F.col("mx") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / F.col("s")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.round(corrected, 2).alias("estimate"),
+    )

@@ -77,6 +77,13 @@ BNLJ_OK: dict[str, str] = {
     "BM25 corpus-stats row and the 1-row-query brute-force dense side",
     "tx_pmi_bigrams": "single-row bigram-total scalar joined to the "
     "scored pairs",
+    "ann_topk_pq_adc": "PQ-ADC scoring: tiny broadcast query side "
+    "crossed with the (m-byte-per-row) coded corpus — same contract "
+    "as the brute-force baseline but over codes, not vectors",
+    "ds_dsir_logweights": "two single-row corpus-total scalars joined "
+    "into the <=n_buckets-row ratio table build",
+    "tx_ccnet_buckets": "inherits the bigram-LM single-row "
+    "vocabulary-size scalar join",
 }
 
 
