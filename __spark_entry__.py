@@ -84,6 +84,10 @@ _FRONT = [
     "graph_adamic_adar",
     "ann_topk_pq_adc",
     "tx_ccnet_buckets",
+    "sk_hll_users_by_type",
+    "ev_resample_ffill",
+    "emb_hard_negatives",
+    "ev_cusum_drift",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

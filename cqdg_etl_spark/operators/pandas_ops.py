@@ -59,3 +59,60 @@ def grouped_order_stats(
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
         stats, out_schema
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    threshold: float,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per group (Page, Biometrika '54)
+    → (group, n_points, n_alarms, max_s).
+
+    S_0 = 0;  S_i = max(0, (S_{i−1} + x_i) − target);  alarm ⇔ S_i >
+    threshold. The clamp at zero breaks prefix-sum decomposability —
+    no window/aggregate expression computes it — so this is the
+    grouped-map case the module docstring reserves for genuinely
+    sequential per-group logic. Groups are entity-sized (a user's
+    events), never corpus-wide keys.
+
+    Determinism: float accumulation here is NOT order-free, so the op
+    sequence is pinned by sorting each group on ``order_cols`` (a
+    total order) and evaluating the recurrence left-to-right with
+    plain double ops — the exact op-for-op sequence a recursive-CTE
+    oracle performs, so results hash-match despite being IEEE doubles.
+    ``max_s`` is returned raw; callers round at the Spark layer.
+    """
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(order_cols, kind="mergesort")
+        s = 0.0
+        mx = 0.0
+        alarms = 0
+        for v in g[value_col].to_numpy(dtype="float64"):
+            s = max(0.0, (s + float(v)) - target)
+            if s > mx:
+                mx = s
+            if s > threshold:
+                alarms += 1
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_points": [len(g)],
+                "n_alarms": [alarms],
+                "max_s": [mx],
+            }
+        )
+
+    out_schema = (
+        f"{group_col} long, n_points long, n_alarms long, max_s double"
+    )
+    return (
+        df.select(group_col, *order_cols, value_col)
+        .groupBy(group_col)
+        .applyInPandas(run, out_schema)
+    )

@@ -918,3 +918,74 @@ def pq_adc_topk(
             F.round("adc_dist", 6).alias("adc_dist"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most-similar corpus vectors with a DIFFERENT label —
+    (query_id, query_label, neighbor_id, neighbor_label, rank, cos).
+
+    The staple of embedding-model training-data curation (dense
+    retrievers / contrastive fine-tuning mine their negatives exactly
+    this way). Same scale shape as ``brute_force_topk``: the query side
+    is broadcast, norms are per-vector projections computed once per
+    side (never inside the pair expression), and the label-mismatch
+    filter runs BEFORE the rank window so positives never occupy
+    ranks. Ties broken by neighbor id — fully deterministic. For
+    corpus-×-corpus mining at 100 TB swap the broadcast cross join for
+    the banded-SRP candidate generator (``banded_cosine_dup_pairs``)
+    and keep this label filter + window unchanged.
+    """
+    from cqdg_etl_spark.functions.vectors import dot, l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+    ).select(
+        "query_id", "query_label", "q_vec",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("c_vec"),
+    ).select(
+        "neighbor_id", "neighbor_label", "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

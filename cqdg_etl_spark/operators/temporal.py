@@ -159,3 +159,72 @@ def range_join(
         )
         .drop("_band")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-filled fixed-step resampling with forward fill —
+    (key, bucket_ts, value): one row per key per ``step`` between the
+    key's first and last observation; empty buckets carry the latest
+    earlier observation forward. The time-series densification
+    primitive Spark lacks as a built-in (pandas ``resample().ffill()``),
+    composed entirely from DataFrame operators.
+
+    Shuffle shape at scale:
+      1. groupBy(key, bucket) picks the LAST observation per bucket
+         via ``max_by`` with a total-order (ts, *tiebreaks) key —
+         map-side partial agg collapses the fact table before the
+         exchange, so the shuffle carries ≤ one row per (key, bucket).
+      2. per-key bounds are a groupBy(key) over that already-small
+         frame; the dense grid is ``sequence()`` + ``explode`` —
+         GENERATED rows, never shuffled from the fact.
+      3. one (key, bucket) hash join grid←obs (both sides are
+         bucket-grain, tiny next to the fact) and one window pass on
+         key for the forward fill (``last(ignorenulls)``).
+    The raw fact table is read ONCE and never re-joined. Dense-grid
+    cardinality is Σ_key span/step — bound it with the step size, not
+    with the fact row count.
+
+    Determinism: the per-bucket pick is a selection under a total
+    order; the fill copies values — no float arithmetic anywhere.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else (
+        F.window(F.col(ts_col), step).getField("start")
+    )
+    ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    obs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            bucket.alias("bucket_ts"),
+            ordkey.alias("o"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("k", "bucket_ts")
+        .agg(F.max_by("v", F.col("o")).alias("v_obs"))
+    )
+    bounds = obs.groupBy("k").agg(
+        F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
+    )
+    grid = bounds.select(
+        "k",
+        F.explode(F.expr(f"sequence(mn, mx, interval {step})")).alias(
+            "bucket_ts"
+        ),
+    )
+    joined = grid.join(obs, ["k", "bucket_ts"], "left")
+    w = (
+        W.partitionBy("k")
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        "bucket_ts",
+        F.last("v_obs", ignorenulls=True).over(w).alias(value_col),
+    )
