@@ -88,6 +88,10 @@ _FRONT = [
     "ev_resample_ffill",
     "emb_hard_negatives",
     "ev_cusum_drift",
+    "pf_psi_totalprice_drift",
+    "ds_softdedup_weights",
+    "tx_vocab_coverage",
+    "ev_trend_daily",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

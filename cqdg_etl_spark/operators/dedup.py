@@ -714,3 +714,33 @@ def ppjoin_pairs(
         .filter(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, weight
+    every document by 1/|duplicate cluster| so a corpus sampler sees
+    each distinct text with total mass 1 — (id, fingerprint, cluster_n,
+    weight). The duplicate-aware sampling-weight scheme used when
+    duplicates carry signal (popularity) that hard dedup would erase.
+
+    ONE shuffle: the md5(normalized-text) fingerprint partitions a
+    count window; no join, no second scan. Composes with
+    ``ds_mixture_weighted_sample``-style samplers as the per-row base
+    weight.
+    """
+    fp = F.md5(normalize_ws(F.col(text_col)))
+    w = W.partitionBy("fingerprint")
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .withColumn("cluster_n", F.count(F.lit(1)).over(w))
+        .select(
+            id_col,
+            "fingerprint",
+            "cluster_n",
+            F.round(F.lit(1.0) / F.col("cluster_n").cast("double"), 6).alias(
+                "weight"
+            ),
+        )
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -103,4 +103,81 @@ def fixed_histogram(
             F.round(F.lit(lo) + (F.col("bucket") + 1) * width, 6).alias("hi_edge"),
             "cnt",
         )
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of a numeric column → one row per bin:
+    (bin, n_ref, n_cur, p_ref, p_cur, psi_term). Σ psi_term is the PSI
+    (rule of thumb: < 0.1 stable, > 0.25 drifted) — the standard
+    snapshot-to-snapshot distribution-drift gate for feature/quality
+    columns between pipeline runs.
+
+    Plan shape: equi-width bins from the REFERENCE side's min/max —
+    one 1-row bounds aggregate broadcast onto both sides (the same
+    two-pass quantization contract as ``similarity.quantize_int8``),
+    then one groupBy(bin) per side; the 2·n_bins-row result is
+    densified against ``range(n_bins)`` and the proportions come from
+    a whole-frame window sum over those n_bins rows — no third scan of
+    either input. Zero-count bins are clamped to ``eps`` before the
+    log-ratio (the conventional PSI guard), mirrored in the oracle.
+    """
+    spark = ref.sparkSession
+    bounds = ref.agg(
+        F.min(value_col).alias("mn"),
+        ((F.max(value_col) - F.min(value_col)) / F.lit(float(n_bins))).alias(
+            "w"
+        ),
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.col("mn")) / F.col("w")).cast(
+                    "int"
+                ),
+            ),
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    f = (
+        bins.join(binned(ref, "c_ref"), "bin", "left")
+        .join(binned(cur, "c_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    w_all = W.partitionBy()
+    pr = F.greatest(
+        F.col("n_ref").cast("double") / F.sum("n_ref").over(w_all).cast("double"),
+        F.lit(eps),
+    )
+    pc = F.greatest(
+        F.col("n_cur").cast("double") / F.sum("n_cur").over(w_all).cast("double"),
+        F.lit(eps),
+    )
+    return f.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(pr, 6).alias("p_ref"),
+        F.round(pc, 6).alias("p_cur"),
+        F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_term"),
     )

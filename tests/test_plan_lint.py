@@ -84,6 +84,9 @@ BNLJ_OK: dict[str, str] = {
     "into the <=n_buckets-row ratio table build",
     "tx_ccnet_buckets": "inherits the bigram-LM single-row "
     "vocabulary-size scalar join",
+    "pf_psi_totalprice_drift": "single-row reference min/width bounds "
+    "broadcast onto both snapshot sides (same two-pass quantization "
+    "contract as emb_quantize_int8)",
     "emb_hard_negatives": "hard-negative mining over the brute-force "
     "baseline shape: broadcast query side crossed with the corpus, "
     "label filter before the rank window; the 100-TB path swaps in "
