@@ -92,6 +92,9 @@ _FRONT = [
     "ds_softdedup_weights",
     "tx_vocab_coverage",
     "ev_trend_daily",
+    "ds_pps_systematic_sample",
+    "ds_quality_budget_select",
+    "ds_temperature_mixture",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -148,3 +148,49 @@ def deterministic_shuffle(
     return global_rank(
         keyed, [F.col("_hk"), F.col(id_col)], rank_col="shuffle_rank"
     ).drop("_hk")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in ``order_cols`` order
+    without a single-partition sort — same two-pass recipe as
+    ``global_rank`` (range-repartition, per-partition prefix sums, a
+    K-row driver action for the per-partition totals, broadcast
+    offsets), but the offset carried is the SUM of all earlier
+    partitions rather than their row count.
+
+    ``order_cols`` MUST form a total order. For engine-exact results
+    use an integer/decimal ``value_col`` (token counts, byte sizes);
+    a double column makes the cumsum order-dependent in the last ulp.
+    """
+    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    sums = (
+        with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_s"] or 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        with_pid.join(off_df, "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

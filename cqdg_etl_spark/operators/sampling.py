@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _BUCKETS = 1 << 32
@@ -137,4 +137,61 @@ def mixture_weighted_sample(
     bucket = hash_bucket(F.col(id_col), salt)
     return df.join(F.broadcast(thresholds), domain_col).filter(
         bucket < F.col("thr")
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling, k picks
+    per stratum (Madow '49): lay every row's integer weight end-to-end
+    along a line of length T (the stratum's weight total), drop k
+    equally-spaced pins, keep the rows a pin lands in. Inclusion
+    probability ∝ weight, zero randomness, zero libm — row i is
+    selected iff
+
+        (cum_i · k) DIV T  >  (cum_{i-1} · k) DIV T
+
+    with cum the running weight sum in ``id_col`` order. ALL-INTEGER
+    arithmetic (the classic floor-ratio form), so the sample is
+    engine-exact — no u^(1/w) keys, no pow/ln ulp hazards.
+
+    One shuffle: a single window partitioned by stratum (ordered by
+    id) computes both the running sum and the stratum total. Rows with
+    weight > T/k can straddle several pins — they are kept once with
+    ``n_pins`` recording their multiplicity (standard PPS-with-
+    replacement accounting).
+    """
+    w_ord = W.partitionBy("_st").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("_st")
+    base = df.select(
+        F.col(stratum_col).alias("_st"),
+        F.col(id_col).alias(id_col),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    cum = base.select(
+        "_st",
+        id_col,
+        "_w",
+        F.sum("_w").over(w_ord).alias("_cum"),
+        F.sum("_w").over(w_all).alias("_t"),
+    )
+    pins = F.expr(f"(_cum * {k}) DIV _t") - F.expr(
+        f"((_cum - _w) * {k}) DIV _t"
+    )
+    return (
+        cum.withColumn("n_pins", pins.cast("long"))
+        .filter(F.col("n_pins") > 0)
+        .select(
+            F.col("_st").alias(stratum_col),
+            id_col,
+            F.col("_w").alias(weight_col),
+            "n_pins",
+        )
     )
