@@ -95,6 +95,9 @@ _FRONT = [
     "ds_pps_systematic_sample",
     "ds_quality_budget_select",
     "ds_temperature_mixture",
+    "tx_inverted_index",
+    "tx_bpe_first_merges",
+    "emb_label_noise_scores",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -989,3 +989,79 @@ def hard_negatives(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+def label_noise_scores(
+    emb: DataFrame,
+    k: int = 5,
+    query_filter=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-consistency scoring (the confident-learning screen for
+    mislabeled examples): for each scored vector, the fraction of its
+    k nearest neighbors (cosine, self excluded) whose label DISAGREES —
+    (vec_id, label, n_diff, noise_score). A score near 1 flags a
+    likely label error; rank by it to build a re-annotation queue.
+
+    Determinism: neighbors are ranked under the total order
+    (cos desc, neighbor_id), so the k-set — and therefore the
+    disagreement count — is engine-exact even with tied cosines.
+    Scale shape mirrors ``brute_force_topk`` (broadcast scored side,
+    per-side norm projections); at corpus scale swap the exact pair
+    generator for the banded-SRP candidates and keep the disagreement
+    aggregate unchanged.
+    """
+    from cqdg_etl_spark.functions.vectors import dot, l2_norm
+
+    scored_side = emb if query_filter is None else emb.filter(query_filter)
+    q = scored_side.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("q_vec"),
+    ).select(
+        "query_id", "label", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("c_vec"),
+    ).select(
+        "neighbor_id", "n_label", "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "n_label",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") != F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_diff")
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            "label",
+            "n_diff",
+            F.round(
+                F.col("n_diff").cast("double") / F.lit(float(k)), 6
+            ).alias("noise_score"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Behavioral tests for round-3 batch 7: inverted index, BPE merge
+counts, kNN label-noise screen. (Value-level oracle parity is covered
+by tests/test_correctness.py.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_inverted_index_postings_sorted_and_df_floor(spark, tmp_path):
+    from cqdg_etl_spark.queries import REGISTRY
+
+    # "the" appears in 5 docs (>= floor), "cat" in 1 (dropped),
+    # duplicates within a doc count once
+    texts = {i: "the the word%d" % i for i in [5, 3, 1, 4, 2]}
+    sf = _write_docs(tmp_path, texts)
+    out = {r["token"]: r for r in
+           REGISTRY["tx_inverted_index"].fn(spark, sf).collect()}
+    assert list(out) == ["the"]
+    assert out["the"]["df"] == 5
+    assert out["the"]["postings"] == "1,2,3,4,5"
+
+
+def test_bpe_first_merges_hand_counted(spark, tmp_path):
+    from cqdg_etl_spark.queries import REGISTRY
+
+    # words: "aab" x3 (pairs aa, ab), "ab" x2 (ab) -> ab:5, aa:3
+    sf = _write_docs(tmp_path, {1: "aab ab aab", 2: "aab ab"})
+    rows = REGISTRY["tx_bpe_first_merges"].fn(spark, sf).collect()
+    assert [(r["pair"], r["n"]) for r in rows] == [("ab", 5), ("aa", 3)]
+
+
+def test_label_noise_flags_planted_mislabel(spark):
+    from cqdg_etl_spark.operators.similarity import label_noise_scores
+
+    # two tight clusters along orthogonal axes; vec 0 sits in cluster A
+    # but carries cluster B's label -> neighbors all disagree
+    rows = [(0, [1.0, 0.0], 2)] + [
+        (i, [1.0, 0.01 * i], 1) for i in range(1, 7)
+    ] + [(i, [0.0, 1.0], 2) for i in range(10, 16)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in
+           label_noise_scores(emb, k=5).collect()}
+    assert out[0]["noise_score"] == 1.0  # planted mislabel fully flagged
+    # cluster-A members see exactly one disagreeing neighbor: the
+    # planted mislabel itself (it sits inside their cluster)
+    assert out[1]["noise_score"] == 0.2
+    assert out[10]["noise_score"] == 0.0  # far cluster is unaffected
