@@ -98,6 +98,9 @@ _FRONT = [
     "tx_inverted_index",
     "tx_bpe_first_merges",
     "emb_label_noise_scores",
+    "graph_label_propagation",
+    "fe_winsorize_totalprice",
+    "mb_association_rules",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -29,7 +29,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -425,3 +425,54 @@ def adamic_adar(
         (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")),
         "left_anti",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Semi-supervised label propagation with seed clamping (Zhu &
+    Ghahramani '02, majority-vote form): seeds keep their labels;
+    every other node adopts, each round, the most common label among
+    its currently-labeled neighbors (ties → smallest label). After a
+    FIXED number of rounds the labeling is fully deterministic —
+    integer votes, total-order tiebreak — so even this iterative
+    algorithm is hash-matchable against an unrolled SQL oracle, the
+    same contract as ``pagerank``.
+
+    The weak-supervision primitive for corpus curation: propagate a
+    small hand-labeled seed set (topic, quality tier, license class)
+    over a similarity/co-occurrence graph to label the rest.
+
+    Inputs: ``edges`` (src, dst) with BOTH directions present for an
+    undirected graph; ``seeds`` (node, label). Scale shape per round:
+    one hash join edges⋈labels (labels is the small side early on —
+    broadcastable; by later rounds both are node-scale, a plain
+    shuffled join) + one (node, label) vote aggregate + one
+    row_number window — 3 shuffles per round, lineage truncated per
+    round like every iterative operator here.
+    """
+    labels = seeds.select("node", "label")
+    for _ in range(iterations):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = _truncate(
+            seeds.select("node", "label").unionByName(
+                winners.join(seeds.select("node"), "node", "left_anti")
+            ),
+            checkpoint,
+        )
+    return labels
