@@ -101,6 +101,8 @@ _FRONT = [
     "graph_label_propagation",
     "fe_winsorize_totalprice",
     "mb_association_rules",
+    "pf_ks_totalprice_drift",
+    "pf_benford_totalprice",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -84,6 +84,8 @@ BNLJ_OK: dict[str, str] = {
     "into the <=n_buckets-row ratio table build",
     "tx_ccnet_buckets": "inherits the bigram-LM single-row "
     "vocabulary-size scalar join",
+    "pf_ks_totalprice_drift": "single-row (n_ref, n_cur) totals "
+    "broadcast onto the ECDF frame for the exact integer gap",
     "mb_association_rules": "single-row basket-total scalar broadcast "
     "onto the rule table for support/lift denominators",
     "ds_quality_budget_select": "single-row corpus token-total scalar "
