@@ -103,6 +103,7 @@ _FRONT = [
     "mb_association_rules",
     "pf_ks_totalprice_drift",
     "pf_benford_totalprice",
+    "sk_hll_union_intersection",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -259,3 +259,111 @@ def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_points", "n_alarms", F.round("max_s", 6).alias("max_s")
     )
+
+
+# ----------------------------------- HLL set algebra (union / ∩ est)
+
+
+def _hll_est_cte(tag: str, pred: str) -> str:
+    """CTE chain computing the compact-form HLL estimate for the
+    user-id multiset filtered by ``pred``. The compact (no-fill) form
+    equals `hll_estimate`'s densified sum exactly: both are EXACT
+    dyadic double sums (order-independent for p ≤ 10), so the two
+    summation shapes produce bit-identical doubles."""
+    return f"""
+        h_{tag} AS (
+          SELECT CAST(('0x' || substring(md5('hll'
+                   || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM events WHERE {pred}
+        ),
+        r_{tag} AS (
+          SELECT h % {_HLL_M} AS reg,
+                 (h // {_HLL_M}) % 4294967296 AS hsfx
+          FROM h_{tag}
+        ),
+        regs_{tag} AS (
+          SELECT reg, max(CASE WHEN hsfx = 0 THEN 33
+                               ELSE 33 - length(format('{{:b}}', hsfx))
+                          END) AS mx
+          FROM r_{tag} GROUP BY reg
+        )"""
+
+
+def _hll_est_expr(tag: str) -> str:
+    alpha = f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / {_HLL_M}.0))"
+    return f"""
+        est_{tag} AS (
+          SELECT round(CASE WHEN {alpha} * {_HLL_M}.0 * {_HLL_M}.0 / s
+                              <= {2.5 * _HLL_M} AND n_zero > 0
+                 THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(n_zero AS DOUBLE))
+                 ELSE {alpha} * {_HLL_M}.0 * {_HLL_M}.0 / s END, 2) AS e
+          FROM (
+            SELECT sum(CAST(1.0 AS DOUBLE)
+                       / CAST(1::BIGINT << mx AS DOUBLE))
+                     + CAST({_HLL_M} - count(*) AS DOUBLE) AS s,
+                   {_HLL_M} - count(*) AS n_zero
+            FROM regs_{tag}
+          ) t
+        )"""
+
+
+@query(
+    "sk_hll_union_intersection",
+    tags=("datapipe", "sketch", "cardinality"),
+    oracle=f"""
+        WITH {_hll_est_cte('a', "event_type = 'purchase' AND value > 200")},
+        {_hll_est_cte('b', "event_type = 'error' AND value > 200")},
+        regs_u AS (
+          SELECT reg, max(mx) AS mx FROM (
+            SELECT reg, mx FROM regs_a
+            UNION ALL SELECT reg, mx FROM regs_b
+          ) t GROUP BY reg
+        ),
+        {_hll_est_expr('a')},
+        {_hll_est_expr('b')},
+        {_hll_est_expr('u')}
+        SELECT est_a.e AS est_a, est_b.e AS est_b, est_u.e AS est_union,
+               round(est_a.e + est_b.e - est_u.e, 2) AS est_intersection
+        FROM est_a, est_b, est_u
+    """,
+)
+def sk_hll_union_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: distinct high-value purchasers, distinct
+    high-value error users, their union via per-register max merge (`hll_merge` — the
+    property that makes the sketch shardable), and the inclusion-
+    exclusion intersection estimate. One row: (est_a, est_b,
+    est_union, est_intersection). The union NEVER rescans data — it
+    is a 2·m-row register merge, which is exactly how per-day /
+    per-shard sketches compose at 100 TB."""
+    from cqdg_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    ra = hll_registers(
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200)),
+        "user_id",
+    )
+    rb = hll_registers(
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200)),
+        "user_id",
+    )
+    ea = hll_estimate(ra).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge([ra, rb])).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+            ).alias("est_intersection"),
+        )
+    )

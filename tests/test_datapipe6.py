@@ -165,3 +165,24 @@ def test_cusum_order_is_pinned_not_arrival(spark):
         target=10.0, threshold=6.0,
     ).collect()[0]
     assert (out["max_s"], out["n_alarms"]) == (10.0, 1)
+
+
+def test_hll_union_is_merge_not_rescan_and_bounds(spark):
+    """Union estimate from merged registers must equal the estimate of
+    the concatenated input — the mergeability law the set-algebra
+    query relies on."""
+    from cqdg_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 300).selectExpr("id AS v")
+    b = spark.range(200, 500).selectExpr("id AS v")
+    merged = hll_estimate(
+        hll_merge([hll_registers(a, "v"), hll_registers(b, "v")])
+    ).collect()[0]["estimate"]
+    direct = hll_estimate(
+        hll_registers(a.unionAll(b), "v")
+    ).collect()[0]["estimate"]
+    assert merged == direct  # bit-identical, not merely close
