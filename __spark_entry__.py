@@ -104,6 +104,8 @@ _FRONT = [
     "pf_ks_totalprice_drift",
     "pf_benford_totalprice",
     "sk_hll_union_intersection",
+    "tx_source_kl_divergence",
+    "tx_source_vocab_overlap",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -27,6 +27,7 @@ try:  # training-data operators (added incrementally)
     from cqdg_etl_spark.queries import datapipe9 as _datapipe9  # noqa: F401,E402
     from cqdg_etl_spark.queries import datapipe10 as _datapipe10  # noqa: F401,E402
     from cqdg_etl_spark.queries import datapipe11 as _datapipe11  # noqa: F401,E402
+    from cqdg_etl_spark.queries import datapipe12 as _datapipe12  # noqa: F401,E402
 except ImportError:
     pass
 

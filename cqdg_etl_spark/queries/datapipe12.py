@@ -1,0 +1,179 @@
+"""Round-3 batch 10: corpus-composition analytics — per-source KL
+divergence from the corpus token distribution, and pairwise source
+vocabulary overlap.
+
+Oracle conventions as per the package: the KL log-ratio is the only
+libm value (each term 6-dp rounded, then DECIMAL-summed so the
+accumulation is order-free — the DSIR pattern); the overlap query is
+all-integer until the final 6-dp Jaccard ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.queries.datapipe import SQL_NORM, SQL_TOKS
+from cqdg_etl_spark.queries.registry import load, query
+
+# ------------------------------------------- per-source KL divergence
+
+
+@query(
+    "tx_source_kl_divergence",
+    tags=("datapipe", "text", "composition"),
+    oracle=f"""
+        WITH d AS (
+          SELECT source, {SQL_TOKS.format(c='text')} AS tk
+          FROM documents WHERE {SQL_NORM.format(c='text')} <> ''
+        ),
+        tok AS (SELECT source, unnest(tk) AS t FROM d),
+        st AS (
+          SELECT source, t, count(*) AS c_st
+          FROM tok GROUP BY source, t
+        ),
+        ct AS (SELECT t, count(*) AS c_t FROM tok GROUP BY t),
+        ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+        n AS (SELECT count(*) AS n FROM tok),
+        terms AS (
+          SELECT st.source,
+                 CAST(round(
+                   (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                   * ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(c_t AS DOUBLE) * CAST(n_s AS DOUBLE))),
+                   6) AS DECIMAL(18,6)) AS term
+          FROM st
+          JOIN ct ON ct.t = st.t
+          JOIN ns ON ns.source = st.source
+          CROSS JOIN n
+        )
+        SELECT source,
+               (SELECT CAST(n_s AS BIGINT) FROM ns
+                WHERE ns.source = terms.source) AS n_toks,
+               round(CAST(sum(term) AS DOUBLE), 6) AS kl
+        FROM terms GROUP BY source
+    """,
+)
+def tx_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram token distributions — how far
+    each source's language drifts from the corpus mixture, the
+    composition diagnostic behind domain-reweighting decisions.
+
+    Determinism at scale: every probability is an integer ratio; the
+    log-ratio is the sole libm value and each per-term contribution is
+    6-dp rounded THEN accumulated in DECIMAL(18,6) (order-free exact
+    sum — the DSIR accumulation pattern), so the per-source KL is
+    engine-exact. Shuffle shape: (source, token) counts with map-side
+    combine, a token-keyed join against the corpus-marginal table, and
+    per-source sums; the corpus total rides a 1-row broadcast."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("source", normalize_ws(F.col("text")).alias("norm"))
+        .filter(F.col("norm") != "")
+        .select("source", F.explode(tokens(F.col("norm"))).alias("t"))
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_t"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    term = F.round(
+        (F.col("c_st").cast("double") / F.col("n_s").cast("double"))
+        * F.log(
+            (F.col("c_st").cast("double") * F.col("n").cast("double"))
+            / (F.col("c_t").cast("double") * F.col("n_s").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        st.join(ct, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select("source", "n_s", term.alias("term"))
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl"))
+        .select("source", F.col("n_s").cast("long").alias("n_toks"), "kl")
+    )
+
+
+# --------------------------------------------- source vocab overlap
+
+
+@query(
+    "tx_source_vocab_overlap",
+    tags=("datapipe", "text", "composition"),
+    oracle=f"""
+        WITH d AS (
+          SELECT source, {SQL_TOKS.format(c='text')} AS tk
+          FROM documents WHERE {SQL_NORM.format(c='text')} <> ''
+        ),
+        v AS (SELECT DISTINCT source, unnest(tk) AS t FROM d),
+        vs AS (SELECT source, count(*) AS nv FROM v GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+          FROM v a JOIN v b
+            ON a.t = b.t AND a.source < b.source
+          GROUP BY src_a, src_b
+        )
+        SELECT src_a, src_b,
+               CAST(va.nv AS BIGINT) AS nv_a,
+               CAST(vb.nv AS BIGINT) AS nv_b,
+               CAST(ni AS BIGINT) AS n_common,
+               round(CAST(ni AS DOUBLE)
+                     / CAST(va.nv + vb.nv - ni AS DOUBLE), 6)
+                 AS jaccard
+        FROM inter
+        JOIN vs va ON va.source = src_a
+        JOIN vs vb ON vb.source = src_b
+    """,
+)
+def tx_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — which corpora
+    speak the same language (near-duplicate feeds surface as ~1.0
+    overlap). The pair join is TOKEN-keyed over the distinct
+    (source, token) table — work is Σ_token df(token)², never
+    |sources|² scans — and every count is an integer, so only the
+    final Jaccard ratio touches doubles."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    v = (
+        load(spark, sf_dir, "documents")
+        .select("source", normalize_ws(F.col("text")).alias("norm"))
+        .filter(F.col("norm") != "")
+        .select("source", F.explode(tokens(F.col("norm"))).alias("t"))
+        .distinct()
+    )
+    vs = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    va = vs.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))
+    vb = vs.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("nv_a").cast("long").alias("nv_a"),
+            F.col("nv_b").cast("long").alias("nv_b"),
+            F.col("ni").cast("long").alias("n_common"),
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("ni")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -84,6 +84,8 @@ BNLJ_OK: dict[str, str] = {
     "into the <=n_buckets-row ratio table build",
     "tx_ccnet_buckets": "inherits the bigram-LM single-row "
     "vocabulary-size scalar join",
+    "tx_source_kl_divergence": "single-row corpus token-total scalar "
+    "broadcast into the per-term log-ratio",
     "sk_hll_union_intersection": "cross of three 1-row sketch "
     "estimates (inclusion-exclusion over merged registers)",
     "pf_ks_totalprice_drift": "single-row (n_ref, n_cur) totals "
