@@ -153,44 +153,54 @@ def deterministic_shuffle(
 def global_cumsum(
     df: DataFrame,
     order_cols: list[Column],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
 ) -> DataFrame:
-    """Global cumulative sum of ``value_col`` in ``order_cols`` order
-    without a single-partition sort — same two-pass recipe as
-    ``global_rank`` (range-repartition, per-partition prefix sums, a
-    K-row driver action for the per-partition totals, broadcast
-    offsets), but the offset carried is the SUM of all earlier
-    partitions rather than their row count.
+    """Global cumulative sum of one OR SEVERAL value columns in
+    ``order_cols`` order without a single-partition sort — same
+    two-pass recipe as ``global_rank`` (range-repartition,
+    per-partition prefix sums, ONE K-row driver action for the
+    per-partition totals, broadcast offsets), but the offset carried
+    is the SUM of all earlier partitions rather than their row count.
+    Multiple columns share the single repartition + totals action +
+    window pass (e.g. the two ECDF counts of a KS statistic) — N
+    running sums cost ONE pass, not N.
 
     ``order_cols`` MUST form a total order. For engine-exact results
-    use an integer/decimal ``value_col`` (token counts, byte sizes);
-    a double column makes the cumsum order-dependent in the last ulp.
+    use integer/decimal value columns (token counts, byte sizes); a
+    double column makes the cumsum order-dependent in the last ulp.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lengths differ")
     parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
         *order_cols
     )
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     sums = (
-        with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+        with_pid.groupBy("_pid")
+        .agg(*[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)])
+        .collect()
     )
-    offsets = {}
-    acc = 0
+    offsets = []
+    acc = [0] * len(value_cols)
     for row in sorted(sums, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_s"] or 0
+        offsets.append((row["_pid"], *acc))
+        for i in range(len(value_cols)):
+            acc[i] += row[f"_s{i}"] or 0
+    off_schema = "_pid int, " + ", ".join(
+        f"_off{i} long" for i in range(len(value_cols))
+    )
     off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
-        )
+        df.sparkSession.createDataFrame(offsets, off_schema)
     )
     w = (
         W.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        with_pid.join(off_df, "_pid")
-        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
-        .drop("_pid", "_off")
-    )
+    out = with_pid.join(off_df, "_pid")
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(o, F.sum(v).over(w) + F.col(f"_off{i}"))
+    return out.drop("_pid", *[f"_off{i}" for i in range(len(value_cols))])

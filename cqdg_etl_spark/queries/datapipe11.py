@@ -94,8 +94,10 @@ def pf_ks_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c2", F.lit(0)).alias("c2"),
         )
     )
-    cum1 = global_cumsum(v, [F.col("x").asc()], "c1", out_col="cum1")
-    cum = global_cumsum(cum1, [F.col("x").asc()], "c2", out_col="cum2")
+    # both ECDF running counts in ONE range-repartitioned pass
+    cum = global_cumsum(
+        v, [F.col("x").asc()], ["c1", "c2"], out_col=["cum1", "cum2"]
+    )
     totals = v.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )

@@ -120,3 +120,22 @@ def test_temperature_mixture_flattens_toward_uniform(spark, tmp_path):
     assert out["small"]["q"] > out["small"]["p"]
     assert out["big"]["q"] < out["big"]["p"]
     assert abs(out["big"]["q"] + out["small"]["q"] - 1.0) < 1e-5
+
+
+def test_global_cumsum_multi_column_single_pass(spark):
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("a"),
+        (F.col("id") % 5).alias("b"),
+    ).repartition(7)
+    out = global_cumsum(
+        df, [F.col("k").asc()], ["a", "b"], out_col=["ca", "cb"]
+    )
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    ea = eb = 0
+    for r in rows:
+        ea += r["a"]
+        eb += r["b"]
+        assert (r["ca"], r["cb"]) == (ea, eb)
