@@ -106,6 +106,7 @@ _FRONT = [
     "sk_hll_union_intersection",
     "tx_source_kl_divergence",
     "tx_source_vocab_overlap",
+    "tx_zipf_fit",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

@@ -177,3 +177,115 @@ def tx_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------- Zipf-law fit
+
+
+_ZIPF_TOP = 500
+
+
+@query(
+    "tx_zipf_fit",
+    tags=("datapipe", "text", "composition"),
+    oracle=f"""
+        WITH d AS (
+          SELECT {SQL_TOKS.format(c='text')} AS tk
+          FROM documents WHERE {SQL_NORM.format(c='text')} <> ''
+        ),
+        tok AS (SELECT unnest(tk) AS t FROM d),
+        wf AS (
+          SELECT t, count(*) AS freq FROM tok GROUP BY t
+          ORDER BY freq DESC, t LIMIT {_ZIPF_TOP}
+        ),
+        ranked AS (
+          SELECT freq, row_number() OVER (ORDER BY freq DESC, t)
+                   AS rank
+          FROM wf
+        ),
+        xy AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS x,
+                 CAST(round(ln(CAST(freq AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS y
+          FROM ranked
+        ),
+        s AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS zipf_slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                 AS intercept
+        FROM s
+    """,
+)
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-500 token frequency spectrum: OLS of
+    ln(freq) on ln(rank) — slope ≈ −1 for natural language, so a far-
+    off exponent flags synthetic/boilerplate corpora. One row:
+    (n_terms, zipf_slope, intercept).
+
+    Determinism: the spectrum is a TakeOrderedAndProject top-k under a
+    total order; each ln is 6-dp rounded into DECIMAL(18,6) and all
+    OLS sufficient statistics accumulate in exact decimal (products
+    stay decimal — no order-dependent double summation anywhere); the
+    closed form touches doubles only in a fixed final expression. The
+    window rank runs over the k-row spectrum, never the vocabulary."""
+    from pyspark.sql import Window as W
+
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(normalize_ws(F.col("text")).alias("norm"))
+        .filter(F.col("norm") != "")
+        .select(F.explode(tokens(F.col("norm"))).alias("t"))
+    )
+    wf = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(_ZIPF_TOP)
+    )
+    ranked = wf.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy().orderBy(F.desc("freq"), F.asc("t"))),
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+    )

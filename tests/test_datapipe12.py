@@ -60,3 +60,18 @@ def test_vocab_overlap_hand_computed(spark, tmp_path):
     assert (r["src_a"], r["src_b"]) == ("a", "b")
     assert (r["nv_a"], r["nv_b"], r["n_common"]) == (3, 3, 2)
     assert r["jaccard"] == 0.5
+
+
+def test_zipf_slope_near_minus_one_for_zipfian_corpus(spark, tmp_path):
+    from cqdg_etl_spark.queries import REGISTRY
+
+    # build a corpus whose token frequencies follow freq(r) = 600/r:
+    # OLS on (ln r, ln freq) must recover slope ~ -1
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}"] * (600 // r)
+    rows = [("s", " ".join(words))]
+    _write_docs(tmp_path, rows)
+    out = REGISTRY["tx_zipf_fit"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n_terms"] == 30
+    assert abs(out["zipf_slope"] + 1.0) < 0.02  # floor(600/r) rounding
