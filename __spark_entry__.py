@@ -107,6 +107,7 @@ _FRONT = [
     "tx_source_kl_divergence",
     "tx_source_vocab_overlap",
     "tx_zipf_fit",
+    "emb_centroid_separation",
     # -- implementation changed in round 3 (word_shingles/char_ngrams
     #    let-binding + chunk_documents materialization touched every
     #    shingle/chunk-based plan; values identical, but the driver row

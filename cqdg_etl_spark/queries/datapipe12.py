@@ -289,3 +289,80 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
     )
+
+
+# ------------------------------------------ centroid separation
+
+
+@query(
+    "emb_centroid_separation",
+    tags=("datapipe", "vectors", "quality"),
+    oracle="""
+        WITH pos AS (
+          SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        per_dim AS (
+          SELECT label, pos,
+                 CAST(round(avg(v), 6) AS DECIMAL(18,6)) AS m
+          FROM pos GROUP BY label, pos
+        ),
+        pairs AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 sum((a.m - b.m) * (a.m - b.m)) AS d2
+          FROM per_dim a JOIN per_dim b
+            ON a.pos = b.pos AND a.label < b.label
+          GROUP BY label_a, label_b
+        )
+        SELECT label_a, label_b,
+               round(sqrt(CAST(d2 AS DOUBLE)), 6) AS l2_dist
+        FROM pairs
+    """,
+)
+def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distance between label centroids — the class-
+    separability audit run before trusting labels for contrastive or
+    classifier training (labels whose centroids nearly coincide are
+    candidates for merging or re-annotation; pairs with `emb_label_
+    noise_scores` for the per-example view).
+
+    Determinism: per-dimension means are 6-dp rounded INTO
+    DECIMAL(18,6) first — after that every subtraction, square, and
+    sum is exact decimal arithmetic, and only the final sqrt touches
+    doubles. The pair join runs over the |labels|·dims centroid table
+    (hundreds of rows however large the corpus — centroid aggregation
+    is the only corpus-scale pass, map-side combined)."""
+    from pyspark.sql import Window as W  # noqa: F401  (symmetry w/ module)
+
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    per_dim = (
+        pos.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).cast("decimal(18,6)").alias("m"))
+    )
+    a = per_dim.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = per_dim.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            ).alias("d2")
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.sqrt(F.col("d2").cast("double")), 6).alias("l2_dist"),
+    )

@@ -75,3 +75,30 @@ def test_zipf_slope_near_minus_one_for_zipfian_corpus(spark, tmp_path):
     out = REGISTRY["tx_zipf_fit"].fn(spark, str(tmp_path)).collect()[0]
     assert out["n_terms"] == 30
     assert abs(out["zipf_slope"] + 1.0) < 0.02  # floor(600/r) rounding
+
+
+def test_centroid_separation_orthogonal_clusters(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cqdg_etl_spark.queries import REGISTRY
+
+    # label 1 at [1,0], label 2 at [0,1], label 3 on top of label 1
+    rows = ([(i, [1.0, 0.0], 1) for i in range(5)]
+            + [(10 + i, [0.0, 1.0], 2) for i in range(5)]
+            + [(20 + i, [1.0, 0.0], 3) for i in range(5)])
+    t = pa.table(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": pa.array([r[1] for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = {(r["label_a"], r["label_b"]): r["l2_dist"]
+           for r in REGISTRY["emb_centroid_separation"]
+           .fn(spark, str(tmp_path)).collect()}
+    assert out[(1, 3)] == 0.0                    # coincident centroids
+    assert abs(out[(1, 2)] - 2 ** 0.5) < 1e-6    # orthogonal unit axes
+    assert out[(1, 2)] == out[(2, 3)]
