@@ -16,66 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cqdg_etl_spark.queries import REGISTRY
 
-# Rounds 1+2 driver CORRECTNESS covered 100/116 registry names (the
-# driver caps a round at 50). Round 3 front-loads the 16 names that
-# have never had a driver row (positions 1-16), then q9 — the one
-# query whose implementation changed after its r01 row (de-vacuated
-# '%green%'→'%red%' in round 2) — then the rest of the registry so the
-# remaining ~33 slots re-confirm previously-green names.
+# Round 4 clears the driver-verification debt (VERDICT r3 #1): the
+# driver caps a round at 50 correctness rows, so positions 1-40 are
+# EXACTLY the 40 names owed a driver row — 32 round-3 additions that
+# were never driver-verified (past the r03 cap) followed by the 8
+# whose implementation changed after their last row (the text.py
+# shingle let-binding, commit 821bb17, and the clinical fixture
+# staging cache, c81f6d1). Positions 41+ are names whose code changes
+# THIS round (rfm global-rank quartiles, the new judge-requested
+# banded hard-negatives entry, ADVICE fixes), then re-confirmations
+# of the oldest green rows. tools/verification_state.py maintains the
+# stale set mechanically from committed source hashes.
 _FRONT = [
-    # -- never driver-verified (r01+r02 capped them out) ------------
-    "dd_minhash_lsh_candidates",
-    "dd_minhash_verified_pairs",
-    "dd_simhash_near_pairs",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf",
-    "mm_media_features",
-    "tx_c4_rule_filter",
-    "tx_pii_redaction",
-    "dd_canonical_per_cluster",
-    "tx_top_bigrams",
-    "pf_profile_orders",
-    "pf_expect_orders",
-    "emb_label_centroids",
-    "pf_histogram_totalprice",
-    "emb_quantize_int8",
-    # -- changed since its last driver row --------------------------
-    "q9_profit_by_nation_year",
-    # -- new in round 3 (never driver-verified) ---------------------
-    "dd_semantic_prune",
-    "ds_mixture_weighted_sample",
-    "tx_bigram_lm_score",
-    "ev_json_props",
-    "dd_span_dedup",
-    "ev_stream_left_outer_join",
-    "graph_pagerank_coparts",
-    "dd_fuzzy_name_pairs",
-    "graph_triangle_counts",
-    "agg_grouping_sets_mix",
-    "ev_range_frame_hourly_avg",
-    "ev_group_order_stats_pandas",
-    "ds_deterministic_shuffle",
-    "fe_hashing_trick",
-    "etl_snapshot_diff",
-    "etl_incremental_rollup",
-    "dd_tfidf_cosine_pairs",
-    "ds_interleave_sources",
-    "emb_pq_codes",
-    "etl_keep_latest_event",
-    "ds_per_group_sample",
-    "sk_linear_count_users",
-    "ev_variant_props",
-    "src_pysource_docs_stats",
-    "sql_recursive_supplier_tree",
-    "sql_scalar_udf_revenue",
-    "ret_bm25_topk",
-    "ret_hybrid_rrf",
-    "dd_ppjoin_pairs",
-    "tx_pmi_bigrams",
-    "pf_equidepth_nchars_by_lang",
-    "fe_zscore_by_lang",
-    "tx_novelty_score",
+    # -- never driver-verified (round-3 additions past the r03 cap) --
     "agg_modern_functions",
     "ev_markov_transitions",
     "etl_merge_upsert",
@@ -88,6 +41,7 @@ _FRONT = [
     "ev_resample_ffill",
     "emb_hard_negatives",
     "ev_cusum_drift",
+    "sk_hll_union_intersection",
     "pf_psi_totalprice_drift",
     "ds_softdedup_weights",
     "tx_vocab_coverage",
@@ -103,36 +57,87 @@ _FRONT = [
     "mb_association_rules",
     "pf_ks_totalprice_drift",
     "pf_benford_totalprice",
-    "sk_hll_union_intersection",
     "tx_source_kl_divergence",
     "tx_source_vocab_overlap",
     "tx_zipf_fit",
     "emb_centroid_separation",
-    # -- implementation changed in round 3 (word_shingles/char_ngrams
-    #    let-binding + chunk_documents materialization touched every
-    #    shingle/chunk-based plan; values identical, but the driver row
-    #    is the hard signal) — re-queued per VERDICT r2 #2 ------------
+    # -- stale: code changed after their last driver row -------------
+    "dd_ngram_jaccard_pairs",
+    "tx_fingerprints",
+    "tx_cms_heavy_hitters",
     "tx_tfidf_term_stats",
     "ds_decontaminate_vs_benchmark",
     "ds_pack_sequences",
     "ds_chunk_documents",
-    "tx_cms_heavy_hitters",
-    "tx_fingerprints",
-    # -- re-confirmation of previously-green rows (driver cap fills
-    #    the remaining slots from here in order) --------------------
-    "dd_embedding_cosine_pairs",
-    "dd_ngram_jaccard_pairs",
+    "pipe_clinical_e2e",
+    # -- changed or added in round 4 ---------------------------------
+    "ev_rfm_segments",
+    "emb_hard_negatives_banded",
+    # -- re-confirmation of previously-green rows, oldest first (the
+    #    driver cap fills remaining slots from here in order) --------
+    "q5_local_supplier_volume",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
     "dd_exact_fingerprint_groups",
     "dd_duplicate_clusters",
     "ann_topk_bruteforce",
-    "pipe_clinical_e2e",
-    "pipe_customer_document",
-    "agg_cube_priority_status",
-    "set_intersect_except_buyers",
-    "agg_unpivot_order_metrics",
-    "ops_global_sort_daily",
-    "j_bloom_filtered_join",
-    "ops_zorder_orders",
+    "dd_embedding_cosine_pairs",
+    "dd_minhash_lsh_candidates",
+    "dd_minhash_verified_pairs",
+    "dd_simhash_near_pairs",
+    "dd_ppjoin_pairs",
+    "dd_fuzzy_name_pairs",
+    "dd_semantic_prune",
+    "dd_span_dedup",
+    "dd_canonical_per_cluster",
+    "dd_tfidf_cosine_pairs",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "emb_pq_codes",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "mm_media_features",
+    "mm_media_meta",
+    "mm_png_header_roundtrip",
+    "tx_c4_rule_filter",
+    "tx_pii_redaction",
+    "tx_top_bigrams",
+    "tx_pmi_bigrams",
+    "tx_bigram_lm_score",
+    "tx_novelty_score",
+    "tx_quality_features",
+    "tx_language_id",
+    "tx_token_counts_by_source",
+    "tx_winnowing_fingerprints",
+    "tx_sentences_udtf",
+    "tx_quality_quantile_filter",
+    "tx_quality_calibrated_udf",
+    "tx_repetition_metrics",
+    "pf_profile_orders",
+    "pf_expect_orders",
+    "pf_histogram_totalprice",
+    "pf_equidepth_nchars_by_lang",
+    "fe_hashing_trick",
+    "fe_zscore_by_lang",
+    "ds_train_val_split",
+    "ds_stratified_sample",
+    "ds_mixture_weighted_sample",
+    "ds_interleave_sources",
+    "ds_per_group_sample",
+    "ds_deterministic_shuffle",
+    "sk_linear_count_users",
+    "etl_snapshot_diff",
+    "etl_incremental_rollup",
+    "etl_keep_latest_event",
+    "etl_scd2_customer_merge",
+    "graph_pagerank_coparts",
+    "graph_triangle_counts",
+    "ev_json_props",
+    "ev_variant_props",
     "ev_tumbling_hourly",
     "ev_sessionize",
     "ev_hopping_halfhour",
@@ -140,8 +145,12 @@ _FRONT = [
     "ev_top3_users_per_type",
     "ev_moving_avg_3",
     "ev_weekly_retention",
-    "ev_rfm_segments",
     "ev_anomaly_robust_z",
+    "ev_range_frame_hourly_avg",
+    "ev_group_order_stats_pandas",
+    "ev_asof_purchase_view",
+    "ev_range_error_near_signup",
+    "ev_stream_left_outer_join",
     "ev_tumbling_hourly_stream",
     "ev_stream_dedup_keys",
     "ev_stream_view_purchase_join",
@@ -149,27 +158,19 @@ _FRONT = [
     "ev_stream_hopping_halfhour",
     "ev_stream_session_windows",
     "ev_stream_stateful_totals",
-    "ev_asof_purchase_view",
-    "ev_range_error_near_signup",
-    "etl_scd2_customer_merge",
-    "tx_quality_features",
-    "tx_language_id",
-    "tx_token_counts_by_source",
-    "tx_fingerprints",
-    "tx_winnowing_fingerprints",
-    "tx_cms_heavy_hitters",
-    "tx_sentences_udtf",
-    "mm_media_meta",
-    "tx_tfidf_term_stats",
-    "ds_train_val_split",
-    "ds_stratified_sample",
-    "ds_decontaminate_vs_benchmark",
-    "ds_pack_sequences",
-    "ds_chunk_documents",
-    "tx_quality_quantile_filter",
-    "tx_quality_calibrated_udf",
-    "mm_png_header_roundtrip",
-    "tx_repetition_metrics",
+    "agg_grouping_sets_mix",
+    "agg_cube_priority_status",
+    "agg_unpivot_order_metrics",
+    "set_intersect_except_buyers",
+    "ops_global_sort_daily",
+    "ops_zorder_orders",
+    "j_bloom_filtered_join",
+    "sql_recursive_supplier_tree",
+    "sql_scalar_udf_revenue",
+    "ret_bm25_topk",
+    "ret_hybrid_rrf",
+    "src_pysource_docs_stats",
+    "pipe_customer_document",
 ]
 
 

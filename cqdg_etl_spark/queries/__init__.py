@@ -15,20 +15,30 @@ from cqdg_etl_spark.queries import temporal_q as _temporal_q  # noqa: F401,E402
 from cqdg_etl_spark.queries import scd_q as _scd_q  # noqa: F401,E402
 from cqdg_etl_spark.queries import sqlfeat as _sqlfeat  # noqa: F401,E402
 
-try:  # training-data operators (added incrementally)
-    from cqdg_etl_spark.queries import datapipe as _datapipe  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe2 as _datapipe2  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe3 as _datapipe3  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe4 as _datapipe4  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe5 as _datapipe5  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe6 as _datapipe6  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe7 as _datapipe7  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe8 as _datapipe8  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe9 as _datapipe9  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe10 as _datapipe10  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe11 as _datapipe11  # noqa: F401,E402
-    from cqdg_etl_spark.queries import datapipe12 as _datapipe12  # noqa: F401,E402
-except ImportError:
-    pass
+# Training-data operator modules. These MUST fail loudly: a typo'd
+# import in any one of them would otherwise silently shrink REGISTRY,
+# and neither the driver (which iterates queries()) nor the plan lint
+# (which iterates REGISTRY) would notice the missing names.
+from cqdg_etl_spark.queries import datapipe as _datapipe  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe2 as _datapipe2  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe3 as _datapipe3  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe4 as _datapipe4  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe5 as _datapipe5  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe6 as _datapipe6  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe7 as _datapipe7  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe8 as _datapipe8  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe9 as _datapipe9  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe10 as _datapipe10  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe11 as _datapipe11  # noqa: F401,E402
+from cqdg_etl_spark.queries import datapipe12 as _datapipe12  # noqa: F401,E402
+
+# Silent-shrink guard: every module above registers a fixed number of
+# queries; pin the total so a partial registration (e.g. an exception
+# swallowed during module init) fails the import, not just a test.
+EXPECTED_REGISTRY_SIZE = 181
+if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
+    raise ImportError(
+        f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"
+    )
 
 __all__ = ["REGISTRY", "Query", "query", "load"]

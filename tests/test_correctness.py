@@ -16,6 +16,14 @@ ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 NO_ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
+def test_registry_size_pinned():
+    """A silently-shrunk registry (swallowed import error, partial module
+    init) must fail the suite, not just drop names from the driver run."""
+    from cqdg_etl_spark.queries import EXPECTED_REGISTRY_SIZE
+
+    assert len(REGISTRY) == EXPECTED_REGISTRY_SIZE
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, name):
     compare_query(spark, name, sf_dir)
