@@ -20,6 +20,12 @@ from cqdg_etl_spark.queries.registry import load, query
 
 
 _MIN_DF = 5
+# Posting-list shard width: each output row carries at most this many
+# doc ids, regardless of how hot the token is. 128 keeps multiple
+# blocks live even at the driver's sf0.01 gate (500 docs) so the
+# sharded shape is what the oracle verifies; production would raise
+# it (the skew bound per row is the parameter itself).
+_POSTINGS_BLOCK = 128
 
 
 @query(
@@ -30,21 +36,39 @@ _MIN_DF = 5
           SELECT doc_id, {SQL_TOKS.format(c='text')} AS tk
           FROM documents WHERE {SQL_NORM.format(c='text')} <> ''
         ),
-        tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM d)
-        SELECT t AS token, CAST(count(*) AS BIGINT) AS df,
-               string_agg(CAST(doc_id AS VARCHAR), ','
-                          ORDER BY doc_id) AS postings
-        FROM tok GROUP BY t HAVING count(*) >= {_MIN_DF}
+        tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM d),
+        sh AS (
+          SELECT t, CAST(doc_id // {_POSTINGS_BLOCK} AS BIGINT) AS block,
+                 CAST(count(*) AS BIGINT) AS shard_df,
+                 string_agg(CAST(doc_id AS VARCHAR), ','
+                            ORDER BY doc_id) AS postings
+          FROM tok GROUP BY t, doc_id // {_POSTINGS_BLOCK}
+        )
+        SELECT t AS token, block,
+               CAST(sum(shard_df) OVER (PARTITION BY t) AS BIGINT) AS df,
+               postings
+        FROM sh
+        QUALIFY CAST(sum(shard_df) OVER (PARTITION BY t) AS BIGINT)
+                >= {_MIN_DF}
     """,
 )
 def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index construction (token → ordered doc-id posting
-    list + document frequency, df ≥ 5): the IR/search-index builder as
-    ONE distinct-then-aggregate pass. The posting list is sorted and
-    serialized, so the artifact is directly writable as the index
-    segment. At 100 TB the only shuffle is the token-keyed aggregate;
-    hot stopword tokens are bounded by the df floor applied AFTER the
-    combine (map-side partials keep the exchange small)."""
+    """Inverted-index construction, sharded for skew: token → ordered
+    doc-id posting SHARDS of at most _POSTINGS_BLOCK ids each
+    (``block`` = doc_id div _POSTINGS_BLOCK), plus the token's total
+    document frequency (df ≥ 5) on every shard row. Sharding bounds
+    the max row: a stopword present in 10^9 documents produces
+    n_docs/_POSTINGS_BLOCK bounded shard rows instead of one multi-GB
+    row in one reducer — the canonical posting-list skew OOM. (The df
+    floor prunes RARE tokens; it never bounds hot ones — only the
+    shard width does.) Two exchanges at 100 TB: the (token, block)
+    aggregate over the distinct token stream, then a window over the
+    much smaller shard table — per-token shard counts are bounded by
+    n_docs / _POSTINGS_BLOCK, so no window partition is hot. Shards
+    are sorted within and across blocks, so the concatenation in block
+    order is the full ordered posting list."""
+    from pyspark.sql import Window
+
     from cqdg_etl_spark.functions.text import normalize_ws, tokens
 
     docs = (
@@ -54,16 +78,18 @@ def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens(F.col("norm")).alias("tk"))
     )
     tok = docs.select("doc_id", F.explode("tk").alias("t")).distinct()
+    shards = tok.groupBy(
+        "t", F.floor(F.col("doc_id") / _POSTINGS_BLOCK).cast("long").alias("block")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("shard_df"),
+        F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias("postings"),
+    )
     return (
-        tok.groupBy("t")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
-            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias(
-                "postings"
-            ),
+        shards.withColumn(
+            "df", F.sum("shard_df").over(Window.partitionBy("t")).cast("long")
         )
         .filter(F.col("df") >= _MIN_DF)
-        .select(F.col("t").alias("token"), "df", "postings")
+        .select(F.col("t").alias("token"), "block", "df", "postings")
     )
 
 
@@ -171,7 +197,7 @@ def tx_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_diff,
                round(CAST(sum(CASE WHEN n_label <> label
                                    THEN 1 ELSE 0 END) AS DOUBLE)
-                     / CAST(5.0 AS DOUBLE), 6) AS noise_score
+                     / CAST(count(*) AS DOUBLE), 6) AS noise_score
         FROM r WHERE rank <= 5 GROUP BY query_id, label
     """,
 )

@@ -38,6 +38,32 @@ def test_inverted_index_postings_sorted_and_df_floor(spark, tmp_path):
     assert out["the"]["postings"] == "1,2,3,4,5"
 
 
+def test_inverted_index_hot_token_shards_bounded(spark, tmp_path):
+    """Skew stress: a stopword present in EVERY doc must come back as
+    bounded (token, block) shards — never one giant posting row (the
+    canonical single-reducer OOM at corpus scale). The df floor can't
+    bound hot tokens; only the shard width does."""
+    from cqdg_etl_spark.queries import REGISTRY
+    from cqdg_etl_spark.queries.datapipe9 import _POSTINGS_BLOCK
+
+    n = 3 * _POSTINGS_BLOCK + 7  # spans 4 doc-id blocks
+    texts = {i: f"stop unique{i}" for i in range(n)}
+    sf = _write_docs(tmp_path, texts)
+    rows = [
+        r
+        for r in REGISTRY["tx_inverted_index"].fn(spark, sf).collect()
+        if r["token"] == "stop"
+    ]
+    rows.sort(key=lambda r: r["block"])
+    assert [r["block"] for r in rows] == [0, 1, 2, 3]
+    sizes = [len(r["postings"].split(",")) for r in rows]
+    assert max(sizes) <= _POSTINGS_BLOCK  # bounded max row
+    assert all(r["df"] == n for r in rows)  # total df on every shard
+    # block-order concatenation reconstructs the full ordered list
+    ids = [int(x) for r in rows for x in r["postings"].split(",")]
+    assert ids == sorted(range(n))
+
+
 def test_bpe_first_merges_hand_counted(spark, tmp_path):
     from cqdg_etl_spark.queries import REGISTRY
 
@@ -65,3 +91,19 @@ def test_label_noise_flags_planted_mislabel(spark):
     # planted mislabel itself (it sits inside their cluster)
     assert out[1]["noise_score"] == 0.2
     assert out[10]["noise_score"] == 0.0  # far cluster is unaffected
+
+
+def test_label_noise_small_corpus_uses_actual_neighbor_count(spark):
+    """With fewer than k other vectors the denominator is the actual
+    neighbor count: 3 disagreeing neighbors out of 3 scores 1.0, not
+    3/k (the silent deflation ADVICE r3 flagged)."""
+    from cqdg_etl_spark.operators.similarity import label_noise_scores
+
+    rows = [(0, [1.0, 0.0], 9)] + [
+        (i, [1.0, 0.01 * i], 1) for i in range(1, 4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in label_noise_scores(emb, k=5).collect()}
+    assert out[0]["n_diff"] == 3 and out[0]["noise_score"] == 1.0
