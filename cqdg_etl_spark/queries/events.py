@@ -7,7 +7,7 @@ define the exact semantics and are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cqdg_etl_spark.queries.registry import dec_sum, load, query
@@ -281,6 +281,24 @@ def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact SQL ``ntile(k)`` bucket from a 1-based total-order rank
+    and the partition row count: with q = n div k and r = n mod k, the
+    first r buckets hold q+1 rows and the rest hold q (remainder goes
+    to the FIRST buckets — ``ceil(k*rank/n)`` is NOT ntile when
+    r != 0). Integer-only arithmetic, engine-portable. When q = 0
+    (n < k) every rank lands in the first branch, so the q divisor is
+    never hit at 0."""
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / q) + 1)
+        .cast("bigint")
+    )
+
+
 @query(
     "ev_rfm_segments",
     tags=("events", "window", "agg"),
@@ -307,14 +325,20 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary with
     quartile ranks.
 
-    The reference "now" is the global max event time, computed as an
-    empty-frame window over the *post-aggregate* per-user view (one
-    fact scan — same single-scan trick as q15). The ntile windows are
-    total-order by construction (user_id tiebreak → deterministic,
-    engine-portable quartiles); they run over #purchasing-users rows,
-    which is already small relative to the fact, and each needs one
-    sort of that reduced set. Money sums in exact decimal.
+    Scale shape (VERDICT r3 #4): the three quartile columns are NOT
+    ``ntile(4)`` over empty-PARTITION-BY windows — that moves every
+    purchasing user to one task per window. Each is a range-partitioned
+    ``global_rank`` (operators/ranking.py) over the per-user aggregate,
+    converted to the identical ntile bucket with the closed-form
+    ``_ntile_from_rank`` (same total order, user_id tiebreak →
+    deterministic, engine-portable; the DuckDB oracle still says
+    ntile(4)). The reference "now" (global max event time) and the
+    user count feed in as ONE broadcast 1-row scalar, so the fact is
+    scanned once, and no single-partition sort or window remains
+    anywhere in the plan. Money sums in exact decimal.
     """
+    from cqdg_etl_spark.operators.ranking import global_rank
+
     events = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -323,27 +347,34 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dec_sum(F.col("value")).alias("monetary"),
     )
-    now = F.max("last_ts").over(W.partitionBy())
-    rfm = per_user.withColumn(
-        "recency_days", F.datediff(now, F.col("last_ts")).cast("bigint")
+    scalars = F.broadcast(
+        per_user.agg(
+            F.max("last_ts").alias("_now"),
+            F.count("*").alias("_n_users"),
+        )
     )
-    return rfm.select(
+    rfm = per_user.crossJoin(scalars).withColumn(
+        "recency_days",
+        F.datediff(F.col("_now"), F.col("last_ts")).cast("bigint"),
+    )
+    ranked = global_rank(
+        rfm, [F.asc("recency_days"), F.asc("user_id")], rank_col="_r_rank"
+    )
+    ranked = global_rank(
+        ranked, [F.desc("frequency"), F.asc("user_id")], rank_col="_f_rank"
+    )
+    ranked = global_rank(
+        ranked, [F.desc("monetary"), F.asc("user_id")], rank_col="_m_rank"
+    )
+    n = F.col("_n_users")
+    return ranked.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("m_quartile"),
+        _ntile_from_rank(F.col("_r_rank"), n, 4).alias("r_quartile"),
+        _ntile_from_rank(F.col("_f_rank"), n, 4).alias("f_quartile"),
+        _ntile_from_rank(F.col("_m_rank"), n, 4).alias("m_quartile"),
     )
 
 

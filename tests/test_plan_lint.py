@@ -105,6 +105,9 @@ BNLJ_OK: dict[str, str] = {
     "baseline shape: broadcast query side crossed with the corpus, "
     "label filter before the rank window; the 100-TB path swaps in "
     "the banded-SRP candidate generator (see operator docstring)",
+    "ev_rfm_segments": "single-row (global max ts, user count) scalar "
+    "broadcast onto the per-user aggregate; the quartiles themselves "
+    "are range-partitioned global_rank + closed-form ntile",
 }
 
 
