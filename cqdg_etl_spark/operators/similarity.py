@@ -991,6 +991,85 @@ def hard_negatives(
     )
 
 
+def hard_negatives_banded(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """Corpus×corpus hard-negative mining — the 100-TB path the
+    ``hard_negatives`` docstring prescribes: candidate pairs come from
+    the banded-SRP generator (``banded_cosine_dup_pairs``) instead of a
+    broadcast cross join, then the label-mismatch filter + per-query
+    rank window run over candidates only. Returns (query_id,
+    query_label, neighbor_id, neighbor_label, rank ≤ k, cos) with every
+    corpus vector acting as a query.
+
+    ``min_cos`` floors the candidate cosine (a pair below it is not a
+    "hard" negative by definition); like the banding itself it is part
+    of the declared semantics, so any engine reproduces the identical
+    mined set. Scale shape: the band self-join is an equi-key shuffle
+    hash join, candidate pairs are symmetrized (each undirected pair
+    serves both endpoints as queries), labels join in as skinny
+    (id, label) projections, and the rank window partitions by
+    query_id over candidate rows only — bounded by the band collision
+    count, never |corpus|² and never a single task.
+    """
+    pairs = banded_cosine_dup_pairs(
+        emb,
+        threshold=min_cos,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("query_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "cos",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("query_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "cos",
+        )
+    )
+    q_labels = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+    )
+    n_labels = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        sym.join(q_labels, "query_id")
+        .join(n_labels, "neighbor_id")
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("rank").cast("long").alias("rank"),
+            "cos",
+        )
+    )
+
+
 def label_noise_scores(
     emb: DataFrame,
     k: int = 5,
@@ -1001,9 +1080,12 @@ def label_noise_scores(
 ) -> DataFrame:
     """kNN label-consistency scoring (the confident-learning screen for
     mislabeled examples): for each scored vector, the fraction of its
-    k nearest neighbors (cosine, self excluded) whose label DISAGREES —
-    (vec_id, label, n_diff, noise_score). A score near 1 flags a
-    likely label error; rank by it to build a re-annotation queue.
+    up-to-k nearest neighbors (cosine, self excluded) whose label
+    DISAGREES — (vec_id, label, n_diff, noise_score). The denominator
+    is the ACTUAL neighbor count (min(k, |corpus| - 1)), so a 3-vector
+    corpus with every neighbor disagreeing scores 1.0, not k-deflated.
+    A score near 1 flags a likely label error; rank by it to build a
+    re-annotation queue.
 
     Determinism: neighbors are ranked under the total order
     (cos desc, neighbor_id), so the k-set — and therefore the
@@ -1054,14 +1136,21 @@ def label_noise_scores(
         .agg(
             F.sum(
                 F.when(F.col("n_label") != F.col("label"), 1).otherwise(0)
-            ).cast("long").alias("n_diff")
+            ).cast("long").alias("n_diff"),
+            # denominator = neighbors actually ranked, not a fixed k:
+            # on small/heavily-filtered corpora (< k+1 vectors) a fixed
+            # k silently deflates the score (3/3 disagreeing would read
+            # 0.6, not 1.0)
+            F.count(F.lit(1)).alias("_n_nbrs"),
         )
         .select(
             F.col("query_id").alias(id_col),
             "label",
             "n_diff",
             F.round(
-                F.col("n_diff").cast("double") / F.lit(float(k)), 6
+                F.col("n_diff").cast("double")
+                / F.col("_n_nbrs").cast("double"),
+                6,
             ).alias("noise_score"),
         )
     )

@@ -35,7 +35,7 @@ from cqdg_etl_spark.queries import datapipe12 as _datapipe12  # noqa: F401,E402
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 181
+EXPECTED_REGISTRY_SIZE = 182
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

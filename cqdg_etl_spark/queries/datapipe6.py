@@ -199,6 +199,57 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hard_negatives_banded(k: int = 3, min_cos: float = 0.0) -> str:
+    """DuckDB oracle for the banded corpus×corpus miner: reuses the
+    bit-exact banded-pair construction from datapipe._sql_banded_cosine_pairs
+    (same ±1 hyperplanes, fold order, band packing), symmetrizes the
+    undirected pairs, then label filter + rank window — mirroring
+    operators/similarity.hard_negatives_banded clause for clause."""
+    from cqdg_etl_spark.queries.datapipe import _sql_banded_cosine_pairs
+
+    return f"""
+        WITH pairs AS ({_sql_banded_cosine_pairs(min_cos)}),
+        sym AS (
+          SELECT doc_a AS query_id, doc_b AS neighbor_id, cos FROM pairs
+          UNION ALL
+          SELECT doc_b AS query_id, doc_a AS neighbor_id, cos FROM pairs
+        ),
+        scored AS (
+          SELECT s.query_id, ql.label AS query_label,
+                 s.neighbor_id, nl.label AS neighbor_label, s.cos
+          FROM sym s
+          JOIN embeddings ql ON ql.vec_id = s.query_id
+          JOIN embeddings nl ON nl.vec_id = s.neighbor_id
+          WHERE ql.label <> nl.label
+        )
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               rank, cos
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+@query(
+    "emb_hard_negatives_banded",
+    tags=("datapipe", "ann", "training"),
+    oracle=_sql_hard_negatives_banded(),
+)
+def emb_hard_negatives_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus×corpus hard-negative mining, 100-TB shape
+    (operators/similarity.py::hard_negatives_banded): banded-SRP
+    candidate pairs (equi-key shuffle hash join — no broadcast cross
+    join, no BNLJ) symmetrized, label-mismatch filter, top-3 rank
+    window per query over candidates only. This registers the scale
+    path the brute-force ``emb_hard_negatives`` docstring prescribes
+    (VERDICT r3 #6)."""
+    from cqdg_etl_spark.operators.similarity import hard_negatives_banded
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives_banded(emb, k=3)
+
+
 # ----------------------------------------------- CUSUM drift
 
 

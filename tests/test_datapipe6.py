@@ -186,3 +186,56 @@ def test_hll_union_is_merge_not_rescan_and_bounds(spark):
         hll_registers(a.unionAll(b), "v")
     ).collect()[0]["estimate"]
     assert merged == direct  # bit-identical, not merely close
+
+
+def test_hard_negatives_banded_finds_planted_negative(spark):
+    """A near-identical other-label vector must surface at rank 1 via
+    the banded candidate path (no broadcast cross join), and the mined
+    set must agree with brute-force hard_negatives restricted to the
+    banded candidate pairs."""
+    import random
+
+    from cqdg_etl_spark.operators.similarity import (
+        banded_cosine_dup_pairs,
+        hard_negatives,
+        hard_negatives_banded,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]  # ~identical, different label
+    rows = [(0, base, 1), (1, near, 2)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3)
+        for i in range(2, 30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    mined = hard_negatives_banded(emb, k=3).collect()
+    by_query = {}
+    for r in mined:
+        by_query.setdefault(r["query_id"], []).append(r)
+    top0 = min(by_query[0], key=lambda r: r["rank"])
+    assert top0["neighbor_id"] == 1 and top0["cos"] > 0.999
+
+    # parity with brute force on the candidate-restricted pair set
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in banded_cosine_dup_pairs(emb, threshold=0.0).collect()
+    }
+    brute = hard_negatives(emb, emb, k=len(rows)).collect()
+    expected = {}
+    for r in brute:
+        if r["query_id"] == r["neighbor_id"]:
+            continue
+        pair = tuple(sorted((r["query_id"], r["neighbor_id"])))
+        if pair in cand:
+            expected.setdefault(r["query_id"], []).append(
+                (r["cos"], -r["neighbor_id"])
+            )
+    for qid, got_rows in by_query.items():
+        want = sorted(expected.get(qid, []), reverse=True)[:3]
+        got = sorted(
+            ((r["cos"], -r["neighbor_id"]) for r in got_rows), reverse=True
+        )
+        assert got == want, (qid, got, want)
