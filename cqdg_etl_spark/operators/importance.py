@@ -43,8 +43,8 @@ from cqdg_etl_spark.operators.lm import _bigrams
 
 def _feature_stream(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
     """(doc, bucket) — one row per bigram occurrence, bucket = portable
-    60-bit-md5 hash of 'w1 w2' mod n_buckets (the fe_hashing_trick
-    convention, bigram-keyed)."""
+    32-bit md5-prefix hash (8 hex chars) of 'w1 w2' mod n_buckets (the
+    fe_hashing_trick convention, bigram-keyed)."""
     big = _bigrams(df, text_col, id_col)
     return big.select(
         "doc",

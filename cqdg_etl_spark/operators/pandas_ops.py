@@ -52,8 +52,9 @@ def grouped_order_stats(
             }
         )
 
+    group_type = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} long, n long, med_lo double, med_hi double, "
+        f"{group_col} {group_type}, n long, med_lo double, med_hi double, "
         "v_min double, v_max double"
     )
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
@@ -108,8 +109,10 @@ def cusum_drift(
             }
         )
 
+    group_type = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} long, n_points long, n_alarms long, max_s double"
+        f"{group_col} {group_type}, n_points long, n_alarms long, "
+        "max_s double"
     )
     return (
         df.select(group_col, *order_cols, value_col)

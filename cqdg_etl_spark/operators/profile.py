@@ -128,13 +128,20 @@ def psi_drift(
     a whole-frame window sum over those n_bins rows — no third scan of
     either input. Zero-count bins are clamped to ``eps`` before the
     log-ratio (the conventional PSI guard), mirrored in the oracle.
+    A constant reference column (max = min) would make the bin width 0
+    and turn every bin expression into NaN/Infinity — whose ordering
+    under least/greatest differs between engines — so the width is
+    clamped to a positive 1e-12: all reference mass lands in bin 0 and
+    drifted current values clamp to the edge bins, deterministically on
+    every engine (mirror the same ``greatest(w, 1e-12)`` in oracles).
     """
     spark = ref.sparkSession
     bounds = ref.agg(
         F.min(value_col).alias("mn"),
-        ((F.max(value_col) - F.min(value_col)) / F.lit(float(n_bins))).alias(
-            "w"
-        ),
+        F.greatest(
+            (F.max(value_col) - F.min(value_col)) / F.lit(float(n_bins)),
+            F.lit(1e-12),
+        ).alias("w"),
     )
 
     def binned(df: DataFrame, out: str) -> DataFrame:

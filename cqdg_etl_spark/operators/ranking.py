@@ -174,6 +174,15 @@ def global_cumsum(
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_col and out_col lengths differ")
+    # The broadcast offsets must carry each value column's own
+    # arithmetic type: Spark's SUM widens integers to long, decimals
+    # to precision 38 (same scale), doubles stay double — hardcoding
+    # `long` would make createDataFrame reject the Decimal/float
+    # partition sums the decimal/double paths produce.
+    sum_probe = df.select(
+        *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
+    ).schema
+    off_types = [f.dataType.simpleString() for f in sum_probe.fields]
     parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -183,14 +192,24 @@ def global_cumsum(
         .agg(*[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)])
         .collect()
     )
+    from decimal import Decimal
+
+    zeros = [
+        0.0
+        if t == "double"
+        else Decimal(0)
+        if t.startswith("decimal")
+        else 0
+        for t in off_types
+    ]
     offsets = []
-    acc = [0] * len(value_cols)
+    acc = list(zeros)
     for row in sorted(sums, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], *acc))
         for i in range(len(value_cols)):
-            acc[i] += row[f"_s{i}"] or 0
+            acc[i] += row[f"_s{i}"] or zeros[i]
     off_schema = "_pid int, " + ", ".join(
-        f"_off{i} long" for i in range(len(value_cols))
+        f"_off{i} {t}" for i, t in enumerate(off_types)
     )
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(offsets, off_schema)

@@ -34,7 +34,8 @@ from cqdg_etl_spark.queries.registry import load, query
         ),
         b AS (
           SELECT min(x) AS mn,
-                 (max(x) - min(x)) / CAST(10.0 AS DOUBLE) AS w
+                 greatest((max(x) - min(x)) / CAST(10.0 AS DOUBLE),
+                          CAST(1e-12 AS DOUBLE)) AS w
           FROM ref
         ),
         rb AS (
