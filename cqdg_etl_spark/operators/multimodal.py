@@ -1,12 +1,17 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas stages.
 
-The decode libraries (PIL/librosa/av) are NOT in this environment, so the
-decode kernels are stubbed: ``decode=fake`` produces a deterministic
-md5-derived pixel/sample payload (stable across engines and runs) and
-``decode=real`` raises NotImplementedError at the call site. Everything
-Spark-side — schema, partition sizing, mapInPandas batch shape, metadata
-propagation — is real and tested.
+The decode libraries (PIL/librosa/av) are NOT in this environment.
+IMAGE kernels are REAL as of round 4: ``decode='real'`` decodes and
+re-encodes baseline PNGs through the stdlib-only codec in
+``operators/png_codec.py`` (full filter set, grey/RGB/RGBA). The
+``decode='fake'`` path remains the default for the oracle-checked
+registry queries because a DuckDB oracle cannot inflate zlib — fake
+payloads are md5-derived and portable across engines. Audio/video
+kernels (frame sampling) stay stubbed behind NotImplementedError: no
+container format is reasonably parseable with stdlib only. Everything
+Spark-side — schema, partition sizing, mapInPandas batch shape,
+metadata propagation — is identical between fake and real paths.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; `spark.sql.files.maxPartitionBytes` bounds per-task bytes, and
@@ -60,19 +65,47 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _png_features(payload: bytes, dim: int) -> list[float]:
+    """REAL image features from a decoded PNG: [w/256, h/256, mean
+    sample, per-channel means..., 16-bin sample histogram fractions],
+    truncated/zero-padded to ``dim``. All stats are integer-sum /
+    count divisions — deterministic regardless of pixel iteration
+    order or platform."""
+    from cqdg_etl_spark.operators.png_codec import _CHANNELS, decode_png
+
+    w, h, color_type, rows = decode_png(payload)
+    channels = _CHANNELS[color_type]
+    n = w * h
+    ch_sums = [0] * channels
+    hist = [0] * 16
+    total = 0
+    for row in rows:
+        for i, s in enumerate(row):
+            ch_sums[i % channels] += s
+            hist[s >> 4] += 1
+            total += s
+    n_samples = n * channels
+    out = [w / 256.0, h / 256.0, total / (n_samples * 255.0)]
+    out.extend(s / (n * 255.0) for s in ch_sums)
+    out.extend(c / n_samples for c in hist)
+    return (out + [0.0] * dim)[:dim]
+
+
 def extract_media_features(
     df: DataFrame, dim: int = 16, decode: str = "fake"
 ) -> DataFrame:
     """mapInPandas feature extraction over the binary column.
 
-    ``decode='real'`` is the integration point for an actual image/audio
-    library — not available in this environment.
+    ``decode='real'`` runs the stdlib PNG decoder
+    (operators/png_codec.py) and emits deterministic pixel statistics;
+    payloads that are not baseline PNGs make the task fail loudly
+    (ValueError) rather than silently degrade. ``decode='fake'`` is the
+    engine-portable md5 kernel the oracle-checked registry query uses.
     """
     if decode == "real":
-        raise NotImplementedError(
-            "real media decode requires image/audio libraries not present "
-            "in this environment; use decode='fake' for the plumbing path"
-        )
+        kernel = lambda b: _png_features(bytes(b), dim)  # noqa: E731
+    else:
+        kernel = lambda b: _fake_decode(bytes(b), dim)  # noqa: E731
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -80,9 +113,7 @@ def extract_media_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": pdf["media_bytes"].map(len).astype("int32"),
-                    "feature": pdf["media_bytes"].map(
-                        lambda b: _fake_decode(bytes(b), dim)
-                    ),
+                    "feature": pdf["media_bytes"].map(kernel),
                 }
             )
 
@@ -96,15 +127,30 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
 def resize_media(
     df: DataFrame, width: int, height: int, decode: str = "fake"
 ) -> DataFrame:
-    """mapInPandas resize: the real kernel would decode → resample →
-    re-encode; the fake kernel re-derives a deterministic payload keyed
-    by (original bytes, target size) so downstream schema/partitioning
-    is exercised for real."""
+    """mapInPandas resize. ``decode='real'``: stdlib PNG decode →
+    nearest-neighbor resample (integer index math, platform-exact) →
+    PNG re-encode (filter 0 — deterministic output bytes). The fake
+    kernel re-derives an md5 payload keyed by (original bytes, target
+    size) so downstream schema/partitioning is exercised identically."""
     if decode == "real":
-        raise NotImplementedError(
-            "real media resize requires image libraries not present "
-            "in this environment; use decode='fake' for the plumbing path"
+        from cqdg_etl_spark.operators.png_codec import (
+            _CHANNELS,
+            decode_png,
+            encode_png,
+            resize_nearest,
         )
+
+        def kernel(b: bytes) -> bytes:
+            w, h, color_type, rows = decode_png(bytes(b))
+            resized = resize_nearest(
+                rows, w, h, _CHANNELS[color_type], width, height
+            )
+            return encode_png(resized, width, height, color_type)
+
+    else:
+        kernel = lambda b: hashlib.md5(  # noqa: E731
+            bytes(b) + f"{width}x{height}".encode()
+        ).digest()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -113,11 +159,7 @@ def resize_media(
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "media_bytes": pdf["media_bytes"].map(
-                        lambda b: hashlib.md5(
-                            bytes(b) + f"{width}x{height}".encode()
-                        ).digest()
-                    ),
+                    "media_bytes": pdf["media_bytes"].map(kernel),
                 }
             )
 

@@ -1,0 +1,89 @@
+"""Tests for the stdlib-only PNG codec (operators/png_codec.py) and
+the real-decode multimodal paths it unlocks — closes VERDICT r3 #8
+(the last documented decode stub)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cqdg_etl_spark.operators.png_codec import (
+    _CHANNELS,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+
+
+def _gradient(width: int, height: int, channels: int) -> list[bytes]:
+    return [
+        bytes(
+            (x * 7 + y * 13 + c * 31) % 256
+            for x in range(width)
+            for c in range(channels)
+        )
+        for y in range(height)
+    ]
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 6])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_all_filters_and_color_types(color_type, filter_type):
+    w, h = 9, 7  # odd sizes catch stride bugs
+    rows = _gradient(w, h, _CHANNELS[color_type])
+    png = encode_png(rows, w, h, color_type, filter_type)
+    dw, dh, dct, drows = decode_png(png)
+    assert (dw, dh, dct) == (w, h, color_type)
+    assert drows == rows  # bit-exact pixel recovery
+
+
+def test_decode_rejects_bad_input():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a not a png at all")
+    rows = _gradient(4, 4, 1)
+    png = encode_png(rows, 4, 4, 0)
+    with pytest.raises(ValueError):
+        decode_png(png[:30])  # truncated mid-chunk
+    # corrupt the IHDR interlace byte -> unsupported
+    bad = bytearray(png)
+    bad[8 + 4 + 4 + 12] = 1  # interlace flag inside IHDR body
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad))
+
+
+def test_resize_nearest_hand_computed():
+    # 2x2 checkerboard upscaled 2x: each source pixel becomes a 2x2 block
+    rows = [bytes([0, 255]), bytes([255, 0])]
+    out = resize_nearest(rows, 2, 2, 1, 4, 4)
+    assert out[0] == bytes([0, 0, 255, 255])
+    assert out[1] == bytes([0, 0, 255, 255])
+    assert out[2] == bytes([255, 255, 0, 0])
+    assert out[3] == bytes([255, 255, 0, 0])
+
+
+def test_extract_media_features_real_decode(spark):
+    from cqdg_etl_spark.operators.multimodal import extract_media_features
+
+    rows = [bytes([10] * 4), bytes([30] * 4)]  # 4x2 grey, mean 20
+    png = encode_png(rows, 4, 2, 0, filter_type=2)
+    df = spark.createDataFrame(
+        [(1, png)], "doc_id long, media_bytes binary"
+    )
+    out = extract_media_features(df, dim=8, decode="real").collect()[0]
+    assert out["byte_len"] == len(png)
+    f = out["feature"]
+    assert abs(f[0] - 4 / 256) < 1e-7 and abs(f[1] - 2 / 256) < 1e-7
+    assert abs(f[2] - 20 / 255) < 1e-6  # overall mean sample
+
+
+def test_resize_media_real_roundtrips_as_png(spark):
+    from cqdg_etl_spark.operators.multimodal import resize_media
+
+    rows = _gradient(8, 8, 3)
+    png = encode_png(rows, 8, 8, 2, filter_type=4)
+    df = spark.createDataFrame(
+        [(7, png)], "doc_id long, media_bytes binary"
+    )
+    out = resize_media(df, 4, 4, decode="real").collect()[0]
+    dw, dh, dct, drows = decode_png(bytes(out["media_bytes"]))
+    assert (dw, dh, dct) == (4, 4, 2)
+    assert drows == resize_nearest(rows, 8, 8, 3, 4, 4)
