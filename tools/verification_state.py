@@ -1,0 +1,290 @@
+"""Mechanical driver-verification staleness tracking (VERDICT r3 #6).
+
+The driver's per-round CORRECTNESS rows are the hard correctness
+signal, but a row only vouches for the code that produced it. Round 3
+assembled the "changed since its last driver row" set BY HAND from
+commit messages — this tool replaces that with committed state:
+
+- Each registry query gets a **verification hash**:
+  sha256( normalized optimized-plan string  ||  oracle SQL ||
+          sorted (path, file-sha) of UDF-bearing closure modules ).
+  * The plan hash is the primary signal: it changes exactly when the
+    query's logical semantics/shape change (the judge's staleness
+    standard — "changed the plans of ..."), and does NOT change when
+    an unrelated helper lands in the same module.
+  * Plan strings embed a Python UDF only by name, so a body edit in
+    e.g. pandas_ops.run() is plan-invisible — hence the second
+    component: source hashes of the import-closure modules that
+    contain an Arrow/Python boundary (pandas_udf / applyInPandas /
+    mapInPandas / udtf / applyInPandasWithState). Over-marks queries
+    importing an edited UDF module; never under-marks.
+  * Expression ids (#123), plan ids and object addresses are
+    normalized out, so the hash is stable across sessions.
+
+- ``verification_state.json`` (committed) holds:
+    {"verified": {name: {"round": "r04", "hash": h}},
+     "legacy":   {name: "r03"},          # pre-tool green rounds
+     "pending":  {"round": "r05", "hashes": {name: h}}}
+
+Round workflow:
+  end of round N   : python tools/verification_state.py record-pending rN
+                     (after the final code state; commits the hashes the
+                      driver is about to verify)
+  start of round N+1: python tools/verification_state.py promote
+                     (reads CORRECTNESS_rN.json, moves green pending
+                      hashes into verified)
+                     python tools/verification_state.py front
+                     (prints the recommended _FRONT ordering: stale /
+                      never-verified first, then oldest rounds)
+
+Run via ``python tools/verification_state.py <cmd>`` from the repo
+root (needs a local SparkSession for plan hashes — ~1 min).
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:  # runnable from any cwd
+    sys.path.insert(0, str(REPO))
+PKG = REPO / "cqdg_etl_spark"
+STATE_PATH = REPO / "verification_state.json"
+SF_DIR = "/root/testdata/sf0.001"
+
+_BOUNDARY_RE = re.compile(
+    r"pandas_udf|applyInPandas|mapInPandas|udtf|applyInPandasWithState"
+)
+_NORM_RES = [
+    (re.compile(r"#\d+"), "#x"),
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    (re.compile(r"0x[0-9a-f]+"), "0xX"),
+    (re.compile(r"at 0xX>"), ">"),
+    # per-process staging dirs (the clinical-fixture cache stages the
+    # reference TSV/NDJSON inputs under mkdtemp)
+    (re.compile(r"/tmp/[\w.\-]+"), "/tmp/X"),
+]
+
+
+def _module_files() -> dict[str, Path]:
+    """Map dotted module name -> file for every module in the package."""
+    out = {}
+    for p in PKG.rglob("*.py"):
+        rel = p.relative_to(REPO).with_suffix("")
+        dotted = ".".join(rel.parts)
+        if dotted.endswith(".__init__"):
+            dotted = dotted[: -len(".__init__")]
+        out[dotted] = p
+    return out
+
+
+def _imports_of(path: Path) -> set[str]:
+    """Intra-package imports (top-level AND nested in function bodies —
+    this codebase imports operators inside query fns)."""
+    tree = ast.parse(path.read_text())
+    found = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.startswith("cqdg_etl_spark"):
+                found.add(node.module)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("cqdg_etl_spark"):
+                    found.add(a.name)
+    return found
+
+
+def _closure(module: str, files: dict[str, Path]) -> set[str]:
+    seen: set[str] = set()
+    todo = [module]
+    while todo:
+        m = todo.pop()
+        if m in seen or m not in files:
+            continue
+        seen.add(m)
+        todo.extend(_imports_of(files[m]))
+    return seen
+
+
+def _normalize_plan(plan: str) -> str:
+    for rx, repl in _NORM_RES:
+        plan = rx.sub(repl, plan)
+    return plan
+
+
+def compute_hashes() -> dict[str, str]:
+    from cqdg_etl_spark.queries import REGISTRY
+    from cqdg_etl_spark.session import get_spark
+
+    spark = get_spark()
+    files = _module_files()
+    file_sha = {
+        m: hashlib.sha256(p.read_bytes()).hexdigest()
+        for m, p in files.items()
+    }
+    boundary = {
+        m for m, p in files.items() if _BOUNDARY_RE.search(p.read_text())
+    }
+    out = {}
+    for name, q in REGISTRY.items():
+        h = hashlib.sha256()
+        try:
+            df = q.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            h.update(_normalize_plan(plan).encode())
+        except Exception as ex:  # streaming-only entries etc.
+            h.update(f"plan-error:{type(ex).__name__}".encode())
+        h.update((q.oracle or "").encode())
+        mod = q.fn.__module__
+        for m in sorted(_closure(mod, files) & boundary):
+            h.update(f"{m}:{file_sha[m]}".encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _load_state() -> dict:
+    if STATE_PATH.exists():
+        return json.loads(STATE_PATH.read_text())
+    return {"verified": {}, "legacy": {}, "pending": None}
+
+
+def _save_state(state: dict) -> None:
+    STATE_PATH.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
+
+
+def _round_num(tag: str) -> int:
+    return int(tag.lstrip("r"))
+
+
+def cmd_record_pending(round_tag: str) -> None:
+    state = _load_state()
+    state["pending"] = {"round": round_tag, "hashes": compute_hashes()}
+    _save_state(state)
+    print(f"pending hashes recorded for {round_tag}: "
+          f"{len(state['pending']['hashes'])} queries")
+
+
+def cmd_promote() -> None:
+    state = _load_state()
+    pending = state.get("pending")
+    if not pending:
+        print("no pending hashes; run record-pending first")
+        return
+    tag = pending["round"]
+    cpath = REPO / f"CORRECTNESS_{tag}.json"
+    if not cpath.exists():
+        print(f"{cpath.name} not found yet; nothing to promote")
+        return
+    rows = json.loads(cpath.read_text())
+    promoted = 0
+    for name, row in rows.items():
+        green = (
+            row.get("err") is None
+            and row.get("rows_match", False)
+            and row.get("schema_match", False)
+            # rows-only checks have no hash_match key; treat presence
+            # of a true value OR absence of the key as green
+            and row.get("hash_match", True)
+        )
+        if green and name in pending["hashes"]:
+            state["verified"][name] = {
+                "round": tag,
+                "hash": pending["hashes"][name],
+            }
+            state.get("legacy", {}).pop(name, None)
+            promoted += 1
+    state["pending"] = None
+    _save_state(state)
+    print(f"promoted {promoted} green {tag} rows into verified")
+
+
+def stale_names(current: dict[str, str] | None = None) -> list[str]:
+    """Names whose current hash mismatches their verified hash, or that
+    have no verified entry and no legacy green round — in registry
+    order."""
+    from cqdg_etl_spark.queries import REGISTRY
+
+    state = _load_state()
+    cur = current or compute_hashes()
+    verified = state.get("verified", {})
+    legacy = state.get("legacy", {})
+    out = []
+    for name in REGISTRY:
+        v = verified.get(name)
+        if v is not None:
+            if v["hash"] != cur.get(name):
+                out.append(name)
+        elif name not in legacy:
+            out.append(name)
+    return out
+
+
+def cmd_front() -> None:
+    """Print the recommended _FRONT ordering: hash-stale and
+    never-verified first (registry order), then legacy-green oldest
+    round first, then verified oldest round first."""
+    from cqdg_etl_spark.queries import REGISTRY
+
+    state = _load_state()
+    cur = compute_hashes()
+    stale = stale_names(cur)
+    legacy = state.get("legacy", {})
+    verified = state.get("verified", {})
+    rest = [n for n in REGISTRY if n not in set(stale)]
+    rest.sort(
+        key=lambda n: (
+            _round_num(legacy.get(n) or verified[n]["round"]),
+            list(REGISTRY).index(n),
+        )
+    )
+    for n in stale + rest:
+        print(n)
+
+
+def cmd_seed_legacy() -> None:
+    """One-time: record each name's newest green pre-tool round from
+    the committed CORRECTNESS_r*.json files (no hashes — history can't
+    be re-hashed honestly; these names simply sort after hash-stale
+    ones until a fresh driver row promotes them)."""
+    state = _load_state()
+    legacy = {}
+    for cpath in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        tag = cpath.stem.split("_")[1]
+        for name, row in json.loads(cpath.read_text()).items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match", False)
+                and row.get("schema_match", False)
+                and row.get("hash_match", True)
+            )
+            if green and name not in state.get("verified", {}):
+                legacy[name] = tag
+    state["legacy"] = legacy
+    _save_state(state)
+    print(f"seeded legacy rounds for {len(legacy)} names")
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "stale"
+    if cmd == "record-pending":
+        cmd_record_pending(sys.argv[2])
+    elif cmd == "promote":
+        cmd_promote()
+    elif cmd == "stale":
+        for n in stale_names():
+            print(n)
+    elif cmd == "front":
+        cmd_front()
+    elif cmd == "seed-legacy":
+        cmd_seed_legacy()
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
