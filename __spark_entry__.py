@@ -22,11 +22,12 @@ from cqdg_etl_spark.queries import REGISTRY
 # were never driver-verified (past the r03 cap) followed by the 8
 # whose implementation changed after their last row (the text.py
 # shingle let-binding, commit 821bb17, and the clinical fixture
-# staging cache, c81f6d1). Positions 41+ are names whose code changes
-# THIS round (rfm global-rank quartiles, the new judge-requested
-# banded hard-negatives entry, ADVICE fixes), then re-confirmations
-# of the oldest green rows. tools/verification_state.py maintains the
-# stale set mechanically from committed source hashes.
+# staging cache, c81f6d1). Positions 41-44 are names whose plans
+# changed THIS round (rfm global-rank quartiles, the judge-requested
+# banded hard-negatives entry, q11/q15 scalar-broadcast rewrites),
+# then re-confirmations of the oldest green rows.
+# tools/verification_state.py maintains the stale set mechanically
+# from committed plan/source hashes.
 _FRONT = [
     # -- never driver-verified (round-3 additions past the r03 cap) --
     "agg_modern_functions",
@@ -73,6 +74,8 @@ _FRONT = [
     # -- changed or added in round 4 ---------------------------------
     "ev_rfm_segments",
     "emb_hard_negatives_banded",
+    "q11_important_part_value",
+    "q15_top_supplier",
     # -- re-confirmation of previously-green rows, oldest first (the
     #    driver cap fills remaining slots from here in order) --------
     "q5_local_supplier_volume",

@@ -191,14 +191,20 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose traded value within one nation
     exceeds a fraction of that nation's global total.
 
-    The global total is an empty-partition window over the
-    post-aggregate per-part view (#parts rows), not a second scan of
-    the fact; the threshold compares *exact* decimal unit sums on both
-    sides (0.001 is an exact decimal literal), so the HAVING boundary
-    cannot flip on summation order. At cluster scale the single-window
-    stage sees only the aggregated view — the fact is scanned and
-    shuffled once, on l_partkey.
+    The global total comes from a 1-row scalar aggregate over the
+    PERSISTED per-part view, broadcast-crossed back onto it — never an
+    empty-partition window: at 100 TB the part dimension is billions
+    of rows, and a global window would sort all of them on one task
+    (the r4 plan-lint rule). The persist keeps the fact scanned and
+    shuffled once (exchange reuse does not fire across the broadcast
+    boundary, measured in r1); partial aggregation means the scalar's
+    single-partition exchange carries O(#partitions) rows. The
+    threshold compares *exact* decimal unit sums on both sides (0.001
+    is an exact decimal literal), so the HAVING boundary cannot flip
+    on summation order.
     """
+    from pyspark import StorageLevel
+
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     supp = (
         load(spark, sf_dir, "supplier")
@@ -221,11 +227,12 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = p1.groupBy("l_partkey").agg(
         F.sum(F.col("_u").cast("decimal(28,0)")).alias("units")
-    )
-    total = F.sum("units").over(Window.partitionBy())
-    threshold = total * F.lit("0.001").cast("decimal(4,3)")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    total = F.broadcast(val.agg(F.sum("units").alias("_total")))
+    threshold = F.col("_total") * F.lit("0.001").cast("decimal(4,3)")
     return (
-        val.withColumn("_thr", threshold)
+        val.crossJoin(total)
+        .withColumn("_thr", threshold)
         .filter(F.col("units").cast("decimal(38,3)") > F.col("_thr"))
         .select(
             "l_partkey",

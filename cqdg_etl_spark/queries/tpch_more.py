@@ -117,10 +117,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact money via two-phase micro units (per-supplier revenue is
     unbounded at scale -> phase 1 bounded by input partition); the max
     comparison runs on the *exact* unit sums, not rounded doubles. The
-    global max is a window over the post-aggregate revenue view
-    (#suppliers rows, tiny vs the fact), so lineitem is scanned exactly
-    once — a self-join against a scalar-max subquery would plan two
-    scans (no exchange reuse across the broadcast boundary, measured)."""
+    global max is a 1-row scalar aggregate over the PERSISTED revenue
+    view, broadcast-crossed back — not an empty-partition window,
+    which would sort every supplier's row on one task (the r4
+    plan-lint rule; the supplier dimension is millions of rows at
+    100 TB). The persist keeps lineitem scanned exactly once — a
+    self-join against a scalar-max subquery would otherwise plan two
+    scans (no exchange reuse across the broadcast boundary, measured
+    in r1); partial aggregation keeps the scalar's single-partition
+    exchange at O(#partitions) rows."""
+    from pyspark import StorageLevel
+
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -132,13 +139,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = p1.groupBy("l_suppkey").agg(
         F.sum(F.col("_u").cast("decimal(28,0)")).alias("units")
-    )
-    from pyspark.sql import Window as W
-
-    mx = F.max("units").over(W.partitionBy())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mx = F.broadcast(rev.agg(F.max("units").alias("mx")))
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.withColumn("mx", mx)
+        rev.crossJoin(mx)
         .filter(F.col("units") == F.col("mx"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(

@@ -108,7 +108,58 @@ BNLJ_OK: dict[str, str] = {
     "ev_rfm_segments": "single-row (global max ts, user count) scalar "
     "broadcast onto the per-user aggregate; the quartiles themselves "
     "are range-partitioned global_rank + closed-form ntile",
+    "q11_important_part_value": "single-row nation-total scalar "
+    "broadcast onto the persisted per-part aggregate (replaced the "
+    "dimension-sized global window in r4)",
+    # q15_top_supplier needs no entry: its scalar-max crossJoin +
+    # equality filter is rewritten by Catalyst into a broadcast HASH
+    # join on (units = mx) — no BNLJ in the plan at all.
 }
+
+# Reviewed exceptions for the global-window rule: every entry is an
+# empty-PARTITION-BY window whose input frame is BOUNDED by
+# construction (a top-k result, a fixed digit/bin domain, the source
+# dimension) — the single task sees O(constant) rows at any corpus
+# scale. An unbounded global window (the ev_rfm_segments ntile and
+# q11/q15 dimension-sized windows fixed this round) must never be
+# whitelisted; fix it with operators/ranking.global_rank /
+# global_cumsum or a broadcast 1-row scalar instead.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "pf_benford_totalprice": "window over the 9-row leading-digit "
+    "frame (digits 1-9 by construction)",
+    "pf_psi_totalprice_drift": "proportion windows over the n_bins=10 "
+    "densified bin frame",
+    "ds_temperature_mixture": "share/renormalization windows over the "
+    "|sources|-row grouped frame (a handful of sources by construction)",
+}
+
+
+def _global_windows(plan: str) -> int:
+    """Count physical Window nodes whose subtree's FIRST exchange is
+    SinglePartition — i.e. windows that move their whole input to one
+    task. Scalar aggregates also use SinglePartition exchanges; those
+    sit under Aggregate nodes, not Window nodes, and are not counted."""
+    lines = plan.splitlines()
+
+    def indent(s: str) -> int:
+        body = s.lstrip(" :+-*!")
+        return len(s) - len(body)
+
+    count = 0
+    for i, line in enumerate(lines):
+        body = line.lstrip(" :+-*!")
+        if not body.startswith("Window "):
+            continue
+        base = indent(line)
+        for nxt in lines[i + 1 :]:
+            nbody = nxt.lstrip(" :+-*!")
+            if not nbody or indent(nxt) <= base:
+                break
+            if "Exchange" in nbody:
+                if "SinglePartition" in nbody:
+                    count += 1
+                break
+    return count
 
 
 @pytest.mark.parametrize("name", LINTABLE)
@@ -127,4 +178,16 @@ def test_no_antipattern_nodes(spark, sf_dir, name):
     else:
         assert not join_nodes, (
             f"{name}: {join_nodes} in physical plan\n{plan}"
+        )
+    gw = _global_windows(plan)
+    if name in GLOBAL_WINDOW_OK:
+        assert gw, (
+            f"{name} is whitelisted for a bounded global window but its "
+            f"plan no longer contains one — remove the stale entry"
+        )
+    else:
+        assert gw == 0, (
+            f"{name}: {gw} global (single-partition) window(s) in "
+            f"physical plan — range-partition via operators/ranking "
+            f"or whitelist with a bounded-frame justification\n{plan}"
         )
