@@ -439,13 +439,16 @@ def test_media_resize_and_frame_sample(spark, sf_dir):
            sorted((r.doc_id, r.frame_idx, bytes(r.frame_bytes)) for r in again)
 
 
-def test_media_real_decode_raises(spark, sf_dir):
+def test_media_real_decode_fails_loudly_on_non_png(spark, sf_dir):
+    """decode='real' is a REAL PNG pixel kernel as of r4 — feeding it
+    the md5-derived fake payloads must fail loudly (bad signature),
+    never silently degrade to fake features."""
     import pytest
 
     docs = load(spark, sf_dir, "documents").limit(1)
     media = multimodal.attach_fake_media(docs, "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_media_features(media, decode="real")
+    with pytest.raises(Exception, match="not a PNG"):
+        multimodal.extract_media_features(media, decode="real").collect()
 
 
 def test_connected_components_chain_and_clique(spark):

@@ -87,3 +87,47 @@ def test_resize_media_real_roundtrips_as_png(spark):
     dw, dh, dct, drows = decode_png(bytes(out["media_bytes"]))
     assert (dw, dh, dct) == (4, 4, 2)
     assert drows == resize_nearest(rows, 8, 8, 3, 4, 4)
+
+
+def test_split_mjpeg_frames_structural_not_naive():
+    """Frame splitting must survive a literal FFD9 inside entropy data
+    (byte-stuffed per T.81) and restart markers — the cases a naive
+    FFD9 search gets wrong."""
+    from cqdg_etl_spark.operators.multimodal import (
+        split_mjpeg_frames,
+        synth_jpeg_frame,
+    )
+
+    adversarial = b"abc\xff\xd9def"  # raw FF bytes get stuffed
+    f1 = synth_jpeg_frame(8, 6, adversarial)
+    f2 = synth_jpeg_frame(4, 4, b"\xd0" * 5 + b"\xff" + b"tail")
+    f3 = synth_jpeg_frame(2, 2, b"")
+    frames = split_mjpeg_frames(f1 + f2 + f3)
+    assert frames == [f1, f2, f3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SOI"):
+        split_mjpeg_frames(b"junk" + f1)
+    with _pytest.raises(ValueError, match="truncated"):
+        split_mjpeg_frames(f1[:-1])
+
+
+def test_sample_frames_real_demuxes_actual_bytes(spark):
+    from cqdg_etl_spark.operators.multimodal import (
+        sample_frames,
+        synth_jpeg_frame,
+    )
+
+    frames = [synth_jpeg_frame(4, 4, bytes([i] * 8)) for i in range(10)]
+    df = spark.createDataFrame(
+        [(3, b"".join(frames))], "doc_id long, media_bytes binary"
+    )
+    out = sample_frames(df, every_nth=4, max_frames=3, decode="real").collect()
+    assert [(r["doc_id"], r["frame_idx"]) for r in out] == [
+        (3, 0), (3, 4), (3, 8)
+    ]
+    # real demux: the emitted bytes ARE the original frames
+    assert [bytes(r["frame_bytes"]) for r in out] == [
+        frames[0], frames[4], frames[8]
+    ]
