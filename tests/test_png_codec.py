@@ -131,3 +131,37 @@ def test_sample_frames_real_demuxes_actual_bytes(spark):
     assert [bytes(r["frame_bytes"]) for r in out] == [
         frames[0], frames[4], frames[8]
     ]
+
+
+def test_png_roundtrip_property():
+    """Property test: random pixel content round-trips bit-exactly
+    through every (filter, color type) combination."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.data(),
+        width=st.integers(1, 12),
+        height=st.integers(1, 12),
+        color_type=st.sampled_from([0, 2, 6]),
+        filter_type=st.integers(0, 4),
+    )
+    def check(data, width, height, color_type, filter_type):
+        ch = _CHANNELS[color_type]
+        rows = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=width * ch,
+                        max_size=width * ch,
+                    )
+                )
+            )
+            for _ in range(height)
+        ]
+        png = encode_png(rows, width, height, color_type, filter_type)
+        assert decode_png(png) == (width, height, color_type, rows)
+
+    check()
