@@ -4,9 +4,11 @@ with typed metadata, processed by Arrow-batched pandas stages.
 The decode libraries (PIL/librosa/av) are NOT in this environment.
 As of round 4 every kernel with a stdlib-parseable format is REAL:
 ``decode='real'`` decodes/re-encodes baseline PNGs through
-``operators/png_codec.py`` (full filter set, grey/RGB/RGBA) and
-demuxes Motion-JPEG streams frame-by-frame via structural T.81 marker
-parsing (``split_mjpeg_frames``). The ``decode='fake'`` path remains
+``operators/png_codec.py`` (full filter set, grey/RGB/RGBA), demuxes
+Motion-JPEG streams frame-by-frame via structural T.81 marker parsing
+(``split_mjpeg_frames``), and ``extract_audio_features`` parses
+RIFF/WAVE PCM through ``operators/wav_codec.py`` (integer-exact
+duration/peak/RMS/zero-crossing stats). The ``decode='fake'`` path remains
 the default for the oracle-checked registry queries because a DuckDB
 oracle cannot inflate zlib — fake payloads are md5-derived and
 portable across engines; it is also the stand-in for compressed video
@@ -124,6 +126,56 @@ def extract_media_features(
 
 RESIZED_SCHEMA = "doc_id bigint, width int, height int, media_bytes binary"
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, duration_ms bigint, "
+    "peak int, rms double, zero_crossings bigint"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over a WAV binary column
+    (operators/wav_codec.py — stdlib RIFF/PCM parse): per clip the
+    sample rate, channel count, exact integer duration, peak
+    amplitude, RMS (sqrt of an integer sum of squares — deterministic)
+    and channel-0 zero-crossing count. Non-WAV payloads fail the task
+    loudly (ValueError). Zero-shuffle mapInPandas pass; payload column
+    pruned immediately after the kernel."""
+    import math
+
+    from cqdg_etl_spark.operators.wav_codec import audio_stats, decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                rate, ch, _bits, samples = decode_wav(bytes(payload))
+                st = audio_stats(samples, ch, rate)
+                n = max(st["n_frames"], 1)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        ch,
+                        st["duration_ms"],
+                        st["peak"],
+                        round(math.sqrt(st["sumsq"] / n), 6),
+                        st["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "duration_ms",
+                    "peak",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select("doc_id", "media_bytes").mapInPandas(batches, AUDIO_SCHEMA)
 
 
 def resize_media(
