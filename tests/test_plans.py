@@ -347,3 +347,52 @@ def test_fuzzy_pairs_no_cartesian(spark, sf_dir):
     plan = explain_str(df, mode="formatted")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_quartiles_range_partitioned(spark, sf_dir):
+    """r4 re-shape: the three quartile ranks are range-partitioned
+    global_rank passes — the plan must show 3 rangepartitioning
+    exchanges, at most ONE SinglePartition exchange (the 1-row
+    now/count scalar aggregate), and windows only over _pid."""
+    df = q("ev_rfm_segments", spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("rangepartitioning") == 3, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert count_shuffles(df, plan) <= 9, plan
+
+
+def test_inverted_index_sharded_three_shuffles(spark, sf_dir):
+    """r4 skew fix: distinct token stream -> (token, block) shard agg
+    -> df window keyed by token. Three exchanges, none single-partition
+    (a hot token's shards spread over the cluster)."""
+    df = q("tx_inverted_index", spark, sf_dir)
+    plan = explain_str(df)
+    assert count_shuffles(df, plan) <= 3, plan
+    assert "SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q11_important_part_value", "q15_top_supplier"]
+)
+def test_scalar_threshold_queries_no_global_window(spark, sf_dir, name):
+    """r4 re-shape: the global threshold/max comes from a broadcast
+    1-row scalar over the persisted aggregate — a single
+    SinglePartition exchange carrying O(#partitions) pre-aggregated
+    rows, and NO Window node anywhere in the plan."""
+    df = q(name, spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert count_shuffles(df, plan) <= 3, plan
+
+
+def test_hard_negatives_banded_equi_join_only(spark, sf_dir):
+    """The banded miner must stay on equi-key joins: no BNLJ/cartesian
+    (also enforced fleet-wide) and the whole mine runs in <= 3
+    exchanges (band self-join + candidate distinct + label joins share
+    partitioning)."""
+    df = q("emb_hard_negatives_banded", spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_shuffles(df, plan) <= 3, plan
