@@ -88,6 +88,32 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's NATIVE xml data source (the spark-xml
+    donation — no external package): one row per ``row_tag`` element,
+    attributes surfaced as ``_attr`` columns. Same explicit-schema
+    policy as ``read_csv`` — without one, inference parses the input
+    twice, which is disqualifying at scale."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text scan: one string row per line (``value`` column), or one
+    row per FILE with ``wholetext`` — the ingestion shape for
+    unstructured training-corpus documents before any parsing."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the harness testdata tables from an sf directory."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -57,6 +57,22 @@ def write_csv(
     df.write.mode("overwrite").options(sep=sep, header=header).csv(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, root_tag: str = "rows"
+) -> None:
+    """XML sink via Spark 4's native xml source — one ``row_tag``
+    element per row, parallel one-file-per-partition layout (XML is an
+    interchange format here, not an analytics layout; round-trips with
+    ``read_xml``)."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def write_range_sorted_parquet(
     df: DataFrame,
     path: str,

@@ -130,3 +130,39 @@ def test_merge_schema_evolution(spark, sf_dir):
             merged.filter(F.col("ingest_tag").isNull()).count()
             == nation.count()
         )
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, sf_dir):
+    """Spark 4 NATIVE xml source: write one row per element, read back
+    with an explicit schema (no double-pass inference) — values and
+    dtypes must survive."""
+    from cqdg_etl_spark.sources import read_xml, write_xml
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        write_xml(src, f"{d}/region.xml", row_tag="region")
+        back = read_xml(
+            spark,
+            f"{d}/region.xml",
+            row_tag="region",
+            schema=src.schema,
+        )
+        assert back.schema == src.schema
+        cols = src.columns
+        assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
+
+
+def test_text_reader_line_and_wholefile(spark, tmp_path):
+    from cqdg_etl_spark.sources import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    whole = read_text(spark, str(p), whole_file=True)
+    docs = sorted(r["value"] for r in whole.collect())
+    assert docs == ["line one\nline two\n", "solo\n"]
