@@ -28,6 +28,16 @@ def test_closure_follows_nested_imports():
     assert "cqdg_etl_spark.queries.registry" in cl  # top-level
 
 
+def test_closure_resolves_from_package_import_submodule():
+    """``from cqdg_etl_spark.operators import multimodal`` names a
+    MODULE in the import list — the closure must include multimodal.py
+    itself, not just the operators package __init__ (a UDF body edit
+    there must mark the mm queries stale)."""
+    files = _module_files()
+    cl = _closure("cqdg_etl_spark.queries.datapipe", files)
+    assert "cqdg_etl_spark.operators.multimodal" in cl
+
+
 def test_normalize_plan_strips_session_varying_tokens():
     raw = (
         "Project [a#123L, udf(b#9)#44 AS c#7]\n"

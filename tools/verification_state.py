@@ -83,15 +83,23 @@ def _module_files() -> dict[str, Path]:
     return out
 
 
-def _imports_of(path: Path) -> set[str]:
+def _imports_of(path: Path, modules: set[str]) -> set[str]:
     """Intra-package imports (top-level AND nested in function bodies —
-    this codebase imports operators inside query fns)."""
+    this codebase imports operators inside query fns). For
+    ``from pkg import name``, ``pkg.name`` is included when it is
+    itself a module (``from cqdg_etl_spark.operators import
+    multimodal`` must pull in multimodal.py, not just the package
+    __init__)."""
     tree = ast.parse(path.read_text())
     found = set()
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and node.module:
             if node.module.startswith("cqdg_etl_spark"):
                 found.add(node.module)
+                for a in node.names:
+                    sub = f"{node.module}.{a.name}"
+                    if sub in modules:
+                        found.add(sub)
         elif isinstance(node, ast.Import):
             for a in node.names:
                 if a.name.startswith("cqdg_etl_spark"):
@@ -101,13 +109,14 @@ def _imports_of(path: Path) -> set[str]:
 
 def _closure(module: str, files: dict[str, Path]) -> set[str]:
     seen: set[str] = set()
+    names = set(files)
     todo = [module]
     while todo:
         m = todo.pop()
         if m in seen or m not in files:
             continue
         seen.add(m)
-        todo.extend(_imports_of(files[m]))
+        todo.extend(_imports_of(files[m], names))
     return seen
 
 
