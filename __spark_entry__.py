@@ -22,10 +22,9 @@ from cqdg_etl_spark.queries import REGISTRY
 # were never driver-verified (past the r03 cap) followed by the 8
 # whose implementation changed after their last row (the text.py
 # shingle let-binding, commit 821bb17, and the clinical fixture
-# staging cache, c81f6d1). Positions 41-44 are names whose plans
-# changed THIS round (rfm global-rank quartiles, the judge-requested
-# banded hard-negatives entry, q11/q15 scalar-broadcast rewrites),
-# then re-confirmations of the oldest green rows.
+# staging cache, c81f6d1). Positions 41-48 are names whose plans
+# changed THIS round (see the block comment below), then
+# re-confirmations of the oldest green rows.
 # tools/verification_state.py maintains the stale set mechanically
 # from committed plan/source hashes.
 _FRONT = [
@@ -72,10 +71,20 @@ _FRONT = [
     "ds_chunk_documents",
     "pipe_clinical_e2e",
     # -- changed or added in round 4 ---------------------------------
+    # (positions 41-48: plan or semantics changed this round — the rfm
+    # global-rank quartiles, the judge-requested banded miner, the
+    # q11/q15 scalar-broadcast rewrites, and the four remaining
+    # consumers of the global_rank/global_cumsum persist fix — the
+    # two-job range-boundary consistency bug found by the r4 tie-skew
+    # stress test)
     "ev_rfm_segments",
     "emb_hard_negatives_banded",
     "q11_important_part_value",
     "q15_top_supplier",
+    "ds_deterministic_shuffle",
+    "ds_interleave_sources",
+    "ds_per_group_sample",
+    "pf_equidepth_nchars_by_lang",
     # -- re-confirmation of previously-green rows, oldest first (the
     #    driver cap fills remaining slots from here in order) --------
     "q5_local_supplier_volume",
@@ -123,15 +132,11 @@ _FRONT = [
     "pf_profile_orders",
     "pf_expect_orders",
     "pf_histogram_totalprice",
-    "pf_equidepth_nchars_by_lang",
     "fe_hashing_trick",
     "fe_zscore_by_lang",
     "ds_train_val_split",
     "ds_stratified_sample",
     "ds_mixture_weighted_sample",
-    "ds_interleave_sources",
-    "ds_per_group_sample",
-    "ds_deterministic_shuffle",
     "sk_linear_count_users",
     "etl_snapshot_diff",
     "etl_incremental_rollup",

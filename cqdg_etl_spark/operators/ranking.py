@@ -31,9 +31,24 @@ def global_rank(
     """Add a 1-based global rank by ``order_cols`` without a
     single-partition sort. ``order_cols`` MUST form a total order
     (add a unique id as the last column) — otherwise ties make the
-    rank partition-dependent."""
-    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
-        *order_cols
+    rank partition-dependent.
+
+    The range-partitioned frame is PERSISTED before the per-partition
+    count action: the counts job and the final job are separate Spark
+    jobs, and an unpersisted range exchange re-samples its boundaries
+    per job — rows can land in a different partition than the one
+    whose offset they get, silently corrupting ranks. (Invisible at
+    small SF, where AQE coalesces the exchange to one partition and
+    the two jobs trivially agree; caught by the r4 tie-skew stress
+    test with coalescing disabled.) The cache pins the physical
+    partitions both jobs read; MEMORY_AND_DISK spills at corpus scale
+    rather than recomputing."""
+    from pyspark import StorageLevel
+
+    parted = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     counts = (
@@ -183,8 +198,14 @@ def global_cumsum(
         *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
     ).schema
     off_types = [f.dataType.simpleString() for f in sum_probe.fields]
-    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
-        *order_cols
+    from pyspark import StorageLevel
+
+    # Persisted for the same two-job partition-consistency reason as
+    # global_rank (range boundaries re-sample per job otherwise).
+    parted = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     sums = (

@@ -139,3 +139,65 @@ def test_global_cumsum_multi_column_single_pass(spark):
         ea += r["a"]
         eb += r["b"]
         assert (r["ca"], r["cb"]) == (ea, eb)
+
+
+def test_global_rank_adversarial_tie_skew_stays_balanced(spark):
+    """Skew stress: 99% of rows share ONE order-key value. Because the
+    unique id is part of the (total) order, the range partitioner
+    splits the tie block across partitions — the rank must be an exact
+    1..n permutation AND no partition may hold the whole hot block
+    (the failure mode of partitioning on the key alone)."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.ranking import global_rank
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, F.col("id")).otherwise(0).alias("k"),
+    )
+    # AQE legitimately coalesces 20k rows into one partition — disable
+    # coalescing so the test observes the range partitioner's split
+    # decision, which is what matters at corpus scale.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        ranked = global_rank(df, [F.col("k"), F.col("id")], rank_col="r")
+        ranks = [r["r"] for r in ranked.select("r").collect()]
+        assert sorted(ranks) == list(range(1, n + 1))
+        sizes = [
+            r["c"]
+            for r in ranked.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        # 19,800 rows are ties on k=0; a key-only partitioner would put
+        # them all in one task. With the id tiebreak the hot block
+        # spreads across range partitions.
+        assert max(sizes) < n * 0.2, sizes
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+
+def test_global_cumsum_decimal_exact_under_tie_skew(spark):
+    """The decimal path (fixed in r4) must stay exact when the order
+    key is massively tied and values are decimals."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(0).alias("k"),
+        (F.col("id").cast("decimal(18,6)") / 7).cast("decimal(18,6)").alias("v"),
+    )
+    out = global_cumsum(df, [F.col("k"), F.col("id")], "v", "cum")
+    rows = sorted(out.select("id", "v", "cum").collect(), key=lambda r: r["id"])
+    acc = Decimal(0)
+    for r in rows:
+        acc += r["v"]
+        assert r["cum"] == acc, (r["id"], r["cum"], acc)
