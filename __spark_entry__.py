@@ -85,6 +85,9 @@ _FRONT = [
     "ds_interleave_sources",
     "ds_per_group_sample",
     "pf_equidepth_nchars_by_lang",
+    # position 49: ppjoin gained the length + positional filters this
+    # round (plan change -> fresh row needed)
+    "dd_ppjoin_pairs",
     # -- re-confirmation of previously-green rows, oldest first (the
     #    driver cap fills remaining slots from here in order) --------
     "q5_local_supplier_volume",
@@ -100,7 +103,6 @@ _FRONT = [
     "dd_minhash_lsh_candidates",
     "dd_minhash_verified_pairs",
     "dd_simhash_near_pairs",
-    "dd_ppjoin_pairs",
     "dd_fuzzy_name_pairs",
     "dd_semantic_prune",
     "dd_span_dedup",

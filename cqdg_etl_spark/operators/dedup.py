@@ -661,8 +661,20 @@ def ppjoin_pairs(
     packs (df, h) into one bigint (df·2³² + h) so sorting and the
     candidate equi-join stay on 8-byte keys; verification reuses the
     persisted distinct-hash sets exactly like minhash_verified_pairs.
-    Length and positional filters are the further PPJoin refinements;
-    prefix filtering alone removes the dominant quadratic term.
+
+    All three PPJoin filters run as integer-exact residual predicates
+    inside the prefix equi-join, before the distinct and the set
+    verification:
+    - length:     J ≥ t ⇒ t·|a| ≤ |b| and t·|b| ≤ |a| (cross-multiplied
+                  by t_den so no division).
+    - positional: a match at 0-based prefix positions (i, j) bounds the
+                  overlap by 1 + min(|a|−i−1, |b|−j−1); a true pair
+                  needs overlap ≥ α = ⌈t/(1+t)·(|a|+|b|)⌉. Lossless
+                  under any-token-passes semantics: for a pair with
+                  J ≥ t the FIRST shared ordered feature (which is in
+                  both prefixes by the theorem) satisfies the bound, so
+                  the pair survives the exists-style distinct even if
+                  later shared features fail it.
     """
     from pyspark import StorageLevel
 
@@ -690,15 +702,31 @@ def ppjoin_pairs(
         )
     )
     pref = ordd.select(
-        "doc", F.explode(F.expr("slice(ks, 1, plen)")).alias("okey")
+        "doc",
+        "sz",
+        F.posexplode(F.expr("slice(ks, 1, plen)")).alias("pos", "okey"),
     )
     a = pref.alias("a").hint("shuffle_hash")
     b = pref.alias("b").hint("shuffle_hash")
+    # α = ⌈t·(|a|+|b|)/(1+t)⌉ with t = t_num/t_den, all-integer.
+    alpha = (
+        (F.col("a.sz") + F.col("b.sz")) * t_num + (t_num + t_den - 1)
+    ).cast("long") / F.lit(t_num + t_den)
+    alpha = F.floor(alpha)
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1,
+        F.col("b.sz") - F.col("b.pos") - 1,
+    )
     cand = (
         a.join(
             b,
             (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter
+            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
+            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
+            # positional filter
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
