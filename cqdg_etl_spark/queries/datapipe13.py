@@ -1,0 +1,161 @@
+"""Round-5 staged queries — NOT yet in the driver registry.
+
+Round 3's verdict froze the published registry until every existing
+name holds a driver-verified correctness row for its current code
+(cleared by the round-4 front-load). These queries are therefore staged:
+same Query objects, same full DuckDB value-hash oracles, locally
+verified by tests/test_datapipe13.py against the same harness — but
+kept out of ``cqdg_etl_spark.queries.REGISTRY`` (and hence out of
+``__spark_entry__.queries()``) so the driver surface does not grow
+ahead of its verification budget.
+
+To publish (round 5): call ``register()`` from queries/__init__.py and
+bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
+from cqdg_etl_spark.queries.datapipe import _sql_minhash_verified
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, oracle: str | None = None, bench: bool = False,
+            tags: tuple[str, ...] = ()):
+    def deco(fn):
+        STAGED[name] = Query(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Publish the staged queries into the driver registry (round 5)."""
+    REGISTRY.update(STAGED)
+
+
+@_staged(
+    "ann_topk_gemm",
+    tags=("datapipe", "ann", "gemm"),
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+                   FROM embeddings WHERE vec_id >= 10),
+             scored AS (
+               SELECT query_id, neighbor_id,
+                      (list_sum(list_transform(range(1, 65),
+                         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))))
+                      AS cos
+               FROM q CROSS JOIN c
+             )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rank FROM scored)
+        WHERE rank <= 5
+    """,
+)
+def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via the batched-GEMM kernel — identical
+    contract and result as ann_topk_bruteforce, but each corpus
+    partition runs one numpy matmul per Arrow batch and emits only its
+    local top-k (operators/similarity.py::brute_force_topk_gemm)."""
+    from cqdg_etl_spark.operators.similarity import brute_force_topk_gemm
+
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk_gemm(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_staged(
+    "dd_cross_source_leakage",
+    tags=("datapipe", "dedup", "contamination"),
+    oracle=f"""
+        WITH pairs AS ({_sql_minhash_verified()}),
+        both_dirs AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs
+        )
+        SELECT da.source AS source_a, db.source AS source_b,
+               count(*) AS n_pairs,
+               count(DISTINCT v) AS n_docs_b
+        FROM both_dirs
+        JOIN documents da ON da.doc_id = u
+        JOIN documents db ON db.doc_id = v
+        GROUP BY 1, 2
+    """,
+)
+def dd_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination at source granularity: near-dup pairs
+    (MinHash-LSH candidates + exact Jaccard ≥ 0.8 verify) attributed to
+    their (source_a, source_b) cell, counted in both directions so the
+    matrix reads "n_docs_b documents of source_b are leaked copies of
+    source_a material". The audit run before declaring a held-out
+    source clean. Scale shape: the pair frame is the verified-dedup
+    output (tiny relative to the corpus); the two doc_id → source
+    lookups are plain equi-joins on the corpus key."""
+    from cqdg_etl_spark.operators.dedup import minhash_verified_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(docs, "text", "doc_id", threshold=0.8)
+    both = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    src = docs.select("doc_id", "source")
+    return (
+        both.join(src.select(F.col("doc_id").alias("u"),
+                             F.col("source").alias("source_a")), "u")
+        .join(src.select(F.col("doc_id").alias("v"),
+                         F.col("source").alias("source_b")), "v")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("v").alias("n_docs_b"),
+        )
+    )
+
+
+@_staged(
+    "emb_covariance_cells",
+    tags=("datapipe", "embedding", "covariance"),
+    oracle="""
+        WITH f AS (
+          SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)
+        ),
+        m AS (SELECT i, avg(v) AS mu FROM f GROUP BY i),
+        n AS (SELECT count(*) AS n FROM embeddings)
+        SELECT a.i - 1 AS i, b.i - 1 AS j,
+               round(sum((a.v - ma.mu) * (b.v - mb.mu)) / any_value(n.n), 6)
+                 AS cov
+        FROM f a
+        JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+        JOIN m ma ON ma.i = a.i
+        JOIN m mb ON mb.i = b.i
+        CROSS JOIN n
+        GROUP BY 1, 2
+    """,
+)
+def emb_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding corpus as upper-triangle
+    cells (i, j, cov) — the representation-collapse / anisotropy /
+    PCA-whitening audit. One distributed GEMM pass: each partition
+    emits a d×d numpy partial, the reduce aggregates
+    O(partitions · d²) rows (operators/embstats.py::covariance_cells;
+    the oracle's n·d² pair join is the formulation the operator
+    deliberately avoids)."""
+    from cqdg_etl_spark.operators.embstats import covariance_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    return covariance_cells(emb, "embedding")

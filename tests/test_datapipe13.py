@@ -1,0 +1,138 @@
+"""Round-5 staged queries (queries/datapipe13.py): full local
+verification against the DuckDB oracles — the same comparison the
+driver gate runs — without publishing the names into REGISTRY (the
+round-4 registry freeze)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cqdg_etl_spark.queries.datapipe13 import STAGED
+from tests.oracle_harness import canonical_rows, duckdb_conn
+
+
+def _compare_staged(spark, name: str, sf_dir: str) -> None:
+    q = STAGED[name]
+    actual = q.fn(spark, sf_dir).toPandas()
+    expected = duckdb_conn(sf_dir).execute(q.oracle).df()
+    assert sorted(actual.columns) == sorted(expected.columns), name
+    assert len(actual) == len(expected), (
+        f"{name}: rows spark={len(actual)} oracle={len(expected)}"
+    )
+    a, e = canonical_rows(actual), canonical_rows(expected)
+    if a != e:
+        only_a = [r for r in a if r not in set(e)][:5]
+        only_e = [r for r in e if r not in set(a)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch.\n only-spark: {only_a}\n"
+            f" only-oracle: {only_e}"
+        )
+
+
+def test_staged_not_published():
+    from cqdg_etl_spark.queries import REGISTRY
+
+    assert not set(STAGED) & set(REGISTRY)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_match(spark, sf_dir, name):
+    _compare_staged(spark, name, sf_dir)
+
+
+def test_gemm_equals_jvm_bruteforce(spark, sf_dir):
+    """The GEMM kernel and the JVM expression path are the same exact
+    operator: identical (query, neighbor, rank) sets and 6dp-equal
+    scores on real data."""
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_gemm,
+    )
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cos"], 6))
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cos"], 6))
+        for r in brute_force_topk_gemm(corpus, queries, k=5).collect()
+    }
+    assert a == b
+
+
+def test_gemm_empty_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.similarity import brute_force_topk_gemm
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk_gemm(emb, emb.filter(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cos",
+    ]
+
+
+def test_covariance_spectrum_properties(spark, sf_dir):
+    """Eigenvalues of a real covariance matrix: non-negative (PSD, up
+    to rounding slack), sum equals the trace (= sum of per-dim
+    variances), and the matrix is symmetric by construction."""
+    from cqdg_etl_spark.operators.embstats import (
+        covariance_cells,
+        covariance_spectrum,
+    )
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = {(r["i"], r["j"]): r["cov"] for r in
+             covariance_cells(emb, "embedding").collect()}
+    d = max(j for _, j in cells) + 1
+    assert len(cells) == d * (d + 1) // 2
+    spec = covariance_spectrum(emb, "embedding")
+    assert len(spec) == d
+    assert all(v > -1e-6 for v in spec)  # PSD up to 6dp rounding slack
+    trace = sum(cells[(i, i)] for i in range(d))
+    assert abs(sum(spec) - trace) < 1e-4
+
+
+def test_cross_source_leakage_consistent_with_pairs(spark, sf_dir):
+    """The leakage matrix's pair total is exactly 2× the verified-pair
+    count (each pair counted in both directions)."""
+    from cqdg_etl_spark.operators.dedup import minhash_verified_pairs
+    from cqdg_etl_spark.queries.datapipe13 import dd_cross_source_leakage
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_pairs = minhash_verified_pairs(docs, "text", "doc_id", 0.8).count()
+    out = dd_cross_source_leakage(spark, sf_dir).toPandas()
+    assert out["n_pairs"].sum() == 2 * n_pairs
+
+
+STAGED_BNLJ_OK = {
+    # 1-row corpus-count scalar broadcast onto the d² covariance cells
+    "emb_covariance_cells",
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plan_lint(spark, sf_dir, name):
+    """Same fleet-wide physical-plan lint as test_plan_lint.py, applied
+    to the staged queries before they are published."""
+    from cqdg_etl_spark.plans.introspect import explain_str
+
+    plan = explain_str(STAGED[name].fn(spark, sf_dir))
+    assert "BatchEvalPython " not in plan, name
+    quad = ("CartesianProduct" in plan) or (
+        "BroadcastNestedLoopJoin" in plan
+    )
+    if name in STAGED_BNLJ_OK:
+        assert quad, f"{name}: reviewed scalar fan-out vanished — drop it"
+    else:
+        assert not quad, f"{name}: unreviewed cartesian/BNLJ node"
