@@ -1155,89 +1155,3 @@ def label_noise_scores(
         )
     )
 
-
-def brute_force_topk_gemm(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact cosine top-k via batched matrix multiplication — the BLAS
-    scale path for exact similarity search. Same contract and result as
-    ``brute_force_topk`` (query_id, neighbor_id, rank, cos): ties broken
-    by neighbor id, cos rounded to 6dp for presentation while ranking
-    runs on the full float64 scores.
-
-    Scale shape: the query block (a bounded query workload, O(|Q|·d))
-    is collected once and ships inside the Arrow-kernel closure — the
-    same closure-data pattern as the IVF centroids. Each corpus
-    partition then runs ONE numpy GEMM per Arrow batch
-    (batch × d @ d × |Q|) and emits only its LOCAL top-k per query
-    (|partitions|·|Q|·k skinny candidate rows), so the global
-    row_number window ranks a tiny frame. Contrast with
-    ``brute_force_topk``, whose per-pair JVM fold evaluates the dot
-    product expression row-at-a-time: the arithmetic here is identical
-    float64 (modulo summation order, absorbed by the repo-wide
-    round-6 presentation convention) but vectorized across the whole
-    batch — the formulation that keeps 1000 executors busy at 100 TB
-    corpus scale with zero shuffle before the candidate aggregate.
-
-    Local-top-k correctness: the global top-k under the total order
-    (cos desc, neighbor_id asc) restricted to any partition is that
-    partition's top-k under the same order, so emitting k per
-    (partition, query) is a lossless candidate superset.
-    """
-    import numpy as np
-    import pandas as pd
-
-    q_rows = (
-        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
-    )
-    if not q_rows:
-        empty = "query_id bigint, neighbor_id bigint, rank bigint, cos double"
-        return corpus.sparkSession.createDataFrame([], empty)
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-
-    def local_topk(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["_id"].to_numpy(dtype=np.int64)
-            c_mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            cos = (c_mat / norms) @ q_mat.T  # |batch| × |Q|
-            kk = min(k, len(ids))
-            for j in range(len(q_ids)):
-                col = cos[:, j]
-                # total order (cos desc, neighbor_id asc); lexsort keys
-                # are listed least-significant first
-                order = np.lexsort((ids, -col))[:kk]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(kk, q_ids[j]),
-                        "neighbor_id": ids[order],
-                        "cos": col[order],
-                    }
-                )
-
-    cand = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).mapInPandas(
-        local_topk, "query_id bigint, neighbor_id bigint, cos double"
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 6).alias("cos"),
-        )
-    )

@@ -68,8 +68,8 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 via the batched-GEMM kernel — identical
     contract and result as ann_topk_bruteforce, but each corpus
     partition runs one numpy matmul per Arrow batch and emits only its
-    local top-k (operators/similarity.py::brute_force_topk_gemm)."""
-    from cqdg_etl_spark.operators.similarity import brute_force_topk_gemm
+    local top-k (operators/gemm.py::brute_force_topk_gemm)."""
+    from cqdg_etl_spark.operators.gemm import brute_force_topk_gemm
 
     emb = load(spark, sf_dir, "embeddings")
     return brute_force_topk_gemm(

@@ -46,10 +46,8 @@ def test_gemm_equals_jvm_bruteforce(spark, sf_dir):
     scores on real data."""
     from pyspark.sql import functions as F
 
-    from cqdg_etl_spark.operators.similarity import (
-        brute_force_topk,
-        brute_force_topk_gemm,
-    )
+    from cqdg_etl_spark.operators.gemm import brute_force_topk_gemm
+    from cqdg_etl_spark.operators.similarity import brute_force_topk
     from cqdg_etl_spark.queries.registry import load
 
     emb = load(spark, sf_dir, "embeddings")
@@ -69,7 +67,7 @@ def test_gemm_equals_jvm_bruteforce(spark, sf_dir):
 def test_gemm_empty_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from cqdg_etl_spark.operators.similarity import brute_force_topk_gemm
+    from cqdg_etl_spark.operators.gemm import brute_force_topk_gemm
     from cqdg_etl_spark.queries.registry import load
 
     emb = load(spark, sf_dir, "embeddings")
