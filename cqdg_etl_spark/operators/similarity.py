@@ -1154,4 +1154,3 @@ def label_noise_scores(
             ).alias("noise_score"),
         )
     )
-
