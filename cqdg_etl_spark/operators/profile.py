@@ -188,3 +188,54 @@ def psi_drift(
         F.round(pc, 6).alias("p_cur"),
         F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_term"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew audit of a join/aggregation key — the numbers that
+    decide between a plain shuffle join, salting, and AQE skew
+    handling: (n_rows, n_keys, top1_share, top10_share, entropy).
+
+    entropy is the Shannon entropy (nats) of the key distribution; a
+    top1_share near 1 or entropy near 0 means one reducer receives the
+    whole table. Scale shape: the per-key count is one map-side-combined
+    aggregate (n_keys output rows); the top-10 comes from
+    orderBy+limit — TakeOrderedAndProject, a per-partition top-k merge,
+    never a global sort or a single-partition window; the three one-row
+    frames meet in broadcast scalar joins. No step materializes more
+    than n_keys skinny rows.
+    """
+    cnts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = cnts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("top1"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("sum_clnc"),
+    )
+    top10 = (
+        cnts.orderBy(F.desc("c"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("c").alias("top10"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top10))  # 1-row scalar meet
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(
+                F.col("top1").cast("double") / F.col("n_rows"), 6
+            ).alias("top1_share"),
+            F.round(
+                F.col("top10").cast("double") / F.col("n_rows"), 6
+            ).alias("top10_share"),
+            # H = ln n_rows − Σ c·ln c / n_rows, computed in one pass
+            F.round(
+                F.log(F.col("n_rows").cast("double"))
+                - F.col("sum_clnc") / F.col("n_rows"),
+                6,
+            ).alias("entropy"),
+        )
+    )

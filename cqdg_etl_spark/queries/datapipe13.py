@@ -159,3 +159,43 @@ def emb_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return covariance_cells(emb, "embedding")
+
+
+@_staged(
+    "pf_key_skew_profile",
+    tags=("datapipe", "profile", "skew"),
+    oracle="""
+        WITH c AS (
+          SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys,
+                 max(c) AS top1,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   AS sum_clnc
+          FROM c
+        ),
+        tt AS (
+          SELECT CAST(sum(c) AS BIGINT) AS top10
+          FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10)
+        )
+        SELECT n_rows,
+               n_keys,
+               round(CAST(top1 AS DOUBLE) / n_rows, 6) AS top1_share,
+               round(CAST(top10 AS DOUBLE) / n_rows, 6) AS top10_share,
+               round(ln(CAST(n_rows AS DOUBLE)) - sum_clnc / n_rows, 6)
+                 AS entropy
+        FROM t CROSS JOIN tt
+    """,
+)
+def pf_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit of orders.o_custkey — the one-row profile
+    (row/key counts, top-1/top-10 key shares, key-distribution entropy)
+    that decides between a plain shuffle join, salting, and AQE skew
+    handling (operators/profile.py::key_skew_profile; top-10 via
+    TakeOrderedAndProject, never a global sort or single-task
+    window)."""
+    from cqdg_etl_spark.operators.profile import key_skew_profile
+
+    return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey")

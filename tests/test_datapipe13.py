@@ -116,6 +116,9 @@ def test_cross_source_leakage_consistent_with_pairs(spark, sf_dir):
 STAGED_BNLJ_OK = {
     # 1-row corpus-count scalar broadcast onto the d² covariance cells
     "emb_covariance_cells",
+    # two 1-row scalar frames (totals × top-10 sum) meeting in a
+    # broadcast cross — the whole output is one row
+    "pf_key_skew_profile",
 }
 
 
@@ -134,3 +137,34 @@ def test_staged_plan_lint(spark, sf_dir, name):
         assert quad, f"{name}: reviewed scalar fan-out vanished — drop it"
     else:
         assert not quad, f"{name}: unreviewed cartesian/BNLJ node"
+
+
+def test_whitened_covariance_is_identity(spark, sf_dir):
+    """ZCA whitening audit: the whitened corpus' covariance is I (up to
+    the numeric slack of the two-pass fit)."""
+    import numpy as np
+
+    from cqdg_etl_spark.operators.embstats import covariance_cells, whiten
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    ww = whiten(emb, "vec_id", "embedding")
+    cells = covariance_cells(ww, "whitened").collect()
+    for r in cells:
+        want = 1.0 if r["i"] == r["j"] else 0.0
+        assert abs(r["cov"] - want) < 1e-3, (r["i"], r["j"], r["cov"])
+
+
+def test_key_skew_profile_shapes(spark, sf_dir):
+    """TakeOrderedAndProject (not a global sort / single-task window)
+    feeds the top-10 scalar; sanity bounds on the shares."""
+    from cqdg_etl_spark.plans.introspect import explain_str
+    from cqdg_etl_spark.queries.datapipe13 import pf_key_skew_profile
+
+    df = pf_key_skew_profile(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    row = df.collect()[0]
+    assert 0 < row["top1_share"] <= row["top10_share"] <= 1
+    assert row["entropy"] >= 0
