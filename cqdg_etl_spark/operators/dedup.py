@@ -772,3 +772,62 @@ def soft_dedup_weights(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT: C(A,B) = |A∩B| /
+    min(|A|,|B|) ≥ threshold — the asymmetric overlap measure that
+    catches a document embedded inside a larger one (quotation,
+    boilerplate wrapping, page-of-pages), which Jaccard structurally
+    misses: a 100-shingle doc fully contained in a 10,000-shingle doc
+    has J ≈ 0.01 but C = 1.0.
+
+    Same scale shape as ngram_jaccard_pairs (one shared repartition("h")
+    exchange, xxhash64 8-byte join keys, optional max_df stop-shingle
+    suppression, broadcast size joins after the pair aggregate) — only
+    the final measure differs.
+    """
+    df = _spread(df)
+    idx = shingle_index(df, text_col, id_col, n, None).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+    idx = idx.repartition("h")
+    if max_df is not None:
+        idx = (
+            idx.withColumn("df_h", F.count("*").over(W.partitionBy("h")))
+            .filter(F.col("df_h") <= max_df)
+            .select("doc", "h")
+        )
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = idx.alias("a").hint("shuffle_hash")
+    b = idx.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes_a = sizes.select(
+        F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sizes_b = sizes.select(
+        F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(F.broadcast(sizes_a), "doc_a")
+        .join(F.broadcast(sizes_b), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_inter") / F.least(F.col("size_a"), F.col("size_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+        )
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
-from cqdg_etl_spark.queries.datapipe import _sql_minhash_verified
+from cqdg_etl_spark.queries.datapipe import _sql_minhash_verified, _sql_shingles
 
 STAGED: dict[str, Query] = {}
 
@@ -199,3 +199,47 @@ def pf_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cqdg_etl_spark.operators.profile import key_skew_profile
 
     return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey")
+
+
+@_staged(
+    "dd_containment_pairs",
+    tags=("datapipe", "dedup", "containment"),
+    oracle=f"""
+        WITH s0 AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM documents
+        ), s AS (
+          SELECT s0.doc, s0.shingle
+          FROM s0
+          JOIN (SELECT shingle FROM s0 GROUP BY shingle
+                HAVING count(*) <= 1000) keep USING (shingle)
+        ), sizes AS (
+          SELECT doc, count(*) AS n_shingles FROM s GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE)
+                     / least(sa.n_shingles, sb.n_shingles), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+              / least(sa.n_shingles, sb.n_shingles) >= 0.9
+    """,
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 over
+    3-gram shingles — the asymmetric measure that catches a document
+    embedded inside a larger one (quotation, boilerplate wrapping),
+    which Jaccard structurally misses
+    (operators/dedup.py::containment_pairs; same shared-exchange
+    inverted-index shape as dd_ngram_jaccard_pairs)."""
+    from cqdg_etl_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.9, max_df=1000
+    )

@@ -168,3 +168,26 @@ def test_key_skew_profile_shapes(spark, sf_dir):
     row = df.collect()[0]
     assert 0 < row["top1_share"] <= row["top10_share"] <= 1
     assert row["entropy"] >= 0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully contained in a much longer one: containment
+    flags the pair at C = 1.0 while Jaccard (same shingles, same
+    threshold family) stays far below any dedup threshold."""
+    from cqdg_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i}x w{i}y" for i in range(40))
+    long_doc = short + " " + filler
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated text here ok")],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(df, "text", "doc_id", 3, 0.9).collect()}
+    assert cont == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5).collect()
+    assert jac == []
