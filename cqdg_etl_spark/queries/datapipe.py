@@ -119,7 +119,8 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42,
+                      src: str = "documents") -> str:
     """DuckDB oracle mirroring operators/dedup.minhash_lsh_candidates
     exactly: the portable md5-derived 32-bit token hash
     (CAST('0x'||hex AS BIGINT) ≡ Spark conv(_,16,10)), the same (a,b)
@@ -143,7 +144,7 @@ def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42) -> st
     )
     ctes = f"""s AS (
           SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
-          FROM documents
+          FROM {src}
         ), h AS (
           SELECT doc,
                  CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
@@ -169,7 +170,7 @@ def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str
 
 def _sql_minhash_verified(
     threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
-    seed: int = 42,
+    seed: int = 42, src: str = "documents",
 ) -> str:
     """Candidates from the banded MinHash CTEs + exact Jaccard verify
     over each doc's DISTINCT shingle-hash set — mirrors
@@ -178,7 +179,7 @@ def _sql_minhash_verified(
     jac = ("CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) "
            "/ (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))")
     return f"""
-        WITH {_sql_minhash_ctes(num_perm, bands, seed)},
+        WITH {_sql_minhash_ctes(num_perm, bands, seed, src)},
         cand AS (
           SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
           FROM bands a JOIN bands b

@@ -243,3 +243,106 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, "text", "doc_id", n=3, threshold=0.9, max_df=1000
     )
+
+
+def _sql_curation_e2e() -> str:
+    """Oracle for the corpus-curation pipeline: the component queries'
+    oracle fragments (C4 rules, exact-fingerprint dedup, MinHash
+    verified pairs) chained over successive survivor CTEs."""
+    from cqdg_etl_spark.queries.datapipe import (
+        SQL_NORM,
+        SQL_TOKS,
+        _sql_minhash_verified,
+    )
+
+    toks = SQL_TOKS.format(c="text")
+    norm = SQL_NORM.format(c="text")
+    return f"""
+        WITH c4 AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, len({toks}) AS n_words,
+                   CAST(list_sum(list_transform({toks}, x -> len(x)))
+                        AS DOUBLE) / len({toks}) AS mwl,
+                   lower(text) AS lowered
+            FROM documents
+          )
+          WHERE n_words BETWEEN 30 AND 10000
+            AND mwl BETWEEN 2.0 AND 10.0
+            AND NOT contains(lowered, '{{')
+            AND NOT contains(lowered, 'lorem ipsum')
+        ),
+        s1 AS (
+          SELECT d.* FROM documents d
+          JOIN c4 USING (doc_id)
+          WHERE d.lang = 'en'
+        ),
+        ex AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5({norm})) AS keep_id
+            FROM s1
+          ) WHERE doc_id = keep_id
+        ),
+        s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+        pairs AS ({_sql_minhash_verified(src='s2')}),
+        final AS (
+          SELECT * FROM s2
+          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM final GROUP BY source
+    """
+
+
+@_staged(
+    "pipe_corpus_curation_e2e",
+    tags=("datapipe", "pipeline", "dedup", "quality"),
+    oracle=_sql_curation_e2e(),
+)
+def pipe_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard web-corpus curation pipeline as ONE declarative
+    plan — the composition a training-data user actually runs:
+
+      1. C4 rule gate (word count, mean word length, brace/lorem
+         boilerplate) — shuffle-free projection + filter;
+      2. language allowlist on the labeled lang column;
+      3. exact dedup: keep the min doc_id per normalized-text md5
+         fingerprint (hash-partitioned window, never single-task);
+      4. near-dup dedup: MinHash-LSH candidates + exact Jaccard ≥ 0.8
+         verify over the survivors, dropping every pair's doc_b side
+         (the cheap greedy canonicalization) via a left-anti join;
+      5. per-source survivor counts and character mass.
+
+    Every stage is the already-verified component operator
+    (quality.c4_rule_flags, dedup fingerprint, minhash_verified_pairs)
+    — the pipeline adds only joins and an anti-join, so its scale
+    story is its components'. Catalyst sees ONE plan end to end and
+    pushes the c4/lang filters into the shared corpus scan."""
+    from cqdg_etl_spark.functions.text import fingerprint
+    from cqdg_etl_spark.operators import quality
+    from cqdg_etl_spark.operators.dedup import minhash_verified_pairs
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    c4_keep = (
+        quality.c4_rule_flags(docs, "text", "doc_id")
+        .filter("keep")
+        .select("doc_id")
+    )
+    s1 = docs.filter(F.col("lang") == "en").join(c4_keep, "doc_id")
+    keep_exact = (
+        s1.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep_exact, "doc_id")
+    pairs = minhash_verified_pairs(s2, "text", "doc_id", threshold=0.8)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = s2.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
