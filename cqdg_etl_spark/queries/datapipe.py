@@ -119,8 +119,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42,
-                      src: str = "documents") -> str:
+def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
     """DuckDB oracle mirroring operators/dedup.minhash_lsh_candidates
     exactly: the portable md5-derived 32-bit token hash
     (CAST('0x'||hex AS BIGINT) ≡ Spark conv(_,16,10)), the same (a,b)
@@ -144,7 +143,7 @@ def _sql_minhash_ctes(num_perm: int = 64, bands: int = 16, seed: int = 42,
     )
     ctes = f"""s AS (
           SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
-          FROM {src}
+          FROM documents
         ), h AS (
           SELECT doc,
                  CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
@@ -170,7 +169,7 @@ def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, seed: int = 42) -> str
 
 def _sql_minhash_verified(
     threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
-    seed: int = 42, src: str = "documents",
+    seed: int = 42,
 ) -> str:
     """Candidates from the banded MinHash CTEs + exact Jaccard verify
     over each doc's DISTINCT shingle-hash set — mirrors
@@ -179,7 +178,7 @@ def _sql_minhash_verified(
     jac = ("CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) "
            "/ (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))")
     return f"""
-        WITH {_sql_minhash_ctes(num_perm, bands, seed, src)},
+        WITH {_sql_minhash_ctes(num_perm, bands, seed)},
         cand AS (
           SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
           FROM bands a JOIN bands b

@@ -245,15 +245,74 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _sql_minhash_verified_over(
+    src: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """The MinHash-verified-pairs oracle parametrized over its source
+    relation (the published builder in queries/datapipe.py is pinned to
+    the documents table; it is NOT edited here because that module is
+    UDF-bearing, so any byte change would mark all of its published
+    queries stale in the verification tracker). Same permutation
+    constants, band keys, and verify expression — asserted equal to the
+    published text for src='documents' in tests."""
+    from cqdg_etl_spark.operators import dedup
+    from cqdg_etl_spark.queries.datapipe import _sql_shingles
+
+    params = dedup._perm_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    p_mod = dedup.MINHASH_P
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p_mod}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key "
+        "FROM sig".format(
+            idx=l,
+            cols=", ".join(
+                f"m{l * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for l in range(bands)
+    )
+    jac = ("CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) "
+           "/ (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))")
+    return f"""
+        WITH s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM {src}
+        ), h AS (
+          SELECT doc,
+                 CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM s
+        ), sig AS (
+          SELECT doc, {mins} FROM h GROUP BY doc
+        ), bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc < b.doc
+        ),
+        sets AS (SELECT doc, list(DISTINCT h) AS hs FROM h GROUP BY doc)
+        SELECT doc_a, doc_b, round({jac}, 6) AS jaccard
+        FROM cand
+        JOIN sets x ON x.doc = doc_a
+        JOIN sets y ON y.doc = doc_b
+        WHERE {jac} >= {threshold}
+    """
+
+
 def _sql_curation_e2e() -> str:
     """Oracle for the corpus-curation pipeline: the component queries'
     oracle fragments (C4 rules, exact-fingerprint dedup, MinHash
     verified pairs) chained over successive survivor CTEs."""
-    from cqdg_etl_spark.queries.datapipe import (
-        SQL_NORM,
-        SQL_TOKS,
-        _sql_minhash_verified,
-    )
+    from cqdg_etl_spark.queries.datapipe import SQL_NORM, SQL_TOKS
 
     toks = SQL_TOKS.format(c="text")
     norm = SQL_NORM.format(c="text")
@@ -284,7 +343,7 @@ def _sql_curation_e2e() -> str:
           ) WHERE doc_id = keep_id
         ),
         s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
-        pairs AS ({_sql_minhash_verified(src='s2')}),
+        pairs AS ({_sql_minhash_verified_over('s2')}),
         final AS (
           SELECT * FROM s2
           WHERE doc_id NOT IN (SELECT doc_b FROM pairs)

@@ -191,3 +191,17 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}
     jac = ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5).collect()
     assert jac == []
+
+
+def test_local_minhash_builder_matches_published():
+    """The src-parametrized MinHash oracle builder must stay in lockstep
+    with the published one (queries/datapipe.py) — whitespace aside."""
+    import re
+
+    from cqdg_etl_spark.queries.datapipe import _sql_minhash_verified
+    from cqdg_etl_spark.queries.datapipe13 import _sql_minhash_verified_over
+
+    canon = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+    assert canon(_sql_minhash_verified()) == canon(
+        _sql_minhash_verified_over("documents")
+    )
