@@ -40,6 +40,7 @@ def register() -> None:
 
 @_staged(
     "ann_topk_gemm",
+    bench=True,  # headline entry once published (round 5)
     tags=("datapipe", "ann", "gemm"),
     oracle="""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -357,6 +358,7 @@ def _sql_curation_e2e() -> str:
 
 @_staged(
     "pipe_corpus_curation_e2e",
+    bench=True,  # headline entry once published (round 5)
     tags=("datapipe", "pipeline", "dedup", "quality"),
     oracle=_sql_curation_e2e(),
 )
@@ -404,4 +406,161 @@ def pipe_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+@_staged(
+    "ev_conversion_latency_quantiles",
+    tags=("datapipe", "events", "percentile"),
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+          FROM events GROUP BY user_id
+        ),
+        lat AS (
+          SELECT strftime(date_trunc('week', v), '%Y-%m-%d') AS cohort_week,
+                 date_diff('second', v, p) AS latency_s
+          FROM per_user
+          WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+        )
+        SELECT cohort_week,
+               count(*) AS n_users,
+               round(quantile_cont(latency_s, 0.5), 6)  AS p50_s,
+               round(quantile_cont(latency_s, 0.9), 6)  AS p90_s
+        FROM lat GROUP BY cohort_week
+    """,
+)
+def ev_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: per user, first 'view' to first
+    'purchase' latency (converters only), exact interpolated p50/p90
+    per first-view cohort week. One shuffle on user_id for the min-pair
+    aggregate (map-side combined conditional mins — the fact never
+    sorts), then a #converters-sized percentile aggregate. Spark
+    `percentile` == DuckDB `quantile_cont` (the verified
+    agg_exact_percentiles recipe); at 100 TB swap approx_percentile's
+    mergeable t-digest when cohorts stop fitting."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    lat = per_user.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select(
+        F.date_format(F.date_trunc("week", "v"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        (F.unix_timestamp("p") - F.unix_timestamp("v")).alias("latency_s"),
+    )
+    return lat.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+@_staged(
+    "fe_target_encoding_loo",
+    tags=("datapipe", "features", "encoding"),
+    oracle="""
+        WITH g AS (
+          SELECT o_custkey,
+                 count(*) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_orderkey, o.o_custkey,
+               CASE WHEN n > 1 THEN
+                 round(CAST(s - CAST(o_totalprice AS DECIMAL(18,6))
+                            AS DOUBLE) / (n - 1), 6)
+               END AS loo_price_enc
+        FROM orders o JOIN g USING (o_custkey)
+    """,
+)
+def fe_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_custkey by mean order value:
+    each row's encoding excludes its own target — (group_sum − x) /
+    (n − 1), NULL for singleton keys — the leakage-free categorical
+    encoding for downstream models. Group-then-join-back: one map-side
+    combined aggregate over the key, one equi-join back to the fact
+    (never a per-key window sort); sums accumulate in DECIMAL(18,6)
+    per the repo money convention so the subtraction is exact."""
+    orders = load(spark, sf_dir, "orders")
+    g = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+    )
+    return (
+        orders.join(g, "o_custkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (
+                        F.col("s")
+                        - F.col("o_totalprice").cast("decimal(18,6)")
+                    ).cast("double")
+                    / (F.col("n") - 1),
+                    6,
+                ),
+            ).alias("loo_price_enc"),
+        )
+    )
+
+
+@_staged(
+    "ds_shard_assignment",
+    tags=("datapipe", "sampling", "sharding"),
+    oracle="""
+        WITH ordered AS (
+          SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS shuf
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (
+                   ORDER BY shuf, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_chars
+          FROM ordered
+        )
+        SELECT doc_id,
+               CAST(floor((cum_chars - n_chars) / 4000.0) AS BIGINT) AS shard
+        FROM cum
+    """,
+)
+def ds_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic byte-budget sharding: documents in md5-shuffled
+    order, each assigned the shard its RUNNING character total (before
+    the doc) falls into — the writer-side planner that turns a corpus
+    into ~equal-size training shards with a reproducible layout. The
+    running total comes from operators/ranking.py::global_cumsum
+    (range-repartitioned two-pass, broadcast offsets) — NEVER a
+    single-task global window; the oracle's OVER (ORDER BY ...) is the
+    semantics, not the plan."""
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+    )
+    cum = global_cumsum(
+        docs, [F.col("shuf"), F.col("doc_id")], "n_chars", "cum_chars"
+    )
+    # floor on BOTH sides: DuckDB CAST(double AS BIGINT) rounds to
+    # nearest while Spark's cast truncates — an implicit-cast trap.
+    return cum.select(
+        "doc_id",
+        F.floor((F.col("cum_chars") - F.col("n_chars")) / 4000)
+        .cast("bigint")
+        .alias("shard"),
     )
