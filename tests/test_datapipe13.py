@@ -205,3 +205,53 @@ def test_local_minhash_builder_matches_published():
     assert canon(_sql_minhash_verified()) == canon(
         _sql_minhash_verified_over("documents")
     )
+
+
+def test_gemm_hot_partition_and_batching(spark):
+    """The GEMM kernel on a deliberately skewed layout: every corpus
+    row in ONE partition, enough rows to span multiple Arrow batches.
+    Candidates stay bounded (≤ batches·|Q|·k) and the global result
+    equals the JVM baseline."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.gemm import brute_force_topk_gemm
+    from cqdg_etl_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)])
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") >= 5).repartition(1)  # hot partition
+    queries = df.filter(F.col("vec_id") < 5)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    try:
+        a = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in brute_force_topk_gemm(corpus, queries, k=3).collect()}
+        b = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in brute_force_topk(corpus, queries, k=3).collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+        )
+    assert a == b and len(a) == 15
+
+
+def test_covariance_partition_invariance(spark, sf_dir):
+    """The partition-partial X^T X reduce gives the same (rounded)
+    covariance no matter how the corpus is partitioned — 1 partition
+    vs the session default."""
+    from cqdg_etl_spark.operators.embstats import covariance_cells
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = {(r["i"], r["j"]): r["cov"]
+         for r in covariance_cells(emb.repartition(1), "embedding").collect()}
+    b = {(r["i"], r["j"]): r["cov"]
+         for r in covariance_cells(emb.repartition(16), "embedding").collect()}
+    assert set(a) == set(b)
+    worst = max(abs(a[k] - b[k]) for k in a)
+    assert worst <= 1e-6, worst  # identical after the 6dp presentation round
