@@ -71,12 +71,12 @@ _FRONT = [
     "ds_chunk_documents",
     "pipe_clinical_e2e",
     # -- changed or added in round 4 ---------------------------------
-    # (positions 41-48: plan or semantics changed this round — the rfm
+    # (positions 41-50: plan or semantics changed this round — the rfm
     # global-rank quartiles, the judge-requested banded miner, the
-    # q11/q15 scalar-broadcast rewrites, and the four remaining
-    # consumers of the global_rank/global_cumsum persist fix — the
-    # two-job range-boundary consistency bug found by the r4 tie-skew
-    # stress test)
+    # q11/q15 scalar-broadcast rewrites, the PPJoin length+positional
+    # filters, and the consumers of the global_rank/global_cumsum
+    # persist fix — the two-job range-boundary consistency bug found
+    # by the r4 tie-skew stress test)
     "ev_rfm_segments",
     "emb_hard_negatives_banded",
     "q11_important_part_value",
@@ -88,6 +88,9 @@ _FRONT = [
     # position 49: ppjoin gained the length + positional filters this
     # round (plan change -> fresh row needed)
     "dd_ppjoin_pairs",
+    # position 50: the 9th consumer of the global_rank/global_cumsum
+    # persist fix (672274b) — the other 8 are already above
+    "pf_profile_orders",
     # -- re-confirmation of previously-green rows, oldest first (the
     #    driver cap fills remaining slots from here in order) --------
     "q5_local_supplier_volume",
@@ -131,7 +134,6 @@ _FRONT = [
     "tx_quality_quantile_filter",
     "tx_quality_calibrated_udf",
     "tx_repetition_metrics",
-    "pf_profile_orders",
     "pf_expect_orders",
     "pf_histogram_totalprice",
     "fe_hashing_trick",
