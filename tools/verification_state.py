@@ -63,6 +63,12 @@ _BOUNDARY_RE = re.compile(
 _NORM_RES = [
     (re.compile(r"#\d+"), "#x"),
     (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    # Runtime-nondeterministic ids inside ALREADY-EXECUTED cached
+    # subtrees (a persisted frame materialized at query-build time
+    # embeds its final AQE plan): query-stage numbers and whole-stage
+    # codegen ids depend on stage scheduling order, not on the query.
+    (re.compile(r"QueryStage \d+"), "QueryStage x"),
+    (re.compile(r"\*\(\d+\)"), "*(x)"),
     (re.compile(r"0x[0-9a-f]+"), "0xX"),
     (re.compile(r"at 0xX>"), ">"),
     # per-process staging dirs (the clinical-fixture cache stages the
