@@ -102,19 +102,17 @@ def shingle_index(
     return idx
 
 
-def ngram_jaccard_pairs(
+def _shingle_overlap_stats(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
-    max_df: int | None = None,
+    n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
-
-    Candidate generation = equi-join on shingle (shuffle on shingle key,
-    no cross join); |A∩B| = count of shared shingles; |A∪B| = |A|+|B|-∩.
-    Returns (doc_a < doc_b, jaccard) for pairs ≥ threshold.
+    """Shared candidate machinery for the exact set-overlap dedup
+    measures (Jaccard, containment): inverted-index self-join →
+    (doc_a < doc_b, n_inter, size_a, size_b). The measure-specific
+    arithmetic is a cheap projection the callers finish.
 
     Scale shape (each choice measured at sf0.1; ~25% total win over the
     naive string-key formulation, and structurally safe at 1000×):
@@ -176,10 +174,27 @@ def ngram_jaccard_pairs(
     sizes_b = sizes.select(
         F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
     )
+    return inter.join(F.broadcast(sizes_a), "doc_a").join(
+        F.broadcast(sizes_b), "doc_b"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    (see _shingle_overlap_stats for the shared candidate machinery and
+    its measured scale rationale): |A∩B| = count of shared shingles,
+    |A∪B| = |A|+|B|−∩. Returns (doc_a < doc_b, jaccard) ≥ threshold.
+    """
+    stats = _shingle_overlap_stats(df, text_col, id_col, n, max_df)
     return (
-        inter.join(F.broadcast(sizes_a), "doc_a")
-        .join(F.broadcast(sizes_b), "doc_b")
-        .withColumn(
+        stats.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
         )
@@ -695,7 +710,11 @@ def ppjoin_pairs(
             "plen",
             F.greatest(
                 F.col("sz")
-                - F.expr(f"CAST(({t_num} * sz + {t_den - 1}) DIV {t_den} AS INT)")
+                # widen before the product — int32 wraps at sz ~ 2³¹/t_num
+                - F.expr(
+                    f"CAST((CAST(sz AS BIGINT) * {t_num} + {t_den - 1})"
+                    f" DIV {t_den} AS INT)"
+                )
                 + 1,
                 F.lit(1),
             ),
@@ -708,23 +727,28 @@ def ppjoin_pairs(
     )
     a = pref.alias("a").hint("shuffle_hash")
     b = pref.alias("b").hint("shuffle_hash")
-    # α = ⌈t·(|a|+|b|)/(1+t)⌉ with t = t_num/t_den, all-integer.
-    alpha = (
-        (F.col("a.sz") + F.col("b.sz")) * t_num + (t_num + t_den - 1)
-    ).cast("long") / F.lit(t_num + t_den)
-    alpha = F.floor(alpha)
-    ubound = F.lit(1) + F.least(
-        F.col("a.sz") - F.col("a.pos") - 1,
-        F.col("b.sz") - F.col("b.pos") - 1,
+    # α = ⌈t·(|a|+|b|)/(1+t)⌉ with t = t_num/t_den — all-integer, in
+    # LONG arithmetic: sz is an int32 (F.size), and an int32 product
+    # like (sz_a + sz_b)·t_num silently wraps for giant shingle sets;
+    # widen BEFORE multiplying, and use DIV (not double '/' + floor).
+    sza = F.col("a.sz").cast("long")
+    szb = F.col("b.sz").cast("long")
+    alpha = F.expr(
+        f"((CAST(a.sz AS BIGINT) + b.sz) * {t_num} + {t_num + t_den - 1})"
+        f" DIV {t_num + t_den}"
+    )
+    ubound = F.lit(1).cast("long") + F.least(
+        sza - F.col("a.pos") - 1,
+        szb - F.col("b.pos") - 1,
     )
     cand = (
         a.join(
             b,
             (F.col("a.okey") == F.col("b.okey"))
             & (F.col("a.doc") < F.col("b.doc"))
-            # length filter
-            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
-            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
+            # length filter (long products — same overflow reasoning)
+            & (sza * t_num <= szb * t_den)
+            & (szb * t_num <= sza * t_den)
             # positional filter
             & (ubound >= alpha),
         )
@@ -789,40 +813,12 @@ def containment_pairs(
     misses: a 100-shingle doc fully contained in a 10,000-shingle doc
     has J ≈ 0.01 but C = 1.0.
 
-    Same scale shape as ngram_jaccard_pairs (one shared repartition("h")
-    exchange, xxhash64 8-byte join keys, optional max_df stop-shingle
-    suppression, broadcast size joins after the pair aggregate) — only
-    the final measure differs.
+    Same scale shape as ngram_jaccard_pairs — both finish the shared
+    _shingle_overlap_stats candidate frame; only the measure differs.
     """
-    df = _spread(df)
-    idx = shingle_index(df, text_col, id_col, n, None).select(
-        "doc", F.xxhash64("shingle").alias("h")
-    )
-    idx = idx.repartition("h")
-    if max_df is not None:
-        idx = (
-            idx.withColumn("df_h", F.count("*").over(W.partitionBy("h")))
-            .filter(F.col("df_h") <= max_df)
-            .select("doc", "h")
-        )
-    sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    a = idx.alias("a").hint("shuffle_hash")
-    b = idx.alias("b").hint("shuffle_hash")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes_a = sizes.select(
-        F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
-    )
-    sizes_b = sizes.select(
-        F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
-    )
+    stats = _shingle_overlap_stats(df, text_col, id_col, n, max_df)
     return (
-        inter.join(F.broadcast(sizes_a), "doc_a")
-        .join(F.broadcast(sizes_b), "doc_b")
-        .withColumn(
+        stats.withColumn(
             "containment",
             F.col("n_inter") / F.least(F.col("size_a"), F.col("size_b")),
         )

@@ -99,6 +99,23 @@ def covariance_cells(
     )
 
 
+def _cov_matrix(df: DataFrame, vec_col: str, means: list[float] | None = None):
+    """Collect covariance_cells into the symmetric d×d numpy matrix —
+    the bounded closure-scale reconstruction shared by the spectrum and
+    whitening fits."""
+    import numpy as np
+
+    cells = covariance_cells(df, vec_col, means=means).collect()
+    if not cells:
+        raise ValueError("empty corpus: no covariance cells")
+    d = max(r["j"] for r in cells) + 1
+    c = np.zeros((d, d))
+    for r in cells:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    return c
+
+
 def covariance_spectrum(
     df: DataFrame, vec_col: str = "embedding"
 ) -> list[float]:
@@ -109,12 +126,7 @@ def covariance_spectrum(
     closure-scale data, not corpus data."""
     import numpy as np
 
-    cells = covariance_cells(df, vec_col).collect()
-    d = max(r["j"] for r in cells) + 1
-    c = np.zeros((d, d))
-    for r in cells:
-        c[r["i"], r["j"]] = r["cov"]
-        c[r["j"], r["i"]] = r["cov"]
+    c = _cov_matrix(df, vec_col)
     return sorted((float(v) for v in np.linalg.eigvalsh(c)), reverse=True)
 
 
@@ -129,12 +141,7 @@ def whitening_matrix(
     import numpy as np
 
     mu = np.asarray(dimension_means(df, vec_col), dtype=np.float64)
-    cells = covariance_cells(df, vec_col, means=list(mu)).collect()
-    d = len(mu)
-    c = np.zeros((d, d))
-    for r in cells:
-        c[r["i"], r["j"]] = r["cov"]
-        c[r["j"], r["i"]] = r["cov"]
+    c = _cov_matrix(df, vec_col, means=list(mu))
     lam, u = np.linalg.eigh(c)
     w = (u / np.sqrt(np.maximum(lam, eps))) @ u.T  # ZCA form: symmetric
     return mu, w

@@ -29,9 +29,11 @@ def brute_force_topk_gemm(
     is collected once and ships inside the Arrow-kernel closure — the
     same closure-data pattern as the IVF centroids. Each corpus
     partition then runs ONE numpy GEMM per Arrow batch
-    (batch × d @ d × |Q|) and emits only its LOCAL top-k per query
-    (|partitions|·|Q|·k skinny candidate rows), so the global
-    row_number window ranks a tiny frame. Contrast with
+    (batch × d @ d × |Q|), folds the batch results into an O(|Q|·k)
+    running top-k, and emits its LOCAL top-k per query once at
+    partition end (|partitions|·|Q|·k skinny candidate rows — batch
+    count does NOT appear in the bound), so the global row_number
+    window ranks a tiny frame. Contrast with
     ``brute_force_topk``, whose per-pair JVM fold evaluates the dot
     product expression row-at-a-time: the arithmetic here is identical
     float64 (modulo summation order, absorbed by the repo-wide
@@ -58,7 +60,17 @@ def brute_force_topk_gemm(
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
+    n_q = len(q_ids)
+
     def local_topk(batches):
+        # Running top-k per query ACROSS the partition's Arrow batches,
+        # emitted ONCE at partition end — per-batch emission would
+        # inflate the candidate frame by the batch count (a 10M-row
+        # partition is ~10³ batches at the default Arrow batch size).
+        # State is O(|Q|·k); the per-batch merge concatenates the k
+        # incumbents with the batch's k best and re-truncates.
+        best_ids = [np.empty(0, dtype=np.int64) for _ in range(n_q)]
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(n_q)]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -67,18 +79,24 @@ def brute_force_topk_gemm(
             norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
             cos = (c_mat / norms) @ q_mat.T  # |batch| × |Q|
             kk = min(k, len(ids))
-            for j in range(len(q_ids)):
+            for j in range(n_q):
                 col = cos[:, j]
                 # total order (cos desc, neighbor_id asc); lexsort keys
                 # are listed least-significant first
                 order = np.lexsort((ids, -col))[:kk]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(kk, q_ids[j]),
-                        "neighbor_id": ids[order],
-                        "cos": col[order],
-                    }
-                )
+                merged_ids = np.concatenate((best_ids[j], ids[order]))
+                merged_cos = np.concatenate((best_cos[j], col[order]))
+                keep = np.lexsort((merged_ids, -merged_cos))[:k]
+                best_ids[j], best_cos[j] = merged_ids[keep], merged_cos[keep]
+        out_q = np.repeat(q_ids, [len(b) for b in best_ids])
+        if len(out_q):
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": np.concatenate(best_ids),
+                    "cos": np.concatenate(best_cos),
+                }
+            )
 
     cand = corpus.select(
         F.col(id_col).alias("_id"),

@@ -320,11 +320,15 @@ def _sql_curation_e2e() -> str:
     return f"""
         WITH c4 AS (
           SELECT doc_id FROM (
+            -- round(mwl, 6) to stay in lockstep with the operator and
+            -- the published tx_c4_rule_filter oracle (both compare the
+            -- ROUNDED mean word length against the band)
             SELECT doc_id, len({toks}) AS n_words,
-                   CAST(list_sum(list_transform({toks}, x -> len(x)))
-                        AS DOUBLE) / len({toks}) AS mwl,
+                   round(CAST(list_sum(list_transform({toks}, x -> len(x)))
+                              AS DOUBLE) / len({toks}), 6) AS mwl,
                    lower(text) AS lowered
             FROM documents
+            WHERE lang = 'en'
           )
           WHERE n_words BETWEEN 30 AND 10000
             AND mwl BETWEEN 2.0 AND 10.0
@@ -387,12 +391,17 @@ def pipe_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    # Gate the language allowlist BEFORE the rule flags: the lang
+    # predicate sits on the same scan, so the expensive tokenization
+    # runs only on the allowlisted subset (Catalyst cannot push a
+    # filter from one join branch into the other by itself).
     c4_keep = (
-        quality.c4_rule_flags(docs, "text", "doc_id")
+        quality.c4_rule_flags(en, "text", "doc_id")
         .filter("keep")
         .select("doc_id")
     )
-    s1 = docs.filter(F.col("lang") == "en").join(c4_keep, "doc_id")
+    s1 = en.join(c4_keep, "doc_id")
     keep_exact = (
         s1.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp")))
