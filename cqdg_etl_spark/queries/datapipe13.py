@@ -573,3 +573,63 @@ def ds_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard"),
     )
+
+
+def _sql_recall_eval() -> str:
+    """Recall@5 oracle composing the published LSH and brute-force
+    top-k oracles as CTE subqueries (both engine-exact, so the recall
+    of the approximate index is itself exactly reproducible)."""
+    # importing the module registers its queries into REGISTRY
+    from cqdg_etl_spark.queries import datapipe as _  # noqa: F401
+    from cqdg_etl_spark.queries.registry import REGISTRY
+
+    lsh = REGISTRY["ann_topk_lsh"].oracle
+    bf = REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+        WITH lsh AS ({lsh}),
+        bf AS ({bf})
+        SELECT bf.query_id,
+               CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hits,
+               round(count(lsh.neighbor_id) / 5.0, 6) AS recall_at_5
+        FROM bf
+        LEFT JOIN lsh
+          ON lsh.query_id = bf.query_id
+         AND lsh.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """
+
+
+@_staged(
+    "emb_topk_recall_eval",
+    tags=("datapipe", "ann", "evaluation"),
+    oracle=_sql_recall_eval(),
+)
+def emb_topk_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a query: recall@5 of the SRP-LSH
+    ANN index against the exact brute-force ground truth, per query
+    vector. The measurement every ANN deployment runs before choosing
+    band/probe parameters — here it composes two published operators
+    (lsh_bucket_topk, brute_force_topk) with one left join + count, so
+    its scale story is theirs; both sides are deterministic, making
+    even the RECALL value engine-exact and hash-checkable."""
+    from cqdg_etl_spark.queries.registry import REGISTRY
+
+    bf = REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = REGISTRY["ann_topk_lsh"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    return (
+        bf.join(
+            lsh,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_hits"),
+            F.round(F.count("l_nid") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+    )

@@ -119,6 +119,10 @@ STAGED_BNLJ_OK = {
     # two 1-row scalar frames (totals × top-10 sum) meeting in a
     # broadcast cross — the whole output is one row
     "pf_key_skew_profile",
+    # inherits ann_topk_bruteforce's reviewed broadcast-query
+    # brute-force baseline (same exception the published lint grants
+    # ret_hybrid_rrf)
+    "emb_topk_recall_eval",
 }
 
 
@@ -255,3 +259,23 @@ def test_covariance_partition_invariance(spark, sf_dir):
     assert set(a) == set(b)
     worst = max(abs(a[k] - b[k]) for k in a)
     assert worst <= 1e-6, worst  # identical after the 6dp presentation round
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Measure invariant on real data: for every pair the two measures
+    surface (same shingle space, same max_df), containment ≥ jaccard —
+    so at equal thresholds the jaccard pairs are a subset."""
+    from cqdg_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.2, 1000).collect()}
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, "text", "doc_id", 3, 0.2, 1000).collect()}
+    assert jac, "fixture too clean: no jaccard pairs at t=0.2"
+    for pair, j in jac.items():
+        assert pair in cont and cont[pair] >= j - 1e-9, (pair, j, cont.get(pair))
