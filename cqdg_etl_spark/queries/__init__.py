@@ -32,6 +32,12 @@ from cqdg_etl_spark.queries import datapipe10 as _datapipe10  # noqa: F401,E402
 from cqdg_etl_spark.queries import datapipe11 as _datapipe11  # noqa: F401,E402
 from cqdg_etl_spark.queries import datapipe12 as _datapipe12  # noqa: F401,E402
 
+# Round-5 publication point: queries/datapipe13.py holds the staged
+# batch (locally verified, kept out of the driver surface during the
+# round-4 registry freeze). To publish: import it here, call
+# datapipe13.register(), and bump EXPECTED_REGISTRY_SIZE by
+# len(datapipe13.STAGED).
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
