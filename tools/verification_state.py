@@ -18,8 +18,16 @@ commit messages — this tool replaces that with committed state:
     contain an Arrow/Python boundary (pandas_udf / applyInPandas /
     mapInPandas / udtf / applyInPandasWithState). Over-marks queries
     importing an edited UDF module; never under-marks.
-  * Expression ids (#123), plan ids and object addresses are
-    normalized out, so the hash is stable across sessions.
+  * Expression ids (#123), plan ids, object addresses, and runtime
+    stage ids are normalized out, so the hash is stable across
+    sessions. One residual: Catalyst's multi-countDistinct rewrite
+    numbers its Expand gid groups from session-wide expression-id
+    history, so a query with several exact-distinct aggregates (e.g.
+    pf_profile_orders) can re-hash when UNRELATED upstream queries
+    change how many expressions they allocate. That direction is safe:
+    it can only OVER-mark (the query gets an extra driver row), never
+    under-mark — a real change to the query itself always changes the
+    plan text too.
 
 - ``verification_state.json`` (committed) holds:
     {"verified": {name: {"round": "r04", "hash": h}},
