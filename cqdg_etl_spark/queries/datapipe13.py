@@ -633,3 +633,71 @@ def emb_topk_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("l_nid") / F.lit(5.0), 6).alias("recall_at_5"),
         )
     )
+
+
+@_staged(
+    "ds_cluster_safe_split",
+    tags=("datapipe", "sampling", "dedup", "leakage"),
+    oracle=f"""
+        WITH RECURSIVE s AS (
+          SELECT doc_id AS doc, unnest({_sql_shingles('text')}) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, count(*) AS n_shingles FROM s GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc = doc_a
+          JOIN sizes sb ON sb.doc = doc_b
+          WHERE CAST(n_inter AS DOUBLE)
+                / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.8
+        ), sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ), walk(node, label) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT s2.b, w.label FROM walk w JOIN sym s2 ON s2.a = w.node
+        ), comp AS (
+          SELECT node, min(label) AS component FROM walk GROUP BY node
+        )
+        SELECT doc_id,
+               coalesce(comp.component, doc_id) AS cluster,
+               CASE WHEN CAST(('0x' || substring(md5('split' ||
+                      CAST(coalesce(comp.component, doc_id) AS VARCHAR)), 1, 8))
+                      AS BIGINT) < CAST(0.9 * 4294967296 AS BIGINT)
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents LEFT JOIN comp ON comp.node = doc_id
+    """,
+)
+def ds_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split: near-dup CLUSTERS (exact 3-gram
+    Jaccard ≥ 0.8 → connected components) are the split unit, so two
+    near-duplicate documents can never land on opposite sides — the
+    contamination a plain per-doc hash split silently allows and
+    decontamination sweeps then have to repair. Docs in no pair are
+    their own singleton cluster; the split hash is the same
+    md5('split'||id) bucket rule as ds_train_val_split, applied to the
+    cluster representative. Scale story = its components':
+    inverted-index pair generation + auto-dispatched connected
+    components + a shuffle-free bucket projection."""
+    from cqdg_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cqdg_etl_spark.operators.graph import connected_components_auto
+    from cqdg_etl_spark.operators.sampling import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    comp = connected_components_auto(pairs, "doc_a", "doc_b")
+    clustered = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return assign_split(
+        clustered, "cluster", {"train": 0.9, "val": 0.1}
+    ).select("doc_id", "cluster", "split")

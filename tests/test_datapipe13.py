@@ -279,3 +279,22 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert jac, "fixture too clean: no jaccard pairs at t=0.2"
     for pair, j in jac.items():
         assert pair in cont and cont[pair] >= j - 1e-9, (pair, j, cont.get(pair))
+
+
+def test_cluster_safe_split_no_leakage(spark, sf_dir):
+    """Every near-dup pair has both ends in the SAME split (the
+    property a per-doc hash split does not guarantee), and every doc
+    appears exactly once."""
+    from cqdg_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cqdg_etl_spark.queries.datapipe13 import ds_cluster_safe_split
+    from cqdg_etl_spark.queries.registry import load
+
+    out = ds_cluster_safe_split(spark, sf_dir).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    docs = load(spark, sf_dir, "documents")
+    assert len(out) == docs.count()
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.8).collect()
+    assert pairs, "fixture too clean: no near-dup pairs"
+    for r in pairs:
+        assert split_of[r["doc_a"]] == split_of[r["doc_b"]], (
+            r["doc_a"], r["doc_b"])
