@@ -701,3 +701,32 @@ def ds_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(
         clustered, "cluster", {"train": 0.9, "val": 0.1}
     ).select("doc_id", "cluster", "split")
+
+
+@_staged(
+    "sql_pipe_syntax_orders",
+    tags=("sql-surface", "spark4", "pipe"),
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators, SQL:2023-style flow) —
+    the same Catalyst plan as the classic formulation (the pipe parser
+    is pure surface syntax), verified against a plain-SQL oracle.
+    Completes the Spark 4 SQL-surface set next to the recursive CTE,
+    catalog SQL UDF, and VARIANT queries."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql("""
+      FROM orders_pipe_v
+      |> WHERE o_orderstatus = 'F'
+      |> AGGREGATE count(*) AS n,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total
+         GROUP BY o_orderpriority
+    """)
