@@ -298,3 +298,31 @@ def test_cluster_safe_split_no_leakage(spark, sf_dir):
     for r in pairs:
         assert split_of[r["doc_a"]] == split_of[r["doc_b"]], (
             r["doc_a"], r["doc_b"])
+
+
+def test_whitening_survives_collapsed_dimension(spark):
+    """A zero-variance (collapsed) embedding dimension must not produce
+    infs/NaNs: the eps floor caps the 1/sqrt(lambda) blowup, and the
+    non-collapsed subspace still whitens to the identity."""
+    import numpy as np
+
+    from cqdg_etl_spark.operators.embstats import covariance_cells, whiten
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(3)] + [7.0])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ww = whiten(df, "vec_id", "embedding")
+    sample = ww.limit(5).collect()
+    for r in sample:
+        assert all(np.isfinite(v) for v in r["whitened"])
+    cells = {(r["i"], r["j"]): r["cov"]
+             for r in covariance_cells(ww, "whitened").collect()}
+    for i in range(3):
+        for j in range(i, 3):
+            want = 1.0 if i == j else 0.0
+            assert abs(cells[(i, j)] - want) < 1e-3, (i, j, cells[(i, j)])
+    # the collapsed direction stays collapsed (variance ~0), not inf
+    assert abs(cells[(3, 3)]) < 1e-3
