@@ -16,19 +16,184 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cqdg_etl_spark.queries import REGISTRY
 
-# Round 4 clears the driver-verification debt (VERDICT r3 #1): the
-# driver caps a round at 50 correctness rows, so positions 1-40 are
-# EXACTLY the 40 names owed a driver row — 32 round-3 additions that
-# were never driver-verified (past the r03 cap) followed by the 8
-# whose implementation changed after their last row (the text.py
-# shingle let-binding, commit 821bb17, and the clinical fixture
-# staging cache, c81f6d1). Positions 41-48 are names whose plans
-# changed THIS round (see the block comment below), then
-# re-confirmations of the oldest green rows.
-# tools/verification_state.py maintains the stale set mechanically
-# from committed plan/source hashes.
+# Driver correctness-row ordering. The driver caps a round at 50 rows,
+# so _FRONT position is the publication priority. Round 5: positions
+# 1-12 are the newly published datapipe13 batch (the freeze-staged
+# queries, VERDICT r4 item #1); 13-50 are the oldest previously-green
+# rows, ordered mechanically by tools/verification_state.py front
+# (VERDICT r4 item #3) — after promoting the 50 green r04 rows, zero
+# published names were hash-stale, so the ordering is purely
+# oldest-driver-row-first.
 _FRONT = [
-    # -- never driver-verified (round-3 additions past the r03 cap) --
+    # -- round-5 publication: the 12 datapipe13 queries (never
+    #    driver-verified; staged + locally oracle-verified in r4) --
+    "ann_topk_gemm",
+    "dd_cross_source_leakage",
+    "emb_covariance_cells",
+    "pf_key_skew_profile",
+    "dd_containment_pairs",
+    "pipe_corpus_curation_e2e",
+    "ev_conversion_latency_quantiles",
+    "fe_target_encoding_loo",
+    "ds_shard_assignment",
+    "emb_topk_recall_eval",
+    "ds_cluster_safe_split",
+    "sql_pipe_syntax_orders",
+    # -- re-confirmations, mechanically ordered oldest-driver-row
+    #    first (`python tools/verification_state.py front`, run at
+    #    round-5 start after promoting the 50 green r04 rows; zero
+    #    names were hash-stale). Positions 13-50 land in the
+    #    driver's 50-row window: the r1-legacy TPC-H block and the
+    #    oldest operator rows, per VERDICT r4 item #3. ----------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_last_shipper",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_variety",
+    "q20_heavy_shippers",
+    "j2_left_join_order_counts",
+    "j5_full_outer_summary_merge",
+    "j6_cross_domain_zero_fill",
+    "j_semi_anti_customers",
+    "a1_nest_orders_per_customer",
+    "a2_collect_set_segments",
+    "a3_count_distinct_customers",
+    "a7_array_normalize_months",
+    "a6_distinct_union_nations",
+    "agg_rollup_status_priority",
+    "agg_pivot_status",
+    "f1_business_key_hash",
+    "f3_split_explode_tokens",
+    "f5_regexp_extract_priority",
+    "f6_rlike_part_filter",
+    "f9_truthy_conversion_flag",
+    "p7_null_default_status",
+    "f13_monthly_order_buckets",
+    "w1_top_order_per_customer",
+    "w2_running_customer_spend",
+    "j1_hash_id_resolution",
+    "j3_theta_left_lookup",
+    "a4_first_per_group",
+    "f2_f11_display_wrap",
+    "f7_array_contains_tokens",
+    "u1_age_years",
+    "j_salted_skew_join",
+    "agg_exact_percentiles",
+    "agg_cube_priority_status",
+    "set_intersect_except_buyers",
+    "agg_unpivot_order_metrics",
+    "ops_global_sort_daily",
+    "j_bloom_filtered_join",
+    "ops_zorder_orders",
+    "ev_tumbling_hourly",
+    "ev_sessionize",
+    "ev_hopping_halfhour",
+    "ev_funnel_transitions",
+    "ev_top3_users_per_type",
+    "ev_moving_avg_3",
+    "ev_weekly_retention",
+    "ev_anomaly_robust_z",
+    "ev_tumbling_hourly_stream",
+    "ev_stream_dedup_keys",
+    "ev_stream_view_purchase_join",
+    "ev_stream_enrich_static",
+    "ev_stream_hopping_halfhour",
+    "ev_stream_session_windows",
+    "ev_stream_stateful_totals",
+    "pipe_customer_document",
+    "ev_asof_purchase_view",
+    "ev_range_error_near_signup",
+    "etl_scd2_customer_merge",
+    "dd_exact_fingerprint_groups",
+    "dd_embedding_cosine_pairs",
+    "ann_topk_bruteforce",
+    "tx_quality_features",
+    "tx_language_id",
+    "tx_token_counts_by_source",
+    "tx_winnowing_fingerprints",
+    "mm_media_meta",
+    "dd_duplicate_clusters",
+    "ds_train_val_split",
+    "ds_stratified_sample",
+    "tx_quality_quantile_filter",
+    "tx_quality_calibrated_udf",
+    "mm_png_header_roundtrip",
+    "tx_sentences_udtf",
+    "tx_repetition_metrics",
+    "q9_profit_by_nation_year",
+    "ev_stream_left_outer_join",
+    "sql_recursive_supplier_tree",
+    "sql_scalar_udf_revenue",
+    "dd_minhash_lsh_candidates",
+    "dd_simhash_near_pairs",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "mm_media_features",
+    "pf_expect_orders",
+    "dd_minhash_verified_pairs",
+    "tx_c4_rule_filter",
+    "tx_pii_redaction",
+    "dd_canonical_per_cluster",
+    "tx_top_bigrams",
+    "emb_label_centroids",
+    "pf_histogram_totalprice",
+    "emb_quantize_int8",
+    "dd_semantic_prune",
+    "ds_mixture_weighted_sample",
+    "tx_bigram_lm_score",
+    "ev_json_props",
+    "dd_span_dedup",
+    "graph_pagerank_coparts",
+    "dd_fuzzy_name_pairs",
+    "graph_triangle_counts",
+    "agg_grouping_sets_mix",
+    "ev_range_frame_hourly_avg",
+    "ev_group_order_stats_pandas",
+    "fe_hashing_trick",
+    "etl_snapshot_diff",
+    "etl_incremental_rollup",
+    "dd_tfidf_cosine_pairs",
+    "emb_pq_codes",
+    "etl_keep_latest_event",
+    "sk_linear_count_users",
+    "ev_variant_props",
+    "src_pysource_docs_stats",
+    "ret_bm25_topk",
+    "ret_hybrid_rrf",
+    "tx_pmi_bigrams",
+    "fe_zscore_by_lang",
+    "tx_novelty_score",
+    "q15_top_supplier",
+    "q11_important_part_value",
+    "ev_rfm_segments",
+    "pipe_clinical_e2e",
+    "dd_ngram_jaccard_pairs",
+    "tx_fingerprints",
+    "tx_tfidf_term_stats",
+    "ds_decontaminate_vs_benchmark",
+    "ds_pack_sequences",
+    "tx_cms_heavy_hitters",
+    "ds_chunk_documents",
+    "pf_profile_orders",
+    "ds_deterministic_shuffle",
+    "ds_interleave_sources",
+    "ds_per_group_sample",
+    "dd_ppjoin_pairs",
+    "pf_equidepth_nchars_by_lang",
     "agg_modern_functions",
     "ev_markov_transitions",
     "etl_merge_upsert",
@@ -40,6 +205,7 @@ _FRONT = [
     "sk_hll_users_by_type",
     "ev_resample_ffill",
     "emb_hard_negatives",
+    "emb_hard_negatives_banded",
     "ev_cusum_drift",
     "sk_hll_union_intersection",
     "pf_psi_totalprice_drift",
@@ -61,128 +227,6 @@ _FRONT = [
     "tx_source_vocab_overlap",
     "tx_zipf_fit",
     "emb_centroid_separation",
-    # -- stale: code changed after their last driver row -------------
-    "dd_ngram_jaccard_pairs",
-    "tx_fingerprints",
-    "tx_cms_heavy_hitters",
-    "tx_tfidf_term_stats",
-    "ds_decontaminate_vs_benchmark",
-    "ds_pack_sequences",
-    "ds_chunk_documents",
-    "pipe_clinical_e2e",
-    # -- changed or added in round 4 ---------------------------------
-    # (positions 41-50: plan or semantics changed this round — the rfm
-    # global-rank quartiles, the judge-requested banded miner, the
-    # q11/q15 scalar-broadcast rewrites, the PPJoin length+positional
-    # filters, and the consumers of the global_rank/global_cumsum
-    # persist fix — the two-job range-boundary consistency bug found
-    # by the r4 tie-skew stress test)
-    "ev_rfm_segments",
-    "emb_hard_negatives_banded",
-    "q11_important_part_value",
-    "q15_top_supplier",
-    "ds_deterministic_shuffle",
-    "ds_interleave_sources",
-    "ds_per_group_sample",
-    "pf_equidepth_nchars_by_lang",
-    # position 49: ppjoin gained the length + positional filters this
-    # round (plan change -> fresh row needed)
-    "dd_ppjoin_pairs",
-    # position 50: the 9th consumer of the global_rank/global_cumsum
-    # persist fix (672274b) — the other 8 are already above
-    "pf_profile_orders",
-    # -- re-confirmation of previously-green rows, oldest first (the
-    #    driver cap fills remaining slots from here in order) --------
-    "q5_local_supplier_volume",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "dd_exact_fingerprint_groups",
-    "dd_duplicate_clusters",
-    "ann_topk_bruteforce",
-    "dd_embedding_cosine_pairs",
-    "dd_minhash_lsh_candidates",
-    "dd_minhash_verified_pairs",
-    "dd_simhash_near_pairs",
-    "dd_fuzzy_name_pairs",
-    "dd_semantic_prune",
-    "dd_span_dedup",
-    "dd_canonical_per_cluster",
-    "dd_tfidf_cosine_pairs",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf",
-    "emb_pq_codes",
-    "emb_label_centroids",
-    "emb_quantize_int8",
-    "mm_media_features",
-    "mm_media_meta",
-    "mm_png_header_roundtrip",
-    "tx_c4_rule_filter",
-    "tx_pii_redaction",
-    "tx_top_bigrams",
-    "tx_pmi_bigrams",
-    "tx_bigram_lm_score",
-    "tx_novelty_score",
-    "tx_quality_features",
-    "tx_language_id",
-    "tx_token_counts_by_source",
-    "tx_winnowing_fingerprints",
-    "tx_sentences_udtf",
-    "tx_quality_quantile_filter",
-    "tx_quality_calibrated_udf",
-    "tx_repetition_metrics",
-    "pf_expect_orders",
-    "pf_histogram_totalprice",
-    "fe_hashing_trick",
-    "fe_zscore_by_lang",
-    "ds_train_val_split",
-    "ds_stratified_sample",
-    "ds_mixture_weighted_sample",
-    "sk_linear_count_users",
-    "etl_snapshot_diff",
-    "etl_incremental_rollup",
-    "etl_keep_latest_event",
-    "etl_scd2_customer_merge",
-    "graph_pagerank_coparts",
-    "graph_triangle_counts",
-    "ev_json_props",
-    "ev_variant_props",
-    "ev_tumbling_hourly",
-    "ev_sessionize",
-    "ev_hopping_halfhour",
-    "ev_funnel_transitions",
-    "ev_top3_users_per_type",
-    "ev_moving_avg_3",
-    "ev_weekly_retention",
-    "ev_anomaly_robust_z",
-    "ev_range_frame_hourly_avg",
-    "ev_group_order_stats_pandas",
-    "ev_asof_purchase_view",
-    "ev_range_error_near_signup",
-    "ev_stream_left_outer_join",
-    "ev_tumbling_hourly_stream",
-    "ev_stream_dedup_keys",
-    "ev_stream_view_purchase_join",
-    "ev_stream_enrich_static",
-    "ev_stream_hopping_halfhour",
-    "ev_stream_session_windows",
-    "ev_stream_stateful_totals",
-    "agg_grouping_sets_mix",
-    "agg_cube_priority_status",
-    "agg_unpivot_order_metrics",
-    "set_intersect_except_buyers",
-    "ops_global_sort_daily",
-    "ops_zorder_orders",
-    "j_bloom_filtered_join",
-    "sql_recursive_supplier_tree",
-    "sql_scalar_udf_revenue",
-    "ret_bm25_topk",
-    "ret_hybrid_rrf",
-    "src_pysource_docs_stats",
-    "pipe_customer_document",
 ]
 
 

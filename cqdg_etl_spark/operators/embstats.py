@@ -94,7 +94,11 @@ def covariance_cells(
         .select(
             "i",
             "j",
-            F.round(F.col("s") / F.col("n"), 6).alias("cov"),
+            # + 0.0 canonicalizes IEEE negative zero (a tiny negative
+            # covariance rounds to -0.0 on some engines; -0.0 + 0.0 is
+            # +0.0 in every rounding mode) so stringified driver
+            # compares can't split on the sign of zero.
+            (F.round(F.col("s") / F.col("n"), 6) + F.lit(0.0)).alias("cov"),
         )
     )
 

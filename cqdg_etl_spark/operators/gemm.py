@@ -45,6 +45,13 @@ def brute_force_topk_gemm(
     (cos desc, neighbor_id asc) restricted to any partition is that
     partition's top-k under the same order, so emitting k per
     (partition, query) is a lossless candidate superset.
+
+    Degenerate-vector contract (shared with ``brute_force_topk``): a
+    zero-norm vector has cosine 0.0 to everything — norms are floored
+    before the divide, so 0/eps = 0 exactly and no NaN ever enters the
+    ranking. Without the floor the two paths silently diverge on
+    degenerate rows: numpy's lexsort drops NaN to the end while JVM
+    ordering treats NaN as the largest double.
     """
     import numpy as np
     import pandas as pd
@@ -58,7 +65,8 @@ def brute_force_topk_gemm(
         return corpus.sparkSession.createDataFrame([], empty)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = q_mat / np.maximum(q_norms, 1e-300)  # zero-norm -> cos 0.0
 
     n_q = len(q_ids)
 
@@ -77,7 +85,8 @@ def brute_force_topk_gemm(
             ids = pdf["_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            cos = (c_mat / norms) @ q_mat.T  # |batch| × |Q|
+            # floor: zero-norm corpus rows score 0.0, never NaN
+            cos = (c_mat / np.maximum(norms, 1e-300)) @ q_mat.T  # |batch| × |Q|
             kk = min(k, len(ids))
             for j in range(n_q):
                 col = cos[:, j]

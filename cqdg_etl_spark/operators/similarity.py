@@ -36,6 +36,15 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
 
     Ties broken by neighbor id — fully deterministic output.
+
+    Degenerate-vector contract (shared with the GEMM twin,
+    operators/gemm.py): a zero-norm vector scores cos 0.0 against
+    everything. Unguarded, IEEE 0/0 = NaN and Spark orders NaN as the
+    LARGEST double — a degenerate corpus row would silently rank
+    first here while the numpy path dropped it last. The SQL oracles
+    omit the guard: the embeddings tables carry unit-norm vectors
+    (min norm asserted ≈1 across SFs), so the guard branch is
+    value-invisible on oracle-checked data.
     """
     from cqdg_etl_spark.functions.vectors import dot, l2_norm
 
@@ -51,13 +60,13 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
     ).select("neighbor_id", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm"))
+    prod = F.col("q_norm") * F.col("c_norm")
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        (
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm"))
-        ).alias("cos"),
+        F.when(prod == 0, F.lit(0.0))
+        .otherwise(dot(F.col("q_vec"), F.col("c_vec")) / prod)
+        .alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

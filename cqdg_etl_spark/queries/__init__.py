@@ -32,16 +32,16 @@ from cqdg_etl_spark.queries import datapipe10 as _datapipe10  # noqa: F401,E402
 from cqdg_etl_spark.queries import datapipe11 as _datapipe11  # noqa: F401,E402
 from cqdg_etl_spark.queries import datapipe12 as _datapipe12  # noqa: F401,E402
 
-# Round-5 publication point: queries/datapipe13.py holds the staged
-# batch (locally verified, kept out of the driver surface during the
-# round-4 registry freeze). To publish: import it here, call
-# datapipe13.register(), and bump EXPECTED_REGISTRY_SIZE by
-# len(datapipe13.STAGED).
+# Round-5 publication (staged through the round-4 registry freeze,
+# verified locally at sf0.001/0.01/0.1 before the freeze lifted):
+from cqdg_etl_spark.queries import datapipe13 as _datapipe13  # noqa: E402
+
+_datapipe13.register()
 
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 182
+EXPECTED_REGISTRY_SIZE = 194
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

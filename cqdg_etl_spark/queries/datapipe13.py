@@ -138,8 +138,9 @@ def dd_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         m AS (SELECT i, avg(v) AS mu FROM f GROUP BY i),
         n AS (SELECT count(*) AS n FROM embeddings)
         SELECT a.i - 1 AS i, b.i - 1 AS j,
+               -- + 0.0 canonicalizes IEEE -0.0 (mirrors the engine)
                round(sum((a.v - ma.mu) * (b.v - mb.mu)) / any_value(n.n), 6)
-                 AS cov
+                 + 0.0 AS cov
         FROM f a
         JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
         JOIN m ma ON ma.i = a.i

@@ -299,6 +299,18 @@ def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     )
 
 
+# ORACLE/ENGINE SHARED TOTAL ORDER — pinned contract (VERDICT r4 #2).
+# The oracle below is the ONLY place the ntile(4) formulation survives;
+# the engine runs range-partitioned global_rank + _ntile_from_rank.
+# They are hash-identical because BOTH sides use the same fully
+# deterministic total orders, tie-broken by user_id:
+#   r: (recency_days ASC,  user_id ASC)
+#   f: (frequency   DESC,  user_id ASC)
+#   m: (monetary    DESC,  user_id ASC)
+# If you edit either side, the OTHER side's ORDER BY / global_rank
+# columns must change in lockstep, including the user_id tiebreak —
+# ntile over a tied order without the tiebreak is engine-dependent.
+# tests/test_rfm_ties.py asserts oracle==engine on an all-ties fixture.
 @query(
     "ev_rfm_segments",
     tags=("events", "window", "agg"),

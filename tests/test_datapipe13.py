@@ -1,7 +1,8 @@
-"""Round-5 staged queries (queries/datapipe13.py): full local
-verification against the DuckDB oracles — the same comparison the
-driver gate runs — without publishing the names into REGISTRY (the
-round-4 registry freeze)."""
+"""datapipe13 queries (staged through the round-4 registry freeze,
+published round 5): full local verification against the DuckDB
+oracles — the same comparison the driver gate runs — plus kernel-level
+behavioral tests. The fleet-wide plan lint (test_plan_lint.py) covers
+these names now that they are in REGISTRY."""
 
 from __future__ import annotations
 
@@ -29,10 +30,13 @@ def _compare_staged(spark, name: str, sf_dir: str) -> None:
         )
 
 
-def test_staged_not_published():
+def test_staged_published():
+    """Round 5 lifted the round-4 freeze: every staged name is in the
+    registry, bound to the same Query object."""
     from cqdg_etl_spark.queries import REGISTRY
 
-    assert not set(STAGED) & set(REGISTRY)
+    for name, q in STAGED.items():
+        assert REGISTRY.get(name) is q, name
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -111,36 +115,6 @@ def test_cross_source_leakage_consistent_with_pairs(spark, sf_dir):
     n_pairs = minhash_verified_pairs(docs, "text", "doc_id", 0.8).count()
     out = dd_cross_source_leakage(spark, sf_dir).toPandas()
     assert out["n_pairs"].sum() == 2 * n_pairs
-
-
-STAGED_BNLJ_OK = {
-    # 1-row corpus-count scalar broadcast onto the d² covariance cells
-    "emb_covariance_cells",
-    # two 1-row scalar frames (totals × top-10 sum) meeting in a
-    # broadcast cross — the whole output is one row
-    "pf_key_skew_profile",
-    # inherits ann_topk_bruteforce's reviewed broadcast-query
-    # brute-force baseline (same exception the published lint grants
-    # ret_hybrid_rrf)
-    "emb_topk_recall_eval",
-}
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_plan_lint(spark, sf_dir, name):
-    """Same fleet-wide physical-plan lint as test_plan_lint.py, applied
-    to the staged queries before they are published."""
-    from cqdg_etl_spark.plans.introspect import explain_str
-
-    plan = explain_str(STAGED[name].fn(spark, sf_dir))
-    assert "BatchEvalPython " not in plan, name
-    quad = ("CartesianProduct" in plan) or (
-        "BroadcastNestedLoopJoin" in plan
-    )
-    if name in STAGED_BNLJ_OK:
-        assert quad, f"{name}: reviewed scalar fan-out vanished — drop it"
-    else:
-        assert not quad, f"{name}: unreviewed cartesian/BNLJ node"
 
 
 def test_whitened_covariance_is_identity(spark, sf_dir):
@@ -231,6 +205,10 @@ def test_gemm_hot_partition_and_batching(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     corpus = df.filter(F.col("vec_id") >= 5).repartition(1)  # hot partition
     queries = df.filter(F.col("vec_id") < 5)
+    # restore the SAVED value, not a hardcoded default — a hardcoded
+    # restore would leak a changed batch size into later tests if the
+    # session default ever differs
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
     try:
         a = {(r["query_id"], r["neighbor_id"], r["rank"])
@@ -239,9 +217,52 @@ def test_gemm_hot_partition_and_batching(spark):
              for r in brute_force_topk(corpus, queries, k=3).collect()}
     finally:
         spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+            "spark.sql.execution.arrow.maxRecordsPerBatch", saved
         )
     assert a == b and len(a) == 15
+
+
+def test_gemm_and_jvm_agree_on_zero_norm_vectors(spark):
+    """Degenerate-vector contract: a zero-norm vector scores cos 0.0
+    to everything on BOTH exact paths. Unguarded, the JVM path ranks
+    its NaN first (NaN = largest double in Spark ordering) while the
+    numpy path drops it last — this fixture has a zero-norm corpus row
+    AND a zero-norm query, and asserts the two paths stay identical
+    and NaN-free."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cqdg_etl_spark.operators.gemm import brute_force_topk_gemm
+    from cqdg_etl_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (1, [0.0, 0.0, 0.0]),      # zero-norm query
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 0.0, 0.0]),     # zero-norm corpus row
+        (12, [0.0, 1.0, 0.0]),
+        (13, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") >= 10)
+    queries = df.filter(F.col("vec_id") < 10)
+    a = [(r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+         for r in brute_force_topk(corpus, queries, k=4)
+         .orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+         for r in brute_force_topk_gemm(corpus, queries, k=4)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b
+    assert all(not math.isnan(c) for *_, c in a)
+    # zero-norm corpus row 11 ties at 0.0 with the orthogonal row 12
+    # under query 0 (id tiebreak), never ranks above the true match
+    q0 = {r[1]: r[2] for r in a if r[0] == 0}
+    assert q0[10] == 1 and q0[11] < q0[13]
+    # the zero-norm QUERY scores 0.0 everywhere: pure id-order ranks
+    q1 = [r[1] for r in sorted((r for r in a if r[0] == 1),
+                               key=lambda r: r[2])]
+    assert q1 == [10, 11, 12, 13]
 
 
 def test_covariance_partition_invariance(spark, sf_dir):

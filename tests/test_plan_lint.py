@@ -114,6 +114,14 @@ BNLJ_OK: dict[str, str] = {
     # q15_top_supplier needs no entry: its scalar-max crossJoin +
     # equality filter is rewritten by Catalyst into a broadcast HASH
     # join on (units = mx) — no BNLJ in the plan at all.
+    # -- datapipe13 batch (published round 5; reviewed while staged) --
+    "emb_covariance_cells": "1-row corpus-count scalar broadcast onto "
+    "the d² covariance cells",
+    "pf_key_skew_profile": "two 1-row scalar frames (totals × top-10 "
+    "sum) meeting in a broadcast cross — the whole output is one row",
+    "emb_topk_recall_eval": "inherits ann_topk_bruteforce's reviewed "
+    "broadcast-query brute-force baseline (same exception as "
+    "ret_hybrid_rrf)",
 }
 
 # Reviewed exceptions for the global-window rule: every entry is an

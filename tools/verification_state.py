@@ -134,10 +134,36 @@ def _closure(module: str, files: dict[str, Path]) -> set[str]:
     return seen
 
 
+_GID_TOKEN_RE = re.compile(r"[A-Za-z0-9_#.]+")
+
+
+def _canon_gid_line(line: str) -> str:
+    """Canonical form for a line produced by Catalyst's
+    RewriteDistinctAggregates rewrite. The rewrite numbers its Expand
+    gid groups from session-wide expression-id allocation order, so the
+    column->gid pairing, the literal group numbers, and the ordering of
+    the intermediate grouping/projection lists all permute across
+    sessions with identical query code. Every affected line contains
+    the ``gid#x`` token (post expression-id normalization); for those
+    lines only, hash a sorted token multiset with digit literals
+    collapsed — permutation/renumbering-invariant, still sensitive to
+    which columns, aggregates, and aliases appear. Tree indentation is
+    preserved so node position still matters."""
+    indent_len = len(line) - len(line.lstrip(" +-:"))
+    tokens = _GID_TOKEN_RE.findall(line)
+    canon = " ".join(
+        sorted("N" if t.isdigit() else t for t in tokens)
+    )
+    return line[:indent_len] + "GIDCANON[" + canon + "]"
+
+
 def _normalize_plan(plan: str) -> str:
     for rx, repl in _NORM_RES:
         plan = rx.sub(repl, plan)
-    return plan
+    return "\n".join(
+        _canon_gid_line(ln) if "gid#x" in ln else ln
+        for ln in plan.split("\n")
+    )
 
 
 def compute_hashes() -> dict[str, str]:
