@@ -127,7 +127,10 @@ def _shingle_overlap_stats(
       per-doc size aggregate hang off the same exchange, so the corpus
       is scanned and shingled exactly once (ReusedExchange at runtime);
     - doc sizes come from a count over the skinny (doc, h) index and
-      join back AFTER the pair aggregate as broadcasts (#docs rows).
+      join back AFTER the pair aggregate, size-aware: unhinted, so the
+      planner broadcasts the #docs-row frame only while it is under
+      the auto-broadcast threshold and shuffle-joins beyond (a
+      corpus-scale doc count does not fit a broadcast).
       Do NOT piggyback ``size(shingles)`` through the explode/join:
       Catalyst inlines the projection and re-evaluates the whole
       shingle expression per exploded (or worse, per join-match) row —
@@ -174,9 +177,14 @@ def _shingle_overlap_stats(
     sizes_b = sizes.select(
         F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
     )
-    return inter.join(F.broadcast(sizes_a), "doc_a").join(
-        F.broadcast(sizes_b), "doc_b"
-    )
+    # No forced broadcast on the per-doc sizes frame: it is #docs rows,
+    # which fits a broadcast at test SF but NOT at corpus scale (10⁹
+    # docs ≈ 16 GB). Left unhinted, the planner broadcasts it while it
+    # is under spark.sql.autoBroadcastJoinThreshold and falls back to a
+    # shuffle join on doc_a/doc_b beyond — the size-aware behavior the
+    # 100-TB target needs, chosen at runtime by AQE from the aggregate's
+    # actual output size.
+    return inter.join(sizes_a, "doc_a").join(sizes_b, "doc_b")
 
 
 def ngram_jaccard_pairs(

@@ -26,12 +26,20 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     runs: list[dict] = []
     for i in range(n):
-        out = subprocess.run(
-            [sys.executable, str(REPO / "bench.py")],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
+        try:
+            # timeout: a hung session must fail the audit, not stall it
+            # forever (a full sf0.1 suite runs in ~3-5 min; 20 min is
+            # pathological on any box state)
+            out = subprocess.run(
+                [sys.executable, str(REPO / "bench.py")],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"session {i + 1}: bench timed out after 1200 s")
+            return 1
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if out.returncode != 0 or not line:
             print(f"session {i + 1}: bench failed rc={out.returncode}")
@@ -45,7 +53,19 @@ def main() -> int:
             flush=True,
         )
 
-    names = list(runs[0]["queries"])
+    # Aggregate over the INTERSECTION of query sets: a bench that adds
+    # or drops a query mid-audit must degrade to a warning, not a
+    # KeyError half-way through the table.
+    common = set(runs[0]["queries"])
+    for r in runs[1:]:
+        common &= set(r["queries"])
+    skipped = {q for r in runs for q in r["queries"]} - common
+    if skipped:
+        print(
+            f"WARNING: query sets differ across sessions; skipping "
+            f"{sorted(skipped)}"
+        )
+    names = [q for q in runs[0]["queries"] if q in common]
     rows = []
     for q in names:
         vals = sorted(r["queries"][q] for r in runs)
