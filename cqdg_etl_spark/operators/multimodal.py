@@ -8,11 +8,15 @@ As of round 4 every kernel with a stdlib-parseable format is REAL:
 Motion-JPEG streams frame-by-frame via structural T.81 marker parsing
 (``split_mjpeg_frames``), and ``extract_audio_features`` parses
 RIFF/WAVE PCM through ``operators/wav_codec.py`` (integer-exact
-duration/peak/RMS/zero-crossing stats). The ``decode='fake'`` path remains
-the default for the oracle-checked registry queries because a DuckDB
-oracle cannot inflate zlib — fake payloads are md5-derived and
-portable across engines; it is also the stand-in for compressed video
-containers (mp4/h264), the one family with no stdlib-only parse.
+duration/peak/RMS/zero-crossing stats), and (round 5) demuxes MP4
+containers through the ISO-BMFF sample tables
+(``operators/mp4_codec.py`` — structural box walk + stsc/stco/stsz
+offset resolution slicing the real access units out of mdat). The
+``decode='fake'`` path remains the default for the oracle-checked
+registry queries because a DuckDB oracle cannot inflate zlib — fake
+payloads are md5-derived and portable across engines. The only
+remaining stand-in is bitstream DECODE of the extracted h264/AAC
+samples (genuinely requires codec libraries this environment lacks).
 Everything Spark-side — schema, partition sizing, mapInPandas batch
 shape, metadata propagation — is identical between fake and real
 paths.
@@ -278,17 +282,27 @@ def sample_frames(
     (doc_id, frame_idx, frame_bytes) — the UNNEST shape a real
     container demuxer produces.
 
-    ``decode='real'`` REALLY demuxes: the payload is parsed as a
-    Motion-JPEG stream (``split_mjpeg_frames``, structural marker
-    walk, stdlib-only) and every ``every_nth``-th frame's actual JPEG
-    bytes are emitted, up to ``max_frames``. Compressed containers
-    (mp4/mkv/h264) would need a video library this environment lacks;
-    for those the fake kernel keeps the plumbing testable — frame
-    count derives from payload length, frame bytes are md5-derived."""
+    ``decode='real'`` REALLY demuxes, sniffing the container: an MP4
+    payload (ftyp signature) goes through the ISO-BMFF sample tables
+    (``operators/mp4_codec.py`` — stsc/stco/stsz resolution slices the
+    actual compressed access units out of mdat); anything else is
+    parsed as a Motion-JPEG stream (``split_mjpeg_frames``, structural
+    T.81 marker walk). Both are stdlib-only. Every ``every_nth``-th
+    sample/frame's actual bytes are emitted, up to ``max_frames``.
+    Only bitstream DECODE of the extracted h264/AAC samples would need
+    a codec library this environment lacks; the fake kernel remains
+    for oracle-checked queries (md5-derived, engine-portable)."""
     if decode == "real":
+        from cqdg_etl_spark.operators.mp4_codec import (
+            extract_samples,
+            is_mp4,
+        )
 
         def emit(doc_id, raw: bytes):
-            frames = split_mjpeg_frames(raw)
+            frames = (
+                extract_samples(raw) if is_mp4(raw)
+                else split_mjpeg_frames(raw)
+            )
             for fi in range(0, len(frames), every_nth)[:max_frames]:
                 yield doc_id, fi, frames[fi]
 
