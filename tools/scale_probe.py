@@ -35,7 +35,7 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 BASE = "/root/testdata/sf0.1"
-WORK = Path("/tmp/scale_probe")
+WORK = Path("/tmp/scale_probe_v4")
 
 # The 5 priciest dedup/ANN bench queries of BENCH_r04 (VERDICT r4
 # plan-audit list), plus the two new headliners they gate.
@@ -47,7 +47,75 @@ QUERIES = [
     "dd_minhash_lsh_candidates",
     "ann_topk_gemm",
     "pipe_corpus_curation_e2e",
+    "dd_semantic_prune",
 ]
+
+
+def _semantic_prune_scaled_bits(spark, sf_dir: str, scale: int):
+    """dd_semantic_prune with the n_bits knob turned the way its own
+    docstring prescribes for fleet scale (2^n_bits ≈ √n): cell COUNT
+    grows with the corpus so cell SIZE stays constant. The registered
+    query pins n_bits=4 (16 cells) — that keeps the within-cell
+    quadratic at n²/16, a constant-divisor quadratic, which this probe
+    is expected to expose next to this scaled variant's ~linear curve.
+    """
+    import math
+
+    from cqdg_etl_spark.operators import similarity
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_bits = 4 + max(0, math.ceil(math.log2(scale)))
+    return similarity.semantic_dedup(emb, threshold=0.4, n_bits=n_bits)
+
+
+def _embedding_pairs_scaled_bits(spark, sf_dir: str, scale: int):
+    """banded_cosine_dup_pairs at the registered threshold (0.4) and
+    the registered RECALL, with the SRP-LSH (bands, rows_per_band)
+    scaled the way fleet operation requires instead of the registered
+    fixed (8, 4).
+
+    The math: a random pair collides in one r-bit band w.p. 2^-r, so
+    expected junk candidates are B*n^2/2^(r+1) — the registered r=4
+    pins that at B*n^2/32, a constant-divisor QUADRATIC (the probe's
+    fixed-param dd_embedding_cosine_pairs series shows it: minutes at
+    x10). Scaling r with log2(n) and solving B from the OR-amplified
+    recall bound 1-(1-p1^r)^B = R (p1 = 1 - acos(0.4)/pi = 0.631,
+    R = the registered config's own per-pair recall at the threshold,
+    1-(1-p1^4)^8 = 0.747) keeps the SEMANTICS comparable while the
+    candidate volume drops to the LSH-theoretic n^(1+rho),
+    rho = ln(1/p1)/ln 2 = 0.66. So the exponent column should read
+    ~2 for the fixed series and ~1.66 for this one — and 1.66 is the
+    FLOOR at t=0.4: cos 0.4 is similarity SEARCH, not near-dup dedup,
+    and that job belongs to the ANN top-k family (which is why the
+    registered near-dup operators all also exist at higher
+    thresholds). A real-corpus near-dup threshold (0.85+) has
+    rho = 0.28 and scales as n^1.28 under the same prescription —
+    this corpus simply has no pairs above cos 0.60 to demonstrate on
+    (max pairwise cosine measured: 0.6009).
+    """
+    import math
+
+    from cqdg_etl_spark.operators import similarity
+    from cqdg_etl_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet metadata count — cheap
+    p1 = 1.0 - math.acos(0.4) / math.pi
+    recall = 1.0 - (1.0 - p1 ** 4) ** 8  # registered config's recall
+    r = 4 + max(0, math.ceil(math.log2(n / 2000.0)))
+    bands = max(1, math.ceil(math.log(1 - recall) / math.log(1 - p1 ** r)))
+    return similarity.banded_cosine_dup_pairs(
+        emb, threshold=0.4, bands=bands, rows_per_band=r
+    )
+
+
+# Programmatic series: operator variants that differ from a registered
+# query only by a scale-dependent parameter. fn(spark, sf_dir, scale).
+EXTRA = {
+    "semantic_prune_scaled_bits": _semantic_prune_scaled_bits,
+    "embedding_pairs_scaled_bits": _embedding_pairs_scaled_bits,
+}
 
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -77,13 +145,25 @@ def build_scaled_dir(scale: int) -> str:
         if r == 0:
             text = docs["text"]
         else:
-            # distinct-but-similar text per replica: a replica tag token
-            # keeps shingle distributions close while breaking exact
-            # cross-replica duplication (constant per-capita dup rate)
-            text = pa.array(
-                [f"{t} zz{r}q{i % 97}" for i, t in
-                 enumerate(docs["text"].to_pylist())]
-            )
+            # Constant per-capita similarity structure, zero cross-
+            # replica near-dups: replica r REMAPS the vocabulary
+            # (every token w -> "w{r}q"). The map is a bijection, so
+            # replica r's shingle/term space is ISOMORPHIC to the
+            # original — every within-replica pair keeps its exact
+            # Jaccard/TF-IDF-cosine — and totally disjoint from every
+            # other replica's (zero shared tokens ⇒ zero shared
+            # shingles ⇒ cross-replica similarity exactly 0).
+            # Rejected designs, kept as a warning: a SUFFIX tag token
+            # (v1) only breaks the last ~3 shingles, leaving
+            # replica/source Jaccard ≈ 1 (quadratic pair output); an
+            # INTERLEAVED tag every 3 tokens (v2) still leaves 1-in-4
+            # shingles tag-free AND collapses shingle diversity onto
+            # (prev, TAG, next) patterns, inflating within-replica
+            # pair density several-fold.
+            text = pa.array([
+                " ".join(f"{w}{r}q" for w in t.split(" "))
+                for t in docs["text"].to_pylist()
+            ])
         reps.append(pa.table({
             "doc_id": pa.array(doc_id),
             "text": text,
@@ -102,9 +182,24 @@ def build_scaled_dir(scale: int) -> str:
         if r == 0:
             v = vecs
         else:
+            # Replica r applies a seeded random ORTHOGONAL rotation —
+            # the embedding analog of the text vocabulary remap: every
+            # within-replica cosine is preserved EXACTLY (isomorphic
+            # pair structure, constant per-capita density) while
+            # cross-replica cosines are those of random directions in
+            # R^64 (~N(0, 1/64)), far below the registered thresholds
+            # up to a documented tail: P(cos >= 0.4) is a few 1e-4, so
+            # a quadratically-growing cross-pair pool leaks a bounded
+            # trickle of verified rows at large scale. Rejected: v1's
+            # sigma-0.05 additive noise left replica/source cosine at
+            # ~0.93 (every replica paired with its source); v2's
+            # sigma-0.5 noise swamped the unit signal (noise norm
+            # 0.5*sqrt(64) = 4), turning replicas into pure random
+            # Gaussians whose own random-tail pairs (~1.4k per replica
+            # at threshold 0.4) replaced the structure being measured.
             rng = np.random.default_rng(1000 + r)
-            v = vecs + rng.normal(0.0, 0.05, vecs.shape)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            q_rot, _ = np.linalg.qr(rng.normal(size=(vecs.shape[1],) * 2))
+            v = vecs @ q_rot
         reps.append(pa.table({
             "vec_id": pa.array(vec_id),
             "embedding": pa.array(list(v), type=vtype),
@@ -119,12 +214,22 @@ def main() -> int:
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
 
+    import os
+
     spark = get_spark(app_name="scale-probe")
-    results: dict[str, list[tuple[int, float, int]]] = {q: [] for q in QUERIES}
+    all_names = QUERIES + list(EXTRA)
+    only = os.environ.get("SCALE_PROBE_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        all_names = [n for n in all_names if n in keep]
+    results: dict[str, list[tuple[int, float, int]]] = {q: [] for q in all_names}
     for scale in scales:
         sf_dir = build_scaled_dir(scale)
-        for name in QUERIES:
-            df = REGISTRY[name].fn(spark, sf_dir)
+        for name in all_names:
+            if name in EXTRA:
+                df = EXTRA[name](spark, sf_dir, scale)
+            else:
+                df = REGISTRY[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warmup
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
