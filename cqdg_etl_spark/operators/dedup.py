@@ -835,3 +835,72 @@ def containment_pairs(
             "doc_a", "doc_b", F.round("containment", 6).alias("containment")
         )
     )
+
+
+def prefix_truncation_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+) -> DataFrame:
+    """Truncation duplicates: pairs (A, B) where A's full token
+    sequence is exactly the first ``len(A)`` tokens of B — the page
+    cut off mid-crawl, the snippet/teaser of a full article, the
+    retry that fetched more of the same document. Jaccard-style
+    shingle overlap scores these pairs LOW when the length gap is
+    large (a 20-token truncation of a 2000-token page shares ~1% of
+    shingles), and containment_pairs needs the shingle threshold to
+    clear; the prefix relation is exact and catches them at any gap.
+
+    Blocking: documents sharing the md5 of their first ``k``
+    normalized tokens are candidates (documents with fewer than ``k``
+    tokens are out of contract — too short to assert truncation
+    rather than coincidence). Verify: md5 of B's first len(A) tokens
+    equals md5 of A's full token string — so the join carries A as
+    TWO 32-char hashes, never its token array; only B's token array
+    rides the shuffle, and only once.
+
+    Scale shape: one equi-join on the prefix hash (shuffle hash
+    join). A hot block is shared BOILERPLATE OPENING text (crawler
+    interstitials, licence headers); pairs within it are real
+    candidate output, so the quadratic there is output-inherent, not
+    plan waste — the same contract as ngram_jaccard's max_df-capped
+    postings, with the block key 12 tokens deep to keep ordinary
+    openings apart.
+    """
+    from cqdg_etl_spark.functions.text import tokens
+
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalize_ws(F.col(text_col))).alias("tk"),
+        )
+        .withColumn("n_toks", F.size("tk").cast("long"))
+        .filter(F.col("n_toks") >= k)
+        .withColumn("pfx", F.md5(F.concat_ws(" ", F.slice("tk", 1, k))))
+    )
+    a = base.select(
+        F.col("doc").alias("doc_a"),
+        F.col("n_toks").alias("len_a"),
+        F.md5(F.concat_ws(" ", F.col("tk"))).alias("_full_a"),
+        "pfx",
+    )
+    b = base.select(
+        F.col("doc").alias("doc_b"),
+        F.col("n_toks").alias("len_b"),
+        F.col("tk").alias("_tk_b"),
+        "pfx",
+    )
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("len_a") < F.col("len_b"))
+        .filter(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("_tk_b"), F.lit(1), F.col("len_a"))
+                )
+            )
+            == F.col("_full_a")
+        )
+        .select("doc_a", "doc_b", "len_a", "len_b")
+    )

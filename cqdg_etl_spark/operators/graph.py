@@ -476,3 +476,115 @@ def label_propagation(
             checkpoint,
         )
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Personalized PageRank: the teleport step returns to the SEED
+    set (uniformly) instead of to every node, so rank mass measures
+    proximity to the seeds — the recommendation / related-item /
+    trust-propagation variant of pagerank(). ``seeds`` is a one-column
+    (``node``) frame; initial rank is uniform over seeds, zero
+    elsewhere, and each round computes
+    ``(node ∈ S ? (1-d)/|S| : 0) + d·Σ contrib``.
+
+    Same engine-portable determinism contract as pagerank(): exact
+    DECIMAL(38,18) contribution sums (associative), then one
+    fixed-order chain of correctly-rounded IEEE double ops identical
+    to the SQL oracle's, so a fixed iteration count is bit-exact on
+    any engine. Dangling mass is dropped (same documented
+    simplification). Output rank_rel = rank × N (N = node count) for
+    cross-size comparability; non-seed nodes beyond the iteration
+    horizon report 0.
+
+    Scale shape is pagerank()'s Pregel plan: adjacency built once
+    (one groupBy + one join, persisted); 2 shuffles per round; seed
+    membership is a left-join flag on the node frame; |S| and N ride
+    as broadcast 1-row frames; lineage truncated per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    adj = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_is_seed", F.lit(1)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_is_seed", F.lit(0)).alias("is_seed"))
+        .persist()
+    )
+    n_row = F.broadcast(
+        nodes.agg(
+            F.count("*").alias("n"),
+            F.sum("is_seed").alias("s"),
+        )
+    )
+    teleport = 1.0 - damping  # repr() of this goes in the oracle
+    ranks = _truncate(
+        nodes.crossJoin(n_row).select(
+            "node",
+            "is_seed",
+            F.when(
+                F.col("is_seed") == 1,
+                F.lit(1.0) / F.col("s").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+            "n",
+            "s",
+        ),
+        checkpoint,
+    )
+    for _ in range(iterations):
+        msgs = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
+        )
+        sums = msgs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).alias("sumc")
+        )
+        new_ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(
+                        F.col("is_seed") == 1,
+                        F.lit(teleport) / F.col("s").cast("double"),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("sumc"), F.lit(0).cast("decimal(38,18)")
+                    ).cast("double")
+                ).alias("rank"),
+                "n",
+                "s",
+            )
+        )
+        old = ranks
+        ranks = _truncate(new_ranks, checkpoint)
+        old.unpersist()
+    adj.unpersist()
+    out = ranks.select(
+        "node",
+        F.round(F.col("rank") * F.col("n").cast("double"), 6).alias(
+            "rank_rel"
+        ),
+    )
+    nodes.unpersist()
+    return out

@@ -1,0 +1,494 @@
+"""Round-7 staged queries — NOT yet in the driver registry.
+
+Same staging discipline as datapipe13 (staged r4 → published r5) and
+datapipe14 (staged r5 → queued r6): full Query objects with DuckDB
+value-hash oracles, locally verified by tests/test_datapipe15.py at
+sf0.001/sf0.01, kept out of ``cqdg_etl_spark.queries.REGISTRY`` so the
+published surface never carries a name without a driver row. The
+round-6 driver window is already allocated to the datapipe14
+publication + re-confirmations; these wait their turn by design.
+
+To publish (round 7): call ``register()`` from queries/__init__.py and
+bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``.
+
+Batch theme: corpus-forensics and assignment primitives that round out
+the curation layer — truncation-prefix dedup (the duplicate class
+shingle measures score low), a syllable/readability profile, the
+per-document shingle-novelty curve used to spot stale crawls,
+seasonal-baseline outlier detection over events, exactly-balanced
+stratified k-fold assignment, and seed-personalized PageRank. No
+reference counterpart (Ferlab-Ste-Justine/cqdg-etl has no analytics of
+this kind); every shape is chosen for the 100-TB target and documented
+per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
+from cqdg_etl_spark.queries.datapipe import SQL_NORM, SQL_TOKS, _sql_shingles
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, oracle: str | None = None, bench: bool = False,
+            tags: tuple[str, ...] = ()):
+    def deco(fn):
+        STAGED[name] = Query(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Publish the staged queries into the driver registry (round 7)."""
+    REGISTRY.update(STAGED)
+
+
+# -------------------------------------------- truncation-prefix dedup
+
+_PFX_K = 12
+
+
+@_staged(
+    "dd_truncation_prefix_pairs",
+    tags=("datapipe", "dedup", "truncation"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {SQL_TOKS.format(c='text')} AS tk FROM documents
+        ),
+        s AS (
+          SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+          FROM t WHERE len(tk) >= {_PFX_K}
+        ),
+        k AS (
+          SELECT doc_id, tk, n,
+                 md5(array_to_string(list_slice(tk, 1, {_PFX_K}), ' '))
+                   AS pfx,
+                 md5(array_to_string(tk, ' ')) AS full_h
+          FROM s
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n AS len_a, b.n AS len_b
+        FROM k a JOIN k b ON a.pfx = b.pfx AND a.n < b.n
+        WHERE md5(array_to_string(list_slice(b.tk, 1, CAST(a.n AS INT)),
+                                  ' ')) = a.full_h
+    """,
+)
+def dd_truncation_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation duplicates: (A, B) where A's token sequence is
+    exactly B's first len(A) tokens — the crawl cut off mid-page, the
+    teaser of the full article. Shingle Jaccard scores a 20-of-2000
+    token truncation at ~1%, so this duplicate class needs its own
+    exact primitive. Blocked on the md5 of the first 12 normalized
+    tokens (one equi-join); verified hash-vs-hash so A never ships its
+    token array. The synthetic corpus generator really does emit
+    truncation families (27 pairs at sf0.001), so the driver row
+    checks live pair values, and the fixture tests pin the contract
+    edges (prefix-of vs shared-opening, sub-k documents)."""
+    from cqdg_etl_spark.operators.dedup import prefix_truncation_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_truncation_pairs(docs, "text", "doc_id", k=_PFX_K)
+
+
+# ------------------------------------------- syllable complexity audit
+
+
+@_staged(
+    "tx_syllable_complexity",
+    tags=("datapipe", "text", "quality"),
+    oracle=f"""
+        WITH d AS (
+          SELECT source, {SQL_TOKS.format(c='text')} AS tk,
+                 {SQL_NORM.format(c='text')} AS nt
+          FROM documents
+        ),
+        p AS (
+          SELECT source,
+                 len(tk) AS n_words,
+                 len(regexp_extract_all(nt, '[aeiou]+')) AS n_syll,
+                 len(list_filter(tk,
+                     w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3))
+                   AS n_complex,
+                 len(list_filter(tk, w -> length(w) >= 7)) AS n_long
+          FROM d
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS words,
+               CAST(SUM(n_syll) AS BIGINT) AS syllables,
+               round(CAST(SUM(n_syll) AS DOUBLE) / SUM(n_words), 6)
+                 AS syll_per_word,
+               round(CAST(SUM(n_complex) AS DOUBLE) / SUM(n_words), 6)
+                 AS complex_word_rate,
+               round(CAST(SUM(n_long) AS DOUBLE) / SUM(n_words), 6)
+                 AS long_word_rate
+        FROM p GROUP BY source
+    """,
+)
+def tx_syllable_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile: syllables-per-word (vowel-group
+    count — the classic Flesch numerator), complex-word rate (≥3
+    syllables, the Gunning-fog ingredient) and long-word rate (≥7
+    chars, the LIX ingredient). Pure JVM expressions — one regexp
+    count over the normalized text (vowel groups cannot span the
+    spaces that separate words, so the document-level count equals the
+    per-word sum) plus two HOF filters over the bound token array; all
+    integer sums are exact, the three ratios are single double
+    divisions of exact integers, so per-source values are
+    partitioning-independent. One shuffle (the groupBy source)."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        tokens(normalize_ws(F.col("text"))).alias("tk"),
+        normalize_ws(F.col("text")).alias("nt"),
+    )
+    p = d.select(
+        "source",
+        F.size("tk").cast("long").alias("n_words"),
+        F.regexp_count(F.col("nt"), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("n_syll"),
+        F.size(
+            F.filter(
+                F.col("tk"),
+                lambda w: F.regexp_count(w, F.lit("[aeiou]+")) >= F.lit(3),
+            )
+        )
+        .cast("long")
+        .alias("n_complex"),
+        F.size(F.filter(F.col("tk"), lambda w: F.length(w) >= F.lit(7)))
+        .cast("long")
+        .alias("n_long"),
+    )
+    return p.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_syll").alias("syllables"),
+        F.round(
+            F.sum("n_syll").cast("double") / F.sum("n_words"), 6
+        ).alias("syll_per_word"),
+        F.round(
+            F.sum("n_complex").cast("double") / F.sum("n_words"), 6
+        ).alias("complex_word_rate"),
+        F.round(
+            F.sum("n_long").cast("double") / F.sum("n_words"), 6
+        ).alias("long_word_rate"),
+    )
+
+
+# ----------------------------------------------- shingle novelty curve
+
+
+@_staged(
+    "tx_shingle_novelty",
+    tags=("datapipe", "text", "curation"),
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_sql_shingles('text')}) AS sh
+          FROM documents
+        ),
+        f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel,
+               round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS novelty_rate
+        FROM sh s JOIN f USING (sh)
+        GROUP BY s.doc_id
+    """,
+)
+def tx_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-shingles whose FIRST corpus occurrence (min doc_id — ingestion
+    order) is this document. The curation signal behind incremental
+    crawl triage: a batch whose novelty curve collapses toward zero is
+    re-crawling what the corpus already holds. Scale shape: one
+    map-side-combinable min() per shingle (hot boilerplate shingles
+    pre-reduce on every partition before the shuffle), one equi-join
+    back keyed on the shingle, one per-doc agg — no windows, no
+    quadratic pair frame anywhere, unlike the pairwise dedup family
+    this complements. Documents with zero shingles (blank text) have
+    no rows to aggregate and are absent by contract."""
+    from cqdg_etl_spark.functions.text import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias(
+            "sh"
+        ),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+# -------------------------------------------- seasonal-baseline outliers
+
+
+@_staged(
+    "ev_seasonal_outliers",
+    tags=("datapipe", "events", "anomaly"),
+    oracle="""
+        WITH s AS (
+          SELECT event_type,
+                 dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+                 SUM(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                     * CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+                   AS svv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3
+        ),
+        z AS (
+          SELECT e.event_id, e.event_type, e.value,
+                 (CAST(e.value AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n)
+                 / sqrt(greatest(
+                     CAST(s.svv AS DOUBLE) / s.n
+                     - (CAST(s.sv AS DOUBLE) / s.n)
+                       * (CAST(s.sv AS DOUBLE) / s.n), 0)) AS zs
+          FROM events e
+          JOIN s ON e.event_type = s.event_type
+                AND dayofweek(e.ts) + 1 = s.dow
+                AND hour(e.ts) = s.hr
+          WHERE s.n >= 2
+            AND CAST(s.svv AS DOUBLE) / s.n
+                - (CAST(s.sv AS DOUBLE) / s.n)
+                  * (CAST(s.sv AS DOUBLE) / s.n) > 0
+        )
+        SELECT event_id, event_type, value, round(zs, 6) AS zscore
+        FROM z WHERE abs(zs) > 2.5
+    """,
+)
+def ev_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event's value scored
+    against the (event_type, day-of-week, hour-of-day) population —
+    the same-slot-last-weeks baseline that flags a Tuesday-3am spike a
+    global z-score dilutes away. One pass builds exact sufficient
+    statistics per seasonal slot (decimal sums of value and value² —
+    order-independent, so mean/variance are bit-deterministic); the
+    ≤ |types|·7·24-row stats table broadcasts back onto the stream and
+    the z-score is a fixed chain of double ops both engines share.
+    Slots need n ≥ 2 and positive variance (a singleton or constant
+    slot has no baseline to deviate from)."""
+    ev = load(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,6)")
+    # The stats frame derives from ev — rename its keys so the join
+    # back is on unambiguous columns (no self-join aliasing needed).
+    stats = ev.groupBy(
+        F.col("event_type").alias("s_type"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.sum(vd).alias("sv"),
+        F.sum(vd * vd).alias("svv"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    var = F.col("svv").cast("double") / F.col("n") - mean * mean
+    z = (F.col("value").cast("double") - mean) / F.sqrt(
+        F.greatest(var, F.lit(0.0))
+    )
+    return (
+        ev.join(
+            F.broadcast(stats),
+            (F.col("event_type") == F.col("s_type"))
+            & (F.dayofweek(F.col("ts")) == F.col("dow"))
+            & (F.hour(F.col("ts")) == F.col("hr")),
+        )
+        .filter((F.col("n") >= 2) & (var > 0))
+        .filter(F.abs(z) > 2.5)  # on the UNROUNDED z, like the oracle
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+# ------------------------------------------- stratified k-fold balance
+
+_KFOLD = 5
+
+
+@_staged(
+    "ds_stratified_kfold",
+    tags=("datapipe", "sampling", "cv"),
+    oracle=f"""
+        WITH r AS (
+          SELECT lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5('kfold'
+                     || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                     doc_id) AS rk
+          FROM documents
+        )
+        SELECT lang, CAST((rk - 1) % {_KFOLD} AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY lang, fold
+    """,
+)
+def ds_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-balanced stratified k-fold assignment: within each
+    stratum (lang), documents take a deterministic md5-shuffle rank
+    and fold = (rank-1) mod k — so per-stratum fold sizes differ by AT
+    MOST ONE, a guarantee hash-mod-k assignment (binomial fold sizes)
+    cannot make. Rank comes from ONE range-partitioned global_rank
+    over (lang, md5, id) with broadcast per-stratum offsets
+    (operators/ranking.py::per_domain_rank) — never a window
+    partitioned by the stratum, which would sort a fleet-scale stratum
+    on one task. Output is the (lang, fold, n) balance audit the CV
+    split ships with."""
+    from cqdg_etl_spark.operators.ranking import per_domain_rank
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = per_domain_rank(docs, "doc_id", "lang", salt="kfold")
+    return (
+        ranked.withColumn(
+            "fold", ((F.col("src_rank") - 1) % _KFOLD).cast("long")
+        )
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------- personalized PageRank
+
+_PPR_ITER = 4
+_PPR_DAMP = 0.85
+_PPR_SEED_MOD = 97
+
+
+def _sql_personalized_pagerank(
+    iterations: int = _PPR_ITER, damping: float = _PPR_DAMP
+) -> str:
+    """Unrolled seeded power iteration (CTE chain — DuckDB disallows
+    aggregates in a recursive term). Same IEEE discipline as
+    _sql_pagerank_coparts: embeds repr(1 - damping) verbatim and
+    repeats the engine's exact double-op order
+    (seed-teleport + d · decimal-sum-cast-to-double)."""
+    tele, d = repr(1.0 - damping), repr(damping)
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        s{i} AS (
+          SELECT e.dst AS node,
+                 SUM(CAST(r.rank / CAST(e.out_deg AS DOUBLE)
+                          AS DECIMAL(38,18))) AS sumc
+          FROM {prev} r JOIN adj e ON r.node = e.src
+          GROUP BY e.dst
+        ),
+        r{i} AS (
+          SELECT n.node, n.is_seed,
+                 CASE WHEN n.is_seed = 1
+                      THEN CAST({tele} AS DOUBLE) / CAST(ns.s AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END
+                 + CAST({d} AS DOUBLE)
+                   * CAST(coalesce(s.sumc, CAST(0 AS DECIMAL(38,18)))
+                          AS DOUBLE) AS rank
+          FROM nodes n LEFT JOIN s{i} s ON n.node = s.node, ns
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM op a JOIN op b USING (l_orderkey)
+          WHERE a.l_partkey < b.l_partkey
+        ),
+        adj0 AS (
+          SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS out_deg FROM adj0 GROUP BY src),
+        adj AS (SELECT a.src, a.dst, d.out_deg
+                FROM adj0 a JOIN deg d USING (src)),
+        nodes AS (
+          SELECT DISTINCT src AS node,
+                 CASE WHEN src % {_PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END
+                   AS is_seed
+          FROM adj0
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        ns AS (SELECT SUM(is_seed) AS s FROM nodes),
+        r0 AS (
+          SELECT node, is_seed,
+                 CASE WHEN is_seed = 1
+                      THEN CAST(1.0 AS DOUBLE) / CAST(ns.s AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS rank
+          FROM nodes, ns
+        ),{",".join(steps)}
+        SELECT node, round(rank * CAST(nn.n AS DOUBLE), 6) AS rank_rel
+        FROM {prev}, nn
+    """
+
+
+@_staged(
+    "graph_personalized_pagerank",
+    tags=("graph", "pagerank", "iterative"),
+    oracle=_sql_personalized_pagerank(),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the part co-purchase graph, seeded
+    at parts whose key ≡ 0 (mod 97): rank mass measures proximity to
+    the seed set — the related-items primitive. 4 fixed iterations,
+    damping 0.85, exact-decimal contribution sums; the oracle replays
+    the identical seeded power iteration unrolled in SQL, so even this
+    iterative algorithm is value-hash-checked."""
+    from cqdg_etl_spark.operators.graph import personalized_pagerank
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % _PPR_SEED_MOD == 0)
+    )
+    return personalized_pagerank(
+        edges, seeds, iterations=_PPR_ITER, damping=_PPR_DAMP
+    )

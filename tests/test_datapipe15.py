@@ -1,0 +1,299 @@
+"""datapipe15 queries (staged for round-7 publication): full local
+verification against the DuckDB oracles — the same comparison the
+driver gate runs — plus adversarial fixtures run through BOTH engines
+(the fixture parquet dir doubles as an sf_dir, so the hand-built edge
+cases get the oracle treatment too) and hand-computed expectations.
+A staged-scope plan lint mirrors tests/test_plan_lint.py until
+publication moves these names under the fleet-wide lint."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.queries.datapipe15 import STAGED
+from tests.oracle_harness import canonical_rows, duckdb_conn
+
+
+def _compare_staged(spark, name: str, sf_dir: str, con=None) -> None:
+    q = STAGED[name]
+    actual = q.fn(spark, sf_dir).toPandas()
+    con = con or duckdb_conn(sf_dir)
+    expected = con.execute(q.oracle).df()
+    assert sorted(actual.columns) == sorted(expected.columns), name
+    assert len(actual) == len(expected), (
+        f"{name}: rows spark={len(actual)} oracle={len(expected)}"
+    )
+    a, e = canonical_rows(actual), canonical_rows(expected)
+    if a != e:
+        only_a = [r for r in a if r not in set(e)][:5]
+        only_e = [r for r in e if r not in set(a)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch.\n only-spark: {only_a}\n"
+            f" only-oracle: {only_e}"
+        )
+
+
+def test_staged_not_published():
+    """Staged names stay out of REGISTRY until the round-7 publication
+    flips them in (the datapipe13/14 staging discipline)."""
+    from cqdg_etl_spark.queries import REGISTRY
+
+    assert not (set(STAGED) & set(REGISTRY)), (
+        "staged datapipe15 names leaked into the published registry"
+    )
+
+
+def test_staged_batch_size():
+    assert len(STAGED) == 6
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_match(spark, sf_dir, name):
+    _compare_staged(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------- plan lint
+
+_FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin",
+              "BatchEvalPython ")
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plan_lint(spark, sf_dir, name):
+    df = STAGED[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    for node in _FORBIDDEN:
+        assert node not in plan, f"{name}: {node} in physical plan\n{plan}"
+
+
+# ----------------------------------------------------- fixture helpers
+
+
+def _fixture_dir(spark, tmp_path, **tables) -> str:
+    """Write hand-built tables as parquet under one dir so the STAGED
+    fn and its DuckDB oracle both read identical bytes."""
+    d = str(tmp_path / "fx")
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def _fixture_conn(sf_dir: str, tables) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+# ------------------------------------------- truncation-prefix dedup
+
+
+def test_truncation_catches_what_jaccard_misses(spark, tmp_path):
+    """Doc 1 (20 tokens) is an exact prefix of doc 2 (200 tokens) —
+    3-shingle Jaccard is ~18/198 ≈ 0.09, far under any dedup
+    threshold, but the truncation relation is exact. Doc 3 shares the
+    first 12 tokens with both (same block) then diverges: candidate,
+    verify rejects. Doc 4 is 8 tokens (< k): out of contract."""
+    words = [f"w{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words[:20]), "en", "s0", 1),
+            (2, " ".join(words), "en", "s0", 1),
+            (3, " ".join(words[:12] + ["zz"] * 30), "en", "s0", 1),
+            (4, " ".join(words[:8]), "en", "s0", 1),
+        ],
+        _DOC_SCHEMA,
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["len_a"], r["len_b"])
+        for r in STAGED["dd_truncation_prefix_pairs"].fn(spark, d).collect()
+    }
+    assert rows == {(1, 2): (20, 200)}
+    _compare_staged(spark, "dd_truncation_prefix_pairs", d,
+                    con=_fixture_conn(d, ["documents"]))
+
+
+def test_truncation_whitespace_normalized(spark, tmp_path):
+    """Truncation is judged on NORMALIZED tokens: case and whitespace
+    runs don't break the prefix relation."""
+    words = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, "  " + "   ".join(w.upper() for w in words[:15]), "en", "s0", 1),
+            (2, " ".join(words), "en", "s0", 1),
+        ],
+        _DOC_SCHEMA,
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    out = STAGED["dd_truncation_prefix_pairs"].fn(spark, d).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+
+
+# ------------------------------------------- syllable complexity audit
+
+
+def test_syllable_complexity_hand_computed(spark, tmp_path):
+    """'banana analysis go' → vowel groups: ba-na-na(3) + a-na-ly-sis
+    (4: 'a','a','y'? no — groups are [aeiou]+ runs: a,a,i = 3) + go(1).
+    Hand-count: banana=3, analysis=3 (a, a, i), go=1 → 7 syllables,
+    3 words, complex words (≥3 groups): banana, analysis → 2; long
+    words (≥7 chars): analysis → 1."""
+    docs = spark.createDataFrame(
+        [(1, "banana analysis go", "en", "s0", 1)], _DOC_SCHEMA
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    r = STAGED["tx_syllable_complexity"].fn(spark, d).collect()[0]
+    assert (r["n_docs"], r["words"], r["syllables"]) == (1, 3, 7)
+    assert r["complex_word_rate"] == round(2 / 3, 6)
+    assert r["long_word_rate"] == round(1 / 3, 6)
+    _compare_staged(spark, "tx_syllable_complexity", d,
+                    con=_fixture_conn(d, ["documents"]))
+
+
+# ----------------------------------------------- shingle novelty curve
+
+
+def test_novelty_first_occurrence_ordering(spark, tmp_path):
+    """Doc 1 introduces everything (novelty 1.0); doc 2 repeats doc 1
+    verbatim (novelty 0.0); doc 3 is half doc-1 text, half new."""
+    a = " ".join(f"a{i}" for i in range(12))
+    b = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, a, "en", "s0", 1),
+            (2, a, "en", "s0", 1),
+            (3, f"{a} {b}", "en", "s0", 1),
+        ],
+        _DOC_SCHEMA,
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["novel"])
+        for r in STAGED["tx_shingle_novelty"].fn(spark, d).collect()
+    }
+    # doc1: 10 shingles, all first; doc2: same 10, none first;
+    # doc3: 22 distinct shingles (a-run 10 shared + 2 bridge + 10 b-run),
+    # novel = the 12 not introduced by doc 1.
+    assert out[1] == (10, 10)
+    assert out[2] == (10, 0)
+    assert out[3] == (22, 12)
+    _compare_staged(spark, "tx_shingle_novelty", d,
+                    con=_fixture_conn(d, ["documents"]))
+
+
+# -------------------------------------------- seasonal-baseline outliers
+
+
+def test_seasonal_outlier_planted_spike(spark, tmp_path):
+    """Nine 10.0-valued events and one 1000.0 spike in the same
+    (type, dow, hour) slot: only the spike's |z| clears 2.5. A
+    SECOND slot holds a constant value (zero variance → no baseline)
+    and a third is a singleton (n < 2) — neither may emit rows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)  # Monday 09:xx
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", 10.0, "{}")
+        for i in range(9)
+    ]
+    rows.append((99, base + dt.timedelta(minutes=30), 1, "click", 1000.0, "{}"))
+    rows += [
+        (200 + i, base + dt.timedelta(hours=2, minutes=i), 1, "view", 5.0,
+         "{}")
+        for i in range(4)
+    ]  # constant slot
+    rows.append((300, base + dt.timedelta(hours=3), 1, "buy", 7.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = _fixture_dir(spark, tmp_path, events=ev)
+    out = STAGED["ev_seasonal_outliers"].fn(spark, d).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["zscore"] > 2.5
+    _compare_staged(spark, "ev_seasonal_outliers", d,
+                    con=_fixture_conn(d, ["events"]))
+
+
+# ------------------------------------------- stratified k-fold balance
+
+
+def test_kfold_exact_balance_per_stratum(spark, sf_dir):
+    """The whole point vs hash-mod-k: within every stratum the fold
+    sizes differ by at most one."""
+    out = STAGED["ds_stratified_kfold"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["n"])
+    assert by_lang, "no strata produced"
+    for lang, ns in by_lang.items():
+        assert max(ns) - min(ns) <= 1, (lang, ns)
+        assert len(ns) <= 5
+
+
+def test_kfold_deterministic(spark, sf_dir):
+    a = sorted(
+        map(tuple, STAGED["ds_stratified_kfold"].fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, STAGED["ds_stratified_kfold"].fn(spark, sf_dir).collect())
+    )
+    assert a == b
+
+
+# ------------------------------------------- personalized PageRank
+
+
+def test_ppr_mass_decays_with_distance(spark, tmp_path):
+    """Path graph 0—1—2—3 seeded at part 0 (via lineitem orders that
+    link consecutive parts): the seed end holds the most mass, the far
+    end the least — but NOT a strict monotone chain, because mass
+    sloshes along a path graph with period 2 (at even iteration
+    counts the odd-distance nodes are in their low phase; verified by
+    hand-unrolling 4 rounds: ranks ≈ [.40, .20, .38, .02])."""
+    # orders 1..3 each contain parts (i-1, i) -> path edges
+    li = spark.createDataFrame(
+        [(o, p) for o in range(1, 4) for p in (o - 1, o)],
+        "l_orderkey long, l_partkey long",
+    )
+    d = _fixture_dir(spark, tmp_path, lineitem=li)
+    out = {
+        r["node"]: r["rank_rel"]
+        for r in STAGED["graph_personalized_pagerank"].fn(spark, d).collect()
+    }
+    # seed set = {0} (0 % 97 == 0)
+    assert out[0] == max(out.values())
+    assert out[3] == min(out.values())
+    assert all(v > 0.0 for v in out.values())
+    _compare_staged(spark, "graph_personalized_pagerank", d,
+                    con=_fixture_conn(d, ["lineitem"]))
+
+
+def test_ppr_no_seed_mass_without_seeds_in_component(spark, tmp_path):
+    """A component disjoint from every seed holds zero rank after any
+    number of rounds (teleport never lands there)."""
+    li = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 501), (2, 502)],
+        "l_orderkey long, l_partkey long",
+    )
+    d = _fixture_dir(spark, tmp_path, lineitem=li)
+    out = {
+        r["node"]: r["rank_rel"]
+        for r in STAGED["graph_personalized_pagerank"].fn(spark, d).collect()
+    }
+    assert out[501] == 0.0 and out[502] == 0.0
+    assert out[0] > 0.0 and out[1] > 0.0
