@@ -35,10 +35,10 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 BASE = "/root/testdata/sf0.1"
-WORK = Path("/tmp/scale_probe_v4")
+WORK = Path("/tmp/scale_probe_v5")
 
-# The 5 priciest dedup/ANN bench queries of BENCH_r04 (VERDICT r4
-# plan-audit list), plus the two new headliners they gate.
+# Wave 1: the 5 priciest dedup/ANN bench queries of BENCH_r04
+# (VERDICT r4 plan-audit list), plus the two new headliners they gate.
 QUERIES = [
     "dd_tfidf_cosine_pairs",
     "dd_embedding_cosine_pairs",
@@ -48,6 +48,30 @@ QUERIES = [
     "ann_topk_gemm",
     "pipe_corpus_curation_e2e",
     "dd_semantic_prune",
+]
+
+# Wave 2 (--wave2): the graph / events / remaining-text families, over
+# the replicated lineitem co-purchase graph and events stream. Chosen
+# for superlinearity RISK: pair/wedge enumeration (triangles,
+# adamic-adar, ngram/simhash/span/containment), iterative convergence
+# (pagerank, label propagation, cluster CC), global-order shapes
+# (rfm quartiles, sessionize, funnel), and the sharded inverted index.
+WAVE2 = [
+    "graph_triangle_counts",
+    "graph_adamic_adar",
+    "graph_pagerank_coparts",
+    "graph_label_propagation",
+    "tx_inverted_index",
+    "tx_pmi_bigrams",
+    "tx_winnowing_fingerprints",
+    "dd_ngram_jaccard_pairs",
+    "dd_simhash_near_pairs",
+    "dd_span_dedup",
+    "dd_containment_pairs",
+    "ds_cluster_safe_split",
+    "ev_sessionize",
+    "ev_rfm_segments",
+    "ev_funnel_transitions",
 ]
 
 
@@ -135,8 +159,34 @@ def build_scaled_dir(scale: int) -> str:
         return str(out)
     out.mkdir(parents=True)
     for t in ALL_TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events", "lineitem"):
             shutil.copy(f"{BASE}/{t}.parquet", out / f"{t}.parquet")
+
+    # events / lineitem: replicate with KEY OFFSETS only — replica r's
+    # users (events) and orders/parts (lineitem co-purchase graph) are
+    # disjoint from every other replica's but structurally ISOMORPHIC
+    # to the original, so per-capita session/funnel/RFM statistics and
+    # per-component graph topology are preserved exactly while nothing
+    # joins across replicas. (Copying rows unchanged would instead
+    # multiply per-user event counts and per-order line counts by r —
+    # densifying the graph and the sessions, which confounds the
+    # time-vs-corpus-size curve with a structure change.)
+    _OFF = 10_000_000
+    for t, keys in (("events", ("event_id", "user_id")),
+                    ("lineitem", ("l_orderkey", "l_partkey"))):
+        src = pq.read_table(f"{BASE}/{t}.parquet")
+        reps = []
+        for r in range(scale):
+            cols = {}
+            for f_ in src.schema.names:
+                if f_ in keys:
+                    cols[f_] = pa.array(
+                        np.asarray(src[f_], dtype=np.int64) + r * _OFF
+                    )
+                else:
+                    cols[f_] = src[f_]
+            reps.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(reps), out / f"{t}.parquet")
 
     docs = pq.read_table(f"{BASE}/documents.parquet")
     reps = []
@@ -210,14 +260,16 @@ def build_scaled_dir(scale: int) -> str:
 
 
 def main() -> int:
-    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    args = sys.argv[1:]
+    wave2 = "--wave2" in args
+    scales = [int(a) for a in args if a != "--wave2"] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
 
     import os
 
     spark = get_spark(app_name="scale-probe")
-    all_names = QUERIES + list(EXTRA)
+    all_names = WAVE2 if wave2 else QUERIES + list(EXTRA)
     only = os.environ.get("SCALE_PROBE_ONLY")
     if only:
         keep = {s.strip() for s in only.split(",")}
@@ -226,12 +278,22 @@ def main() -> int:
     for scale in scales:
         sf_dir = build_scaled_dir(scale)
         for name in all_names:
-            if name in EXTRA:
-                df = EXTRA[name](spark, sf_dir, scale)
-            else:
-                df = REGISTRY[name].fn(spark, sf_dir)
+            def build():
+                if name in EXTRA:
+                    return EXTRA[name](spark, sf_dir, scale)
+                return REGISTRY[name].fn(spark, sf_dir)
+
+            df = build()
             df.write.format("noop").mode("overwrite").save()  # warmup
+            spark.catalog.clearCache()
+            # Time a FRESH build + write: iterative queries (pagerank,
+            # label propagation, connected components) do their real
+            # work in per-round localCheckpoint actions during fn(),
+            # so timing only the final write would read near-zero for
+            # exactly the queries whose scaling matters most. For
+            # non-iterative queries this adds only planning time.
             t0 = time.perf_counter()
+            df = build()
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             n_out = df.count()
@@ -246,9 +308,15 @@ def main() -> int:
     print("|---" * (len(scales) + 3) + "|")
     for name, rows in results.items():
         cells = " | ".join(f"{dt:.2f}s" for _, dt, _ in rows)
-        (s1, t1, _), (s2, t2, n2) = rows[-2], rows[-1]
-        expo = math.log(t2 / t1) / math.log(s2 / s1) if t1 > 0 else 0.0
-        print(f"| {name} | {cells} | {n2} | {expo:.2f} |")
+        n2 = rows[-1][2]
+        if len(rows) >= 2:
+            (s1, t1, _), (s2, t2, _) = rows[-2], rows[-1]
+            expo = (
+                math.log(t2 / t1) / math.log(s2 / s1) if t1 > 0 else 0.0
+            )
+            print(f"| {name} | {cells} | {n2} | {expo:.2f} |")
+        else:
+            print(f"| {name} | {cells} | {n2} | n/a |")
     return 0
 
 
