@@ -379,6 +379,139 @@ def ds_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------- weighted sampling without replacement
+
+_ES_K = 100
+
+
+@_staged(
+    "ds_weighted_sample_wor",
+    tags=("datapipe", "sampling", "weighted"),
+    oracle=f"""
+        WITH k AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                 -ln((CAST(concat('0x', substr(md5('es:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                     / 4503599627370496.0) / n_chars AS es_key
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, w, round(es_key, 6) AS es_key
+        FROM k ORDER BY k.es_key, doc_id LIMIT {_ES_K}
+    """,
+)
+def ds_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res, Inf. Proc. Lett. 97(5), 2006): each item draws an
+    exponential key -ln(u)/w from a deterministic md5 uniform
+    u ∈ (0, 1] (52 md5 bits + 1, over 2^52 — the +1 keeps u > 0 and
+    the division by a power of two exact), and the k smallest keys
+    ARE a weighted sample without replacement — the one-pass,
+    merge-friendly answer to "pick 100 docs proportional to length,
+    no repeats" that per-item Bernoulli/PPS sampling cannot give.
+    Complements ds_pps_systematic_sample (with-replacement PPS) and
+    ds_per_group_sample (uniform).
+
+    Scale shape: keys are a pure projection (no shuffle);
+    selection is orderBy(key).limit(k) = TakeOrderedAndProject —
+    per-partition k-heaps, merged on one reducer over #partitions·k
+    rows, never a global sort. ln() is the one transcendental; the
+    engines' libm agreement at round-6 is already load-bearing for
+    the published DSIR/Zipf/HLL family (e.g. datapipe5.py:100), and
+    ties in the continuous key space are broken by doc_id on both
+    sides."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4503599627370496.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(_ES_K)
+        .select("doc_id", "w", F.round("_k", 6).alias("es_key"))
+    )
+
+
+# ------------------------------- rendezvous-hash shard rebalance
+
+_RDV_K = 16  # shards before; rebalance adds one → k+1
+
+
+@_staged(
+    "ds_rendezvous_rebalance",
+    tags=("datapipe", "sharding", "consistent-hash"),
+    oracle=f"""
+        WITH e AS (
+          SELECT doc_id, s,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))
+                   AS h
+          FROM documents, range(0, {_RDV_K + 1}) t(s)
+        ),
+        a AS (
+          SELECT doc_id,
+                 arg_max(CASE WHEN s < {_RDV_K} THEN s END,
+                         CASE WHEN s < {_RDV_K} THEN h END) AS shard_before,
+                 arg_max(s, h) AS shard_after
+          FROM e GROUP BY doc_id
+        )
+        SELECT CAST(shard_before AS BIGINT) AS shard_before,
+               CAST(shard_after AS BIGINT) AS shard_after,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM a GROUP BY 1, 2
+    """,
+)
+def ds_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding and its defining
+    minimal-disruption guarantee, measured: every doc's shard is
+    argmax over shards of md5(doc:shard); growing the ring from
+    {_RDV_K} to {_RDV_K + 1} shards moves a doc ONLY if the new
+    shard wins its argmax — so the (shard_before, shard_after)
+    movement matrix is structurally diagonal-plus-one-column (every
+    off-diagonal row has shard_after = {_RDV_K}) and the expected
+    moved fraction is 1/{_RDV_K + 1}. The mod-k alternative
+    (ds_shard_assignment's planner solves a different problem —
+    balancing sizes) would remap ~15/16 of the corpus on the same
+    ring change; this query is the receipt for why stateful shard
+    maps use rendezvous/consistent hashing at fleet scale.
+
+    Scale shape: one ×(k+1) explode (map-side, k is a constant), one
+    combinable max_by groupBy(doc_id) — hex strings of equal length
+    compare as the integers they encode on both engines — then the
+    ≤(k+1)² matrix agg. No windows, no joins."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_RDV_K))).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("s").cast("string")
+            )
+        ).alias("h"),
+    )
+    a = e.groupBy("doc_id").agg(
+        F.expr(
+            f"max_by(CASE WHEN s < {_RDV_K} THEN s END, "
+            f"CASE WHEN s < {_RDV_K} THEN h END)"
+        ).alias("shard_before"),
+        F.expr("max_by(s, h)").alias("shard_after"),
+    )
+    return a.groupBy(
+        F.col("shard_before").cast("long").alias("shard_before"),
+        F.col("shard_after").cast("long").alias("shard_after"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # ------------------------------------------- personalized PageRank
 
 _PPR_ITER = 4

@@ -47,7 +47,7 @@ def test_staged_not_published():
 
 
 def test_staged_batch_size():
-    assert len(STAGED) == 6
+    assert len(STAGED) == 8
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -253,6 +253,59 @@ def test_kfold_deterministic(spark, sf_dir):
         map(tuple, STAGED["ds_stratified_kfold"].fn(spark, sf_dir).collect())
     )
     assert a == b
+
+
+# ------------------------------- weighted sampling without replacement
+
+
+def test_weighted_wor_no_repeats_and_weight_bias(spark, sf_dir):
+    """A-Res invariants: exactly k distinct docs, keys ascending after
+    rounding (ties allowed), and the selected docs' mean weight
+    exceeds the corpus mean (long docs are favored by construction —
+    the probabilistic statement is deterministic here because the md5
+    draw is fixed)."""
+    out = STAGED["ds_weighted_sample_wor"].fn(spark, sf_dir).collect()
+    assert len(out) == 100
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == 100
+    keys = [r["es_key"] for r in out]
+    assert keys == sorted(keys)
+    import duckdb
+
+    corpus_mean = duckdb.sql(
+        f"SELECT avg(n_chars) FROM '{sf_dir}/documents.parquet' WHERE n_chars > 0"
+    ).fetchone()[0]
+    sample_mean = sum(r["w"] for r in out) / len(out)
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_wor_determinism(spark, sf_dir):
+    a = sorted(map(tuple, STAGED["ds_weighted_sample_wor"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, STAGED["ds_weighted_sample_wor"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+# ------------------------------- rendezvous-hash shard rebalance
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    """The defining property: growing the ring 16 -> 17 moves a doc
+    ONLY to the new shard — every off-diagonal matrix row must have
+    shard_after == 16 — and the moved fraction is near 1/17."""
+    out = STAGED["ds_rendezvous_rebalance"].fn(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in out)
+    moved = 0
+    for r in out:
+        if r["shard_before"] != r["shard_after"]:
+            assert r["shard_after"] == 16, r
+            moved += r["n_docs"]
+    assert total > 0
+    # Binomial(n, 1/17) within 5 sigma at n = corpus size
+    import math
+
+    p = 1 / 17
+    sigma = math.sqrt(total * p * (1 - p))
+    assert abs(moved - total * p) < 5 * sigma + 1, (moved, total)
 
 
 # ------------------------------------------- personalized PageRank
