@@ -16,10 +16,12 @@ the curation layer — truncation-prefix dedup (the duplicate class
 shingle measures score low), a syllable/readability profile, the
 per-document shingle-novelty curve used to spot stale crawls,
 seasonal-baseline outlier detection over events, exactly-balanced
-stratified k-fold assignment, and seed-personalized PageRank. No
-reference counterpart (Ferlab-Ste-Justine/cqdg-etl has no analytics of
-this kind); every shape is chosen for the 100-TB target and documented
-per query.
+stratified k-fold assignment, seed-personalized PageRank,
+Efraimidis–Spirakis weighted sampling without replacement, and
+rendezvous-hash shard rebalance with its minimal-disruption receipt.
+No reference counterpart (Ferlab-Ste-Justine/cqdg-etl has no analytics
+of this kind); every shape is chosen for the 100-TB target and
+documented per query.
 """
 
 from __future__ import annotations
