@@ -58,9 +58,12 @@ def test_normalize_plan_strips_session_varying_tokens():
 
 
 def test_front_covers_mechanically_stale_names():
-    """Every name the committed state marks stale/never-verified must
-    sit inside _FRONT's driver-visible prefix (the 50-row cap), so the
-    next CORRECTNESS round actually clears the debt."""
+    """The verification debt (stale + never-verified names) must be a
+    PREFIX of _FRONT, so the driver's 50-row window clears as much of
+    it as fits and any overflow sits at positions 51+ where the next
+    round's window picks it up first. Overflow is bounded: a debt much
+    larger than one round's window means staleness is being created
+    faster than it can be verified — fail loudly then."""
     state = json.loads((REPO / "verification_state.json").read_text())
     pending = state.get("pending")
     assert pending, "verification_state.json must carry pending hashes"
@@ -73,8 +76,14 @@ def test_front_covers_mechanically_stale_names():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    front50 = set(mod._FRONT[:50])
-    missing = [n for n in stale if n not in front50]
-    assert not missing, (
-        f"stale names outside the driver's 50-row window: {missing}"
+    debt = set(stale)
+    prefix = mod._FRONT[: len(debt)]
+    not_in_prefix = sorted(debt - set(prefix))
+    assert not not_in_prefix, (
+        f"debt names not at the head of _FRONT: {not_in_prefix}"
+    )
+    overflow = [n for n in mod._FRONT[50 : len(debt)]]
+    assert len(overflow) <= 10, (
+        f"verification debt overflows the 50-row window by "
+        f"{len(overflow)} — staleness is outpacing the driver: {overflow}"
     )

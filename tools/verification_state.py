@@ -274,9 +274,15 @@ def stale_names(current: dict[str, str] | None = None) -> list[str]:
 
 
 def cmd_front() -> None:
-    """Print the recommended _FRONT ordering: hash-stale and
-    never-verified first (registry order), then legacy-green oldest
-    round first, then verified oldest round first."""
+    """Print the recommended _FRONT ordering: the verification DEBT
+    first — never-verified names (no row ever, the hardest debt),
+    then hash-stale names oldest-verified-round first (a recent row
+    vouches more than an old one when the window can't fit everyone) —
+    then the non-debt names, legacy/verified oldest round first. When
+    the debt exceeds the driver's 50-row window, this ordering makes
+    the roll-over deterministic: positions 51+ are exactly the
+    most-recently-verified stale names, and they stay at the head of
+    the next round's front until their row lands."""
     from cqdg_etl_spark.queries import REGISTRY
 
     state = _load_state()
@@ -284,14 +290,25 @@ def cmd_front() -> None:
     stale = stale_names(cur)
     legacy = state.get("legacy", {})
     verified = state.get("verified", {})
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    never = [n for n in stale if n not in verified and n not in legacy]
+    changed = [n for n in stale if n in verified or n in legacy]
+    changed.sort(
+        key=lambda n: (
+            _round_num(
+                verified[n]["round"] if n in verified else legacy[n]
+            ),
+            reg_pos[n],
+        )
+    )
     rest = [n for n in REGISTRY if n not in set(stale)]
     rest.sort(
         key=lambda n: (
             _round_num(legacy.get(n) or verified[n]["round"]),
-            list(REGISTRY).index(n),
+            reg_pos[n],
         )
     )
-    for n in stale + rest:
+    for n in never + changed + rest:
         print(n)
 
 
