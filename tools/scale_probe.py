@@ -50,6 +50,37 @@ QUERIES = [
     "dd_semantic_prune",
 ]
 
+# Wave 3 (--wave3): the TPC-H headliners over a FULLY-consistent
+# replicated schema (every key column offset per replica, so replica
+# r is a disjoint isomorphic copy of the whole warehouse and every
+# join keeps its exact selectivity). The classic would-it-hold-at-
+# 1000x evidence: scan-agg (q1), star join (q5), 3-fact join (q9),
+# group-having (q18), anti/exists shapes (q21, q22).
+WAVE3 = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "q21_last_shipper",
+    "q22_idle_customers",
+]
+
+# Every key column that must shift together for cross-table joins to
+# stay consistent under replication. region/nation are global
+# dimensions (25 rows) and stay shared — their keys are NOT offset,
+# so per-replica rows keep joining the same nation/region rows, which
+# preserves the original selectivity exactly.
+_TPCH_KEYS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
 # Wave 2 (--wave2): the graph / events / remaining-text families, over
 # the replicated lineitem co-purchase graph and events stream. Chosen
 # for superlinearity RISK: pair/wedge enumeration (triangles,
@@ -145,6 +176,42 @@ ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def build_tpch_scaled_dir(scale: int) -> str:
+    """Wave-3 fixture: a scale× WAREHOUSE — every table replicated with
+    ALL its key columns offset together (replica r = a disjoint
+    isomorphic warehouse), region/nation shared. TPC-H queries then
+    see a corpus that is exactly scale× the rows with identical join
+    selectivity and per-replica answer sets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = WORK / f"tpch_x{scale}"
+    if out.exists():
+        return str(out)
+    out.mkdir(parents=True)
+    _OFF = 10_000_000
+    for t in ALL_TABLES:
+        keys = _TPCH_KEYS.get(t, ())
+        if not keys:
+            shutil.copy(f"{BASE}/{t}.parquet", out / f"{t}.parquet")
+            continue
+        src = pq.read_table(f"{BASE}/{t}.parquet")
+        reps = []
+        for r in range(scale):
+            cols = {}
+            for f_ in src.schema.names:
+                if f_ in keys:
+                    cols[f_] = pa.array(
+                        np.asarray(src[f_], dtype=np.int64) + r * _OFF
+                    )
+                else:
+                    cols[f_] = src[f_]
+            reps.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(reps), out / f"{t}.parquet")
+    return str(out)
 
 
 def build_scaled_dir(scale: int) -> str:
@@ -262,21 +329,31 @@ def build_scaled_dir(scale: int) -> str:
 def main() -> int:
     args = sys.argv[1:]
     wave2 = "--wave2" in args
-    scales = [int(a) for a in args if a != "--wave2"] or [1, 2, 5, 10]
+    wave3 = "--wave3" in args
+    scales = [
+        int(a) for a in args if a not in ("--wave2", "--wave3")
+    ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
 
     import os
 
     spark = get_spark(app_name="scale-probe")
-    all_names = WAVE2 if wave2 else QUERIES + list(EXTRA)
+    if wave3:
+        all_names = WAVE3
+    elif wave2:
+        all_names = WAVE2
+    else:
+        all_names = QUERIES + list(EXTRA)
     only = os.environ.get("SCALE_PROBE_ONLY")
     if only:
         keep = {s.strip() for s in only.split(",")}
         all_names = [n for n in all_names if n in keep]
     results: dict[str, list[tuple[int, float, int]]] = {q: [] for q in all_names}
     for scale in scales:
-        sf_dir = build_scaled_dir(scale)
+        sf_dir = (
+            build_tpch_scaled_dir(scale) if wave3 else build_scaled_dir(scale)
+        )
         for name in all_names:
             def build():
                 if name in EXTRA:
