@@ -10,12 +10,37 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import hashlib  # noqa: E402
+
 from tools.verification_state import (  # noqa: E402
+    _BOUNDARY_RE,
+    _canon_gid_line,
     _closure,
+    _fn_component,
     _module_files,
     _normalize_plan,
     stale_names,
 )
+
+
+def _components():
+    """v2 UDF-source components for the whole registry (no Spark —
+    static analysis only)."""
+    from cqdg_etl_spark.queries import REGISTRY
+
+    files = _module_files()
+    file_sha = {
+        m: hashlib.sha256(p.read_bytes()).hexdigest()
+        for m, p in files.items()
+    }
+    boundary = {
+        m for m, p in files.items() if _BOUNDARY_RE.search(p.read_text())
+    }
+    cache = {}
+    return {
+        n: _fn_component(q.fn, files, boundary, file_sha, cache)
+        for n, q in REGISTRY.items()
+    }
 
 
 def test_closure_follows_nested_imports():
@@ -55,6 +80,95 @@ def test_normalize_plan_strips_session_varying_tokens():
     )
     assert n1 == n2
     assert "#123" not in n1 and "/tmp/cqdg_e2e_ab12cd" not in n1
+
+
+def test_fn_component_scopes_to_referenced_code():
+    """The v2 component must couple a query to exactly the code it can
+    execute: a TPC-H scan-agg never hashes similarity.py; the embedding
+    family does; and a sibling query in the same module editing its own
+    body must not move other names (distinct local-grain hashes)."""
+    comps = _components()
+    sim = "cqdg_etl_spark.operators.similarity"
+    assert sim not in comps["q1_pricing_summary"]
+    assert sim not in comps["ev_sessionize"]
+    assert f"mod:{sim}:" in comps["dd_embedding_cosine_pairs"]
+    assert f"mod:{sim}:" in comps["dd_semantic_prune"]
+    # local grain: sibling queries in datapipe.py carry their own
+    # reachable-source hash, not the whole module sha
+    a = comps["dd_ngram_jaccard_pairs"].splitlines()[0]
+    b = comps["ds_train_val_split"].splitlines()[0]
+    assert a.startswith("local:cqdg_etl_spark.queries.datapipe:")
+    assert b.startswith("local:cqdg_etl_spark.queries.datapipe:")
+    assert a != b
+
+
+def test_fn_component_decorator_oracle_builders_excluded():
+    """@query(oracle=_sql_...(...)) builders run at import time and
+    their OUTPUT is hashed as the oracle component; reaching through
+    the decorator would re-couple every query in a module to shared
+    SQL helpers (datapipe2 imports similarity for its oracle builders —
+    tx_top_bigrams must not hash it)."""
+    comps = _components()
+    assert "operators.similarity" not in comps["tx_top_bigrams"]
+
+
+def test_fn_component_registry_dispatch_falls_back_coarse():
+    """REGISTRY["..."] dispatch reaches arbitrary query fns — the
+    component must forfeit the function-level refinement and fall back
+    to the whole-module closure (emb_topk_recall_eval re-runs
+    ann_topk_lsh, so similarity.py must be hashed even though the fn
+    never names it)."""
+    comps = _components()
+    c = comps["emb_topk_recall_eval"]
+    assert not c.startswith("local:")
+    assert "mod:cqdg_etl_spark.operators.similarity:" in c
+
+
+def test_canon_gid_line_absorbs_renumbering_and_order():
+    """Catalyst's RewriteDistinctAggregates numbers Expand gid groups
+    from session expression-id history: group literals and within-line
+    list order permute across sessions. The canonical form must be
+    invariant to both, yet still sensitive to which columns appear."""
+    a = "   +- Expand [[a#x, null, 1], [null, b#x, 2]], [a#x, b#x, gid#x]"
+    b = "   +- Expand [[null, b#x, 1], [a#x, null, 2]], [b#x, a#x, gid#x]"
+    assert _canon_gid_line(a) == _canon_gid_line(b)
+    c = "   +- Expand [[a#x, null, 1], [null, c#x, 2]], [a#x, c#x, gid#x]"
+    assert _canon_gid_line(a) != _canon_gid_line(c)
+
+
+def test_gid_plan_hash_stable_across_expression_drift():
+    """VERDICT r5 #4 done-criterion: the normalized plan of the
+    multi-distinct query must be byte-stable across two sessions where
+    one first allocates an unrelated number of expression ids (the
+    exact churn that upstream edits cause)."""
+    import subprocess
+
+    script = """
+import sys; sys.path.insert(0, {repo!r})
+from tools.verification_state import _normalize_plan
+from cqdg_etl_spark.queries import REGISTRY
+from cqdg_etl_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark()
+if {burn}:
+    df = spark.range(10)
+    for i in range({burn}):
+        df = df.select("*", (F.col("id") * i).alias(f"z{{i}}"))
+    df.count()
+d = REGISTRY["pf_profile_orders"].fn(spark, "/root/testdata/sf0.001")
+p = _normalize_plan(d._jdf.queryExecution().optimizedPlan().toString())
+print("PLANHASH", __import__("hashlib").sha256(p.encode()).hexdigest())
+"""
+    outs = []
+    for burn in (0, 83):
+        r = subprocess.run(
+            [sys.executable, "-c", script.format(repo=str(REPO), burn=burn)],
+            capture_output=True, text=True, timeout=300,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("PLANHASH")]
+        assert line, r.stderr[-2000:]
+        outs.append(line[0])
+    assert outs[0] == outs[1]
 
 
 def test_front_covers_mechanically_stale_names():

@@ -14,20 +14,46 @@ commit messages — this tool replaces that with committed state:
     an unrelated helper lands in the same module.
   * Plan strings embed a Python UDF only by name, so a body edit in
     e.g. pandas_ops.run() is plan-invisible — hence the second
-    component: source hashes of the import-closure modules that
-    contain an Arrow/Python boundary (pandas_udf / applyInPandas /
-    mapInPandas / udtf / applyInPandasWithState). Over-marks queries
-    importing an edited UDF module; never under-marks.
+    component, the **UDF-source component** (v2, round 6): the source
+    actually REACHABLE from the query's own function. Round 5 proved
+    the v1 whole-module import closure was the scarce-budget killer:
+    every query module transitively imports queries/datapipe.py and
+    operators/similarity.py (both UDF-boundary modules), so ONE edit
+    there re-marked 109 of 194 names — two full driver windows of
+    false staleness for queries that never execute a line of the
+    edited code. v2 walks the query function's AST instead:
+      - top-level bindings of the defining module that the function
+        (transitively) references contribute their SOURCE SEGMENTS —
+        so editing query A in a module never re-marks sibling query B;
+      - intra-package modules the function references contribute their
+        FULL import-closure file shas from that point — cross-module
+        granularity stays coarse on purpose (an operator module is a
+        unit of review), and hashing the whole closure rather than v1's
+        closure ∩ boundary additionally closes a v1 under-mark hole: a
+        non-boundary helper module computing a value that another
+        module's UDF captures in its closure (plan-invisible, yet
+        result-changing) now marks the query;
+      - any reachable dynamic feature (getattr/globals/eval/exec/
+        __import__/importlib, or a star import in the module) forfeits
+        the refinement: that query falls back to the v1 whole-module
+        closure. Over-marks, never under-marks.
+    Soundness: a change can alter results without moving the plan text
+    or oracle only through Python executed at run time (UDF bodies and
+    their helpers/constants). Every such object is created by code
+    statically reachable from the query function — which is exactly
+    what the component hashes — or the query uses dynamic dispatch,
+    which triggers the coarse fallback. Defense in depth: the hash
+    system only PRIORITIZES driver rows; tests/test_correctness.py
+    still value-checks all registry names against their DuckDB oracles
+    on every pytest run regardless of hashes.
   * Expression ids (#123), plan ids, object addresses, and runtime
     stage ids are normalized out, so the hash is stable across
-    sessions. One residual: Catalyst's multi-countDistinct rewrite
-    numbers its Expand gid groups from session-wide expression-id
-    history, so a query with several exact-distinct aggregates (e.g.
-    pf_profile_orders) can re-hash when UNRELATED upstream queries
-    change how many expressions they allocate. That direction is safe:
-    it can only OVER-mark (the query gets an extra driver row), never
-    under-mark — a real change to the query itself always changes the
-    plan text too.
+    sessions. Catalyst's multi-countDistinct rewrite numbers its
+    Expand gid groups from session-wide expression-id history; the
+    per-line sorted-token canonicalization (``_canon_gid_line``)
+    absorbs that renumbering — byte-stability of every gid-bearing
+    plan under an unrelated upstream expression-count change is
+    pinned by tests/test_verification_state.py.
 
 - ``verification_state.json`` (committed) holds:
     {"verified": {name: {"round": "r04", "hash": h}},
@@ -134,6 +160,158 @@ def _closure(module: str, files: dict[str, Path]) -> set[str]:
     return seen
 
 
+# --------------------------------------------------------------------
+# v2 UDF-source component: function-level reachability (see module
+# docstring). All AST work is per-module-cached and source-positional,
+# so the component is deterministic across sessions.
+
+_DYNAMIC_NAMES = {
+    "getattr", "globals", "locals", "vars", "eval", "exec",
+    "__import__", "importlib",
+    # string-keyed dispatch through the query registry reaches
+    # arbitrary query fns (e.g. emb_topk_recall_eval re-runs
+    # REGISTRY["ann_topk_lsh"].fn) — statically invisible, so any
+    # reachable REGISTRY reference forfeits the refinement
+    "REGISTRY",
+}
+
+
+class _ModInfo:
+    """Per-module static info for reachability walks."""
+
+    def __init__(self, dotted: str, path: Path, modules: set[str]):
+        self.dotted = dotted
+        self.source = path.read_text()
+        self.tree = ast.parse(self.source)
+        # name -> top-level binding node (functions, classes, assigns)
+        self.bindings: dict[str, ast.AST] = {}
+        # name -> intra-package dotted module it refers to
+        self.imports: dict[str, str] = {}
+        self.star_import = False
+        for node in self.tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                self.bindings[node.name] = node
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            self.bindings[n.id] = node
+            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)) and isinstance(
+                node.target, ast.Name
+            ):
+                self.bindings[node.target.id] = node
+        # imports anywhere (this codebase imports inside functions too);
+        # a nested import binds the same name the walker will look up
+        for node in ast.walk(self.tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                if node.module.startswith("cqdg_etl_spark"):
+                    for a in node.names:
+                        if a.name == "*":
+                            self.star_import = True
+                            continue
+                        sub = f"{node.module}.{a.name}"
+                        target = sub if sub in modules else node.module
+                        self.imports[a.asname or a.name] = target
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith("cqdg_etl_spark"):
+                        bound = a.asname or a.name.split(".")[0]
+                        self.imports[bound] = a.name
+
+
+def _refs_of(node: ast.AST, skip_decorators: bool = False) -> tuple[set[str], bool]:
+    """Names referenced under ``node`` (Name ids incl. attribute roots)
+    and whether any dynamic feature is used. ``skip_decorators`` prunes
+    the node's own decorator list: a query fn's @query(oracle=...)
+    decorator runs at import time and its oracle OUTPUT is hashed
+    directly, so hashing oracle-builder code through it would only
+    re-couple every query to the shared SQL helpers."""
+    names: set[str] = set()
+    dynamic = False
+    skip: set[int] = set()
+    if skip_decorators and hasattr(node, "decorator_list"):
+        for d in node.decorator_list:
+            skip.update(id(x) for x in ast.walk(d))
+    for n in ast.walk(node):
+        if id(n) in skip:
+            continue
+        if isinstance(n, ast.Name):
+            names.add(n.id)
+            if n.id in _DYNAMIC_NAMES:
+                dynamic = True
+        elif isinstance(n, ast.Attribute) and isinstance(
+            n.value, ast.Name
+        ):
+            names.add(n.value.id)
+    return names, dynamic
+
+
+def _fn_component(
+    fn,
+    files: dict[str, Path],
+    boundary: set[str],
+    file_sha: dict[str, str],
+    mod_cache: dict[str, "_ModInfo"],
+) -> str:
+    """The v2 UDF-source component string for one query function."""
+    mod = fn.__module__
+    if mod not in files:  # defined outside the package — coarse
+        return ""
+
+    def coarse() -> str:
+        # v1 behavior plus the defining module's own sha (strictly
+        # more conservative: a sibling edit in M marks the dynamic
+        # query even when M itself has no UDF boundary)
+        mods = (_closure(mod, files) & boundary) | {mod}
+        return "".join(
+            f"mod:{m}:{file_sha[m]}\n" for m in sorted(mods)
+        )
+
+    if mod not in mod_cache:
+        mod_cache[mod] = _ModInfo(mod, files[mod], set(files))
+    info = mod_cache[mod]
+    if info.star_import:
+        return coarse()
+    root = info.bindings.get(fn.__name__)
+    if not isinstance(root, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        return coarse()
+
+    seg_nodes: list[ast.AST] = []
+    seen_local: set[int] = set()
+    ref_modules: set[str] = set()
+    todo: list[ast.AST] = [root]
+    while todo:
+        node = todo.pop()
+        if id(node) in seen_local:
+            continue
+        seen_local.add(id(node))
+        seg_nodes.append(node)
+        names, dynamic = _refs_of(node, skip_decorators=node is root)
+        if dynamic:
+            return coarse()
+        for nm in names:
+            if nm in info.imports:
+                ref_modules.add(info.imports[nm])
+            elif nm in info.bindings:
+                b = info.bindings[nm]
+                if id(b) not in seen_local:
+                    todo.append(b)
+
+    seg_nodes.sort(key=lambda n: (n.lineno, n.col_offset))
+    local_src = "\n".join(
+        ast.get_source_segment(info.source, n) or "" for n in seg_nodes
+    )
+    local_sha = hashlib.sha256(local_src.encode()).hexdigest()
+    mods: set[str] = set()
+    for r in ref_modules:
+        mods |= _closure(r, files)
+    mods.discard(mod)  # the defining module is covered at local grain
+    return f"local:{mod}:{local_sha}\n" + "".join(
+        f"mod:{m}:{file_sha[m]}\n" for m in sorted(mods)
+    )
+
+
 _GID_TOKEN_RE = re.compile(r"[A-Za-z0-9_#.]+")
 
 
@@ -180,6 +358,7 @@ def compute_hashes() -> dict[str, str]:
         m for m, p in files.items() if _BOUNDARY_RE.search(p.read_text())
     }
     out = {}
+    mod_cache: dict[str, _ModInfo] = {}
     for name, q in REGISTRY.items():
         h = hashlib.sha256()
         try:
@@ -189,9 +368,9 @@ def compute_hashes() -> dict[str, str]:
         except Exception as ex:  # streaming-only entries etc.
             h.update(f"plan-error:{type(ex).__name__}".encode())
         h.update((q.oracle or "").encode())
-        mod = q.fn.__module__
-        for m in sorted(_closure(mod, files) & boundary):
-            h.update(f"{m}:{file_sha[m]}".encode())
+        h.update(
+            _fn_component(q.fn, files, boundary, file_sha, mod_cache).encode()
+        )
         out[name] = h.hexdigest()
     return out
 
@@ -312,6 +491,51 @@ def cmd_front() -> None:
         print(n)
 
 
+def cmd_rebase(keep_stale: set[str] | None = None) -> None:
+    """Recompute every verified name's hash under the CURRENT algorithm
+    and store it in place, and convert ``legacy`` entries (green
+    pre-tool driver rounds, no hash) into verified entries carrying a
+    current-code hash tagged ``adopted``.
+
+    Soundness: run this ONLY on a tree that is byte-identical to the
+    code the stored driver rows verified (e.g. immediately after
+    ``promote`` at a round start, before any edit). The stored hash's
+    sole purpose is to detect FUTURE drift; recomputing it under a new
+    algorithm on unchanged code is equivalent to having used that
+    algorithm all along. For legacy names the adopted hash is strictly
+    stronger than the legacy block it replaces: a legacy entry could
+    NEVER go stale (edits were invisible), while an adopted entry
+    starts mechanical drift detection now; the name keeps its original
+    green round tag, so its refresh priority in ``front`` is unchanged
+    and the ``adopted`` flag keeps the provenance visible.
+
+    ``keep_stale`` (CLI: ``rebase name1,name2``) lists names KNOWN to
+    be genuinely stale (code drifted since their row) — their old
+    mismatching hash is kept so they remain in the debt queue instead
+    of being silently blessed."""
+    keep_stale = keep_stale or set()
+    state = _load_state()
+    cur = compute_hashes()
+    rebased = 0
+    for name, entry in state.get("verified", {}).items():
+        if name in keep_stale:
+            continue
+        if name in cur and entry["hash"] != cur[name]:
+            entry["hash"] = cur[name]
+            rebased += 1
+    adopted = 0
+    for name, tag in sorted(state.get("legacy", {}).items()):
+        if name in cur and name not in state["verified"]:
+            state["verified"][name] = {
+                "round": tag, "hash": cur[name], "adopted": True,
+            }
+            adopted += 1
+    state["legacy"] = {}
+    _save_state(state)
+    print(f"rebased {rebased} verified hashes; adopted {adopted} "
+          f"legacy names; legacy block now empty")
+
+
 def cmd_seed_legacy() -> None:
     """One-time: record each name's newest green pre-tool round from
     the committed CORRECTNESS_r*.json files (no hashes — history can't
@@ -335,6 +559,65 @@ def cmd_seed_legacy() -> None:
     print(f"seeded legacy rounds for {len(legacy)} names")
 
 
+def cmd_audit_udfs() -> None:
+    """Under-mark detector for the v2 UDF-source component: every
+    Python/Arrow UDF a query's optimized plan actually calls must be
+    defined in a module whose sha (or whose defining-module local
+    grain) the query's component hashes. Maps plan-text function calls
+    back to ``def`` sites in UDF-boundary modules; names defined in
+    more than one boundary module are skipped (ambiguous). Run per
+    round after any component-algorithm change; exits non-zero on any
+    miss."""
+    from cqdg_etl_spark.queries import REGISTRY
+    from cqdg_etl_spark.session import get_spark
+
+    spark = get_spark()
+    files = _module_files()
+    file_sha = {
+        m: hashlib.sha256(p.read_bytes()).hexdigest()
+        for m, p in files.items()
+    }
+    boundary = {
+        m for m, p in files.items() if _BOUNDARY_RE.search(p.read_text())
+    }
+    # def-name -> defining boundary modules (incl. nested defs)
+    def_sites: dict[str, set[str]] = {}
+    for m in boundary:
+        if m not in files:
+            continue
+        for node in ast.walk(ast.parse(files[m].read_text())):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                def_sites.setdefault(node.name, set()).add(m)
+    mod_cache: dict[str, _ModInfo] = {}
+    misses = []
+    checked = 0
+    for name, q in REGISTRY.items():
+        try:
+            df = q.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            continue
+        comp = _fn_component(q.fn, files, boundary, file_sha, mod_cache)
+        comp_mods = {
+            ln.split(":", 2)[1] for ln in comp.splitlines()
+        }
+        for fn_name, mods in def_sites.items():
+            if re.search(rf"\b{re.escape(fn_name)}\(", plan):
+                checked += 1
+                # ambiguous names (defined in several boundary modules)
+                # pass if ANY defining module is hashed — weaker, but
+                # still catches a fully-unhashed UDF source
+                if not (mods & comp_mods):
+                    misses.append((name, fn_name, sorted(mods)))
+    for name, fn_name, mod in misses:
+        print(f"MISS {name}: plan calls {fn_name}() from {mod}, "
+              f"not in component")
+    print(f"audit-udfs: {checked} plan-UDF references checked, "
+          f"{len(misses)} misses")
+    if misses:
+        raise SystemExit(1)
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "stale"
     if cmd == "record-pending":
@@ -348,6 +631,11 @@ def main() -> None:
         cmd_front()
     elif cmd == "seed-legacy":
         cmd_seed_legacy()
+    elif cmd == "rebase":
+        keep = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
+        cmd_rebase(keep)
+    elif cmd == "audit-udfs":
+        cmd_audit_udfs()
     else:
         raise SystemExit(f"unknown command {cmd!r}")
 
