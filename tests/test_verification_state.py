@@ -124,6 +124,23 @@ def test_fn_component_registry_dispatch_falls_back_coarse():
     assert "mod:cqdg_etl_spark.operators.similarity:" in c
 
 
+def test_lambda_renumbering_session_invariant_yet_distinct():
+    """HOF lambda variables are numbered from a session-global counter;
+    the normalizer must make two plans differing only by that offset
+    identical, while keeping DISTINCT variables within one plan
+    distinct."""
+    from tools.verification_state import _renumber_lambdas
+
+    a = ("Project [aggregate(v#x, 0.0, lambdafunction((lambda acc_3#x + "
+         "lambda x_4#x), lambda acc_3#x, lambda x_4#x, false)) AS s#x]")
+    b = a.replace("_3", "_17").replace("_4", "_18")
+    assert _renumber_lambdas(a) == _renumber_lambdas(b)
+    # swapping which variable the body references must stay visible
+    c = ("Project [aggregate(v#x, 0.0, lambdafunction((lambda x_4#x + "
+         "lambda x_4#x), lambda acc_3#x, lambda x_4#x, false)) AS s#x]")
+    assert _renumber_lambdas(a) != _renumber_lambdas(c)
+
+
 def test_canon_gid_line_absorbs_renumbering_and_order():
     """Catalyst's RewriteDistinctAggregates numbers Expand gid groups
     from session expression-id history: group literals and within-line

@@ -335,7 +335,33 @@ def _canon_gid_line(line: str) -> str:
     return line[:indent_len] + "GIDCANON[" + canon + "]"
 
 
+_LAMBDA_RE = re.compile(r"\blambda ([A-Za-z0-9]+)_(\d+)")
+
+
+def _renumber_lambdas(plan: str) -> str:
+    """Catalyst names higher-order-function lambda variables from a
+    SESSION-GLOBAL counter (x_17, acc_18, …), so a query's plan text
+    depends on how many HOF expressions earlier queries allocated —
+    registering a new query would false-stale every later HOF query.
+    Renumber per plan in first-occurrence order, keeping the base name
+    (so distinct variables in one expression stay distinct — a real
+    change that swaps which variable an expression references still
+    changes the normalized text)."""
+    mapping: dict[tuple[str, str], int] = {}
+    counts: dict[str, int] = {}
+
+    def repl(m):
+        key = (m.group(1), m.group(2))
+        if key not in mapping:
+            mapping[key] = counts.get(m.group(1), 0)
+            counts[m.group(1)] = mapping[key] + 1
+        return f"lambda {m.group(1)}_{mapping[key]}"
+
+    return _LAMBDA_RE.sub(repl, plan)
+
+
 def _normalize_plan(plan: str) -> str:
+    plan = _renumber_lambdas(plan)
     for rx, repl in _NORM_RES:
         plan = rx.sub(repl, plan)
     return "\n".join(
