@@ -373,6 +373,67 @@ def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]
     return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def derive_banding(
+    n: int,
+    threshold: float = 0.4,
+    base_rows: int = 4,
+    base_bands: int = 8,
+    n0: int = 2000,
+) -> tuple[int, int]:
+    """Scale-derived ``(bands, rows_per_band)`` for
+    ``banded_cosine_dup_pairs`` at corpus size ``n``.
+
+    Why this exists (SCALE_PROBE_r05.md finding #1): a FIXED banding is
+    a constant-divisor quadratic — a random pair collides in one r-bit
+    band w.p. 2^-r, so junk candidates are B·n²/2^(r+1); the fixed
+    (8, 4) config measured exponent ~3 over x1→x10 (2.45 s → 507.8 s).
+    This prescription grows r with log2(n) and re-solves B from the
+    OR-amplified recall bound 1-(1-p1^r)^B = R — where
+    p1 = 1 - acos(threshold)/π and R is the BASE config's own per-pair
+    recall — so per-pair recall is held constant while candidate volume
+    drops to the LSH-theoretic n^(1+ρ), ρ = ln(1/p1)/ln 2. Measured:
+    exponent 1.42 at 4.2× less x10 wall time, against the
+    Indyk–Motwani floor n^1.66 at cos 0.4 (Indyk & Motwani, STOC'98).
+
+    For n ≤ n0 the result is EXACTLY ``(base_bands, base_rows)`` — the
+    bit-unrolled engine-portable oracle of the registered query stays
+    exact at every harness SF (≤ 2000 vectors) while fleet-scale
+    corpora get the recall-held rescale. The 1e-9 slack absorbs the
+    float epsilon when the bound solves to an exact integer (at n = n0
+    the raw solution is 8.000…).
+
+    Deeper point (probe finding #1): pair ENUMERATION at cos 0.4 is
+    similarity SEARCH mis-posed as dedup — at this threshold even the
+    theoretic floor is ~n^1.66. Real near-dup thresholds (0.85+,
+    ρ = 0.28) scale as n^1.28 under the same prescription; for
+    bounded-output top-k similarity the scale path is the ANN family
+    (``operators/gemm.py::ann_topk_gemm`` measured FLAT 0.33→0.44 s
+    over the same decade, output O(|Q|·k)).
+    """
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    recall = 1.0 - (1.0 - p1 ** base_rows) ** base_bands
+    r = base_rows + max(0, math.ceil(math.log2(max(n, 1) / n0)))
+    raw = math.log(1.0 - recall) / math.log(1.0 - p1 ** r)
+    return max(1, math.ceil(raw - 1e-9)), r
+
+
+def derive_cell_bits(n: int, base_bits: int = 4, n0: int = 2000) -> int:
+    """Scale-derived IVF cell bits for ``semantic_dedup`` /
+    ``ivf_fit_centroids`` at corpus size ``n``: 2^n_bits ∝ n keeps the
+    CELL SIZE constant, so within-cell quadratic compare stays a
+    constant per-cell cost and total work is ~linear.
+
+    Measured (SCALE_PROBE_r05.md finding #2): fixed n_bits=4 is a
+    constant-divisor quadratic (1.18 s → 56.43 s x1→x10, exponent
+    2.24); this prescription measures exponent 0.61 at IDENTICAL
+    output — the knob divides work without a recall trade, so scaling
+    it is pure win. For n ≤ n0 the result is exactly ``base_bits``,
+    keeping the registered query's SQL oracle (which re-derives the
+    quantizer at 2^base_bits cells) bit-exact at every harness SF.
+    """
+    return base_bits + max(0, math.ceil(math.log2(max(n, 1) / n0)))
+
+
 def _band_keys_arrow(
     planes: list[list[int]], bands: int, rows_per_band: int
 ):
@@ -457,6 +518,12 @@ def banded_cosine_dup_pairs(
     recall vs the exact all-pairs baseline is the usual OR-amplified LSH
     bound 1 - (1 - (1-θ/π)^r)^L and is measured against
     ``cosine_dup_pairs`` in tests.
+
+    Fixed ``(bands, rows_per_band)`` is a constant-divisor QUADRATIC in
+    n (measured exponent ~3 at x10, SCALE_PROBE_r05.md #1) — at fleet
+    scale pass ``derive_banding(n, threshold)``, which holds per-pair
+    recall while bending the curve to the measured n^1.42 (the
+    Indyk–Motwani floor at cos 0.4 is n^1.66).
 
     Scale shape: the skinny (doc, band_idx, band_key) index self-joins on
     an equi-key (shuffle hash join — never a cartesian/BNLJ); candidate
@@ -666,8 +733,11 @@ def semantic_dedup(
     no extra pass).
 
     Scale shape — the whole point of SemDeDup: the quadratic compare is
-    confined to cells of ~n/2^n_bits vectors (2^n_bits ≈ √n at fleet
-    scale), so total pair work is ~n^1.5, not n². The cell assignment
+    confined to cells of ~n/2^n_bits vectors. Fix n_bits and that is
+    still a constant-divisor quadratic (measured exponent 2.24,
+    SCALE_PROBE_r05.md #2); pass ``derive_cell_bits(n)`` so 2^n_bits ∝ n
+    keeps cell size constant — measured exponent 0.61 at identical
+    output, no recall trade. The cell assignment
     frame is persisted and self-joined on the cell equi-key (shuffle
     hash join, never cartesian); per-vector L2 norms are computed once
     on the persisted frame; the per-pair dot is Arrow-vectorized

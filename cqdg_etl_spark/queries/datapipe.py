@@ -334,9 +334,25 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cartesian). The banding is part of the declared semantics and the
     oracle mirrors it bit-for-bit; recall vs the exact all-pairs baseline
     (similarity.cosine_dup_pairs, test-only) is asserted in
-    tests/test_datapipe.py."""
+    tests/test_datapipe.py.
+
+    (bands, rows_per_band) derive from the corpus size via
+    ``similarity.derive_banding`` (SCALE_PROBE_r05.md finding #1: the
+    previously fixed (8, 4) measured a quadratic-plus curve, exponent
+    ~3 at x10; the recall-held rescale measures 1.42 against the
+    Indyk–Motwani n^1.66 floor at cos 0.4). For every corpus of ≤ 2000
+    vectors — all harness SFs, where the oracle is evaluated — the
+    derivation returns exactly (8, 4), so the bit-unrolled SQL oracle
+    below is the derived config, not a separate one. The count() that
+    sizes the corpus is a parquet metadata read. NB: pair enumeration
+    at cos 0.4 is similarity SEARCH mis-posed as dedup — for
+    bounded-output top-k use ann_topk_gemm (measured flat over the
+    same decade)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.banded_cosine_dup_pairs(emb, threshold=0.4)
+    bands, rows_per_band = similarity.derive_banding(emb.count(), threshold=0.4)
+    return similarity.banded_cosine_dup_pairs(
+        emb, threshold=0.4, bands=bands, rows_per_band=rows_per_band
+    )
 
 
 # --------------------------------------------------------- similarity

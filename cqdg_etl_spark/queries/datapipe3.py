@@ -97,12 +97,23 @@ def _sql_semantic_prune(
 )
 def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023): IVF-cell
-    clustering confines the quadratic cosine compare to ~√n-sized
-    cells; within a cell, keep-lowest-id prunes near-duplicates with
+    clustering confines the quadratic cosine compare to bounded cells;
+    within a cell, keep-lowest-id prunes near-duplicates with
     cos ≥ 0.4. One row per vector with its cell and dup_of (-1 = kept).
-    Fully oracle-checked, training included."""
+    Fully oracle-checked, training included.
+
+    n_bits derives from the corpus size via
+    ``similarity.derive_cell_bits`` (SCALE_PROBE_r05.md finding #2: the
+    previously fixed n_bits=4 measured exponent 2.24 over x1→x10; the
+    2^n_bits ∝ n prescription measures 0.61 at identical output — the
+    knob divides work, no recall trade). For every corpus of ≤ 2000
+    vectors — all harness SFs, where the oracle is evaluated — the
+    derivation returns exactly _SEM_BITS=4, so the SQL oracle (which
+    re-derives the 2^4-cell quantizer) is the derived config. The
+    sizing count() is a parquet metadata read."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(emb, threshold=_SEM_TAU, n_bits=_SEM_BITS)
+    n_bits = similarity.derive_cell_bits(emb.count(), base_bits=_SEM_BITS)
+    return similarity.semantic_dedup(emb, threshold=_SEM_TAU, n_bits=n_bits)
 
 
 # --------------------------------------- mixture-weighted sampling

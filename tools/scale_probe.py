@@ -106,70 +106,44 @@ WAVE2 = [
 ]
 
 
-def _semantic_prune_scaled_bits(spark, sf_dir: str, scale: int):
-    """dd_semantic_prune with the n_bits knob turned the way its own
-    docstring prescribes for fleet scale (2^n_bits ≈ √n): cell COUNT
-    grows with the corpus so cell SIZE stays constant. The registered
-    query pins n_bits=4 (16 cells) — that keeps the within-cell
-    quadratic at n²/16, a constant-divisor quadratic, which this probe
-    is expected to expose next to this scaled variant's ~linear curve.
-    """
-    import math
-
+def _semantic_prune_fixed_bits(spark, sf_dir: str, scale: int):
+    """CONTRAST series: semantic dedup with the pre-round-6 fixed
+    n_bits=4. Round 6 re-registered dd_semantic_prune to derive n_bits
+    from the corpus size (similarity.derive_cell_bits — the r5 probe
+    measured fixed bits at exponent 2.24 vs 0.61 derived, identical
+    output), so the REGISTERED query is now the scaled series and this
+    variant preserves the fixed-parameter curve for comparison."""
     from cqdg_etl_spark.operators import similarity
     from cqdg_etl_spark.queries.registry import load
 
     emb = load(spark, sf_dir, "embeddings")
-    n_bits = 4 + max(0, math.ceil(math.log2(scale)))
-    return similarity.semantic_dedup(emb, threshold=0.4, n_bits=n_bits)
+    return similarity.semantic_dedup(emb, threshold=0.4, n_bits=4)
 
 
-def _embedding_pairs_scaled_bits(spark, sf_dir: str, scale: int):
-    """banded_cosine_dup_pairs at the registered threshold (0.4) and
-    the registered RECALL, with the SRP-LSH (bands, rows_per_band)
-    scaled the way fleet operation requires instead of the registered
-    fixed (8, 4).
-
-    The math: a random pair collides in one r-bit band w.p. 2^-r, so
-    expected junk candidates are B*n^2/2^(r+1) — the registered r=4
-    pins that at B*n^2/32, a constant-divisor QUADRATIC (the probe's
-    fixed-param dd_embedding_cosine_pairs series shows it: minutes at
-    x10). Scaling r with log2(n) and solving B from the OR-amplified
-    recall bound 1-(1-p1^r)^B = R (p1 = 1 - acos(0.4)/pi = 0.631,
-    R = the registered config's own per-pair recall at the threshold,
-    1-(1-p1^4)^8 = 0.747) keeps the SEMANTICS comparable while the
-    candidate volume drops to the LSH-theoretic n^(1+rho),
-    rho = ln(1/p1)/ln 2 = 0.66. So the exponent column should read
-    ~2 for the fixed series and ~1.66 for this one — and 1.66 is the
-    FLOOR at t=0.4: cos 0.4 is similarity SEARCH, not near-dup dedup,
-    and that job belongs to the ANN top-k family (which is why the
-    registered near-dup operators all also exist at higher
-    thresholds). A real-corpus near-dup threshold (0.85+) has
-    rho = 0.28 and scales as n^1.28 under the same prescription —
-    this corpus simply has no pairs above cos 0.60 to demonstrate on
-    (max pairwise cosine measured: 0.6009).
-    """
-    import math
-
+def _embedding_pairs_fixed_banding(spark, sf_dir: str, scale: int):
+    """CONTRAST series: banded cosine pairs with the pre-round-6 fixed
+    (bands=8, rows_per_band=4). Round 6 re-registered
+    dd_embedding_cosine_pairs to derive the banding from the corpus
+    size (similarity.derive_banding — recall-held rescale, measured
+    exponent 1.42 vs ~3 fixed, r5 probe finding #1), so the REGISTERED
+    query is now the scaled series and this variant preserves the
+    fixed-parameter curve for comparison. The r5 analysis (Indyk–
+    Motwani floor n^1.66 at cos 0.4; enumeration-vs-ANN framing) moved
+    into similarity.derive_banding's docstring."""
     from cqdg_etl_spark.operators import similarity
     from cqdg_etl_spark.queries.registry import load
 
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()  # parquet metadata count — cheap
-    p1 = 1.0 - math.acos(0.4) / math.pi
-    recall = 1.0 - (1.0 - p1 ** 4) ** 8  # registered config's recall
-    r = 4 + max(0, math.ceil(math.log2(n / 2000.0)))
-    bands = max(1, math.ceil(math.log(1 - recall) / math.log(1 - p1 ** r)))
     return similarity.banded_cosine_dup_pairs(
-        emb, threshold=0.4, bands=bands, rows_per_band=r
+        emb, threshold=0.4, bands=8, rows_per_band=4
     )
 
 
 # Programmatic series: operator variants that differ from a registered
 # query only by a scale-dependent parameter. fn(spark, sf_dir, scale).
 EXTRA = {
-    "semantic_prune_scaled_bits": _semantic_prune_scaled_bits,
-    "embedding_pairs_scaled_bits": _embedding_pairs_scaled_bits,
+    "semantic_prune_fixed_bits": _semantic_prune_fixed_bits,
+    "embedding_pairs_fixed_banding": _embedding_pairs_fixed_banding,
 }
 
 ALL_TABLES = [
