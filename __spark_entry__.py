@@ -19,72 +19,47 @@ from cqdg_etl_spark.queries import REGISTRY
 # Driver correctness-row ordering. The driver caps a round at 50 rows,
 # so _FRONT position is the publication priority.
 _FRONT = [
-    # Mechanically generated by `python tools/verification_state.py
-    # front` at the round-5 tail (post-datapipe15 staging). The
-    # verification DEBT comes first: positions 1-12 are the round-5
-    # datapipe13 publication (never driver-verified), 13-50 the
-    # hash-stale names oldest-verified-round first (the aecb67c
-    # shingle-family broadcast removal and the 741220d plan-hash
-    # normalizer rebase re-marked 41 names; both classes need fresh
-    # rows). The debt is 53 — three names (tx_source_vocab_overlap,
-    # tx_zipf_fit, emb_centroid_separation, all r4-verified, the most
-    # recent rows in the stale set) sit at positions 51-53 and roll
-    # to the round-6 window, where `front` will re-surface them
-    # first. After the debt: everything else, oldest green round
-    # first.
-    "ann_topk_gemm",
-    "dd_cross_source_leakage",
-    "emb_covariance_cells",
-    "pf_key_skew_profile",
-    "dd_containment_pairs",
-    "pipe_corpus_curation_e2e",
-    "ev_conversion_latency_quantiles",
-    "fe_target_encoding_loo",
-    "ds_shard_assignment",
-    "emb_topk_recall_eval",
-    "ds_cluster_safe_split",
-    "sql_pipe_syntax_orders",
-    "dd_ngram_jaccard_pairs",
-    "tx_fingerprints",
-    "tx_tfidf_term_stats",
-    "ds_decontaminate_vs_benchmark",
-    "ds_pack_sequences",
-    "tx_cms_heavy_hitters",
-    "ds_chunk_documents",
-    "pf_profile_orders",
-    "ds_deterministic_shuffle",
-    "ds_interleave_sources",
-    "ds_per_group_sample",
-    "dd_ppjoin_pairs",
-    "pf_equidepth_nchars_by_lang",
-    "agg_modern_functions",
-    "ev_markov_transitions",
-    "etl_merge_upsert",
-    "ds_dsir_logweights",
-    "sk_hll_users",
-    "graph_adamic_adar",
-    "ann_topk_pq_adc",
-    "tx_ccnet_buckets",
-    "sk_hll_users_by_type",
-    "ev_resample_ffill",
-    "emb_hard_negatives",
-    "emb_hard_negatives_banded",
-    "ev_cusum_drift",
-    "sk_hll_union_intersection",
-    "pf_psi_totalprice_drift",
-    "ds_softdedup_weights",
-    "tx_vocab_coverage",
-    "ev_trend_daily",
-    "ds_pps_systematic_sample",
-    "ds_quality_budget_select",
-    "ds_temperature_mixture",
-    "tx_inverted_index",
-    "tx_bpe_first_merges",
-    "emb_label_noise_scores",
-    "tx_source_kl_divergence",
+    # Mechanically derived at the round-6 start: `python
+    # tools/verification_state.py front` after the r05 promote, with
+    # the round-6 datapipe14 publication spliced in per VERDICT r5 #2.
+    # The verification DEBT comes first (debt-prefix policy,
+    # tests/test_verification_state.py): positions 1-3 the three
+    # round-5 roll-over names (r4 rows, staled by the aecb67c/741220d
+    # edits; the 53-name r5 debt exceeded the 50-row window), 4-13 the
+    # datapipe14 publication (never driver-verified), 14-28 the names
+    # staled by this round's scale-derived-parameter edit to
+    # operators/similarity.py (1a8354b; function-level closure keeps
+    # it to the 15 names that actually reach the edited module).
+    # After the debt: everything else, oldest green round first —
+    # positions 29-50 drain the r1 backlog (TPC-H core first).
     "tx_source_vocab_overlap",
     "tx_zipf_fit",
     "emb_centroid_separation",
+    "dd_paragraph_dedup",
+    "dd_lsh_recall_eval",
+    "ds_length_buckets",
+    "tx_langid_eval_confusion",
+    "mm_mp4_demux_stats",
+    "ev_ewma_smoothed",
+    "ds_waterfill_budget",
+    "graph_kcore_peel",
+    "sql_group_by_all_lateral",
+    "emb_dim_variance_topk",
+    "dd_embedding_cosine_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "dd_semantic_prune",
+    "emb_pq_codes",
+    "ret_hybrid_rrf",
+    "ann_topk_pq_adc",
+    "emb_hard_negatives",
+    "emb_hard_negatives_banded",
+    "emb_label_noise_scores",
+    "emb_topk_recall_eval",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -158,8 +133,6 @@ _FRONT = [
     "ev_range_error_near_signup",
     "etl_scd2_customer_merge",
     "dd_exact_fingerprint_groups",
-    "dd_embedding_cosine_pairs",
-    "ann_topk_bruteforce",
     "tx_quality_features",
     "tx_language_id",
     "tx_token_counts_by_source",
@@ -179,9 +152,6 @@ _FRONT = [
     "sql_scalar_udf_revenue",
     "dd_minhash_lsh_candidates",
     "dd_simhash_near_pairs",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf",
     "mm_media_features",
     "pf_expect_orders",
     "dd_minhash_verified_pairs",
@@ -189,10 +159,7 @@ _FRONT = [
     "tx_pii_redaction",
     "dd_canonical_per_cluster",
     "tx_top_bigrams",
-    "emb_label_centroids",
     "pf_histogram_totalprice",
-    "emb_quantize_int8",
-    "dd_semantic_prune",
     "ds_mixture_weighted_sample",
     "tx_bigram_lm_score",
     "ev_json_props",
@@ -207,13 +174,11 @@ _FRONT = [
     "etl_snapshot_diff",
     "etl_incremental_rollup",
     "dd_tfidf_cosine_pairs",
-    "emb_pq_codes",
     "etl_keep_latest_event",
     "sk_linear_count_users",
     "ev_variant_props",
     "src_pysource_docs_stats",
     "ret_bm25_topk",
-    "ret_hybrid_rrf",
     "tx_pmi_bigrams",
     "fe_zscore_by_lang",
     "tx_novelty_score",
@@ -226,6 +191,51 @@ _FRONT = [
     "mb_association_rules",
     "pf_ks_totalprice_drift",
     "pf_benford_totalprice",
+    "dd_ngram_jaccard_pairs",
+    "tx_fingerprints",
+    "tx_tfidf_term_stats",
+    "ds_decontaminate_vs_benchmark",
+    "ds_pack_sequences",
+    "tx_cms_heavy_hitters",
+    "ds_chunk_documents",
+    "pf_profile_orders",
+    "ds_deterministic_shuffle",
+    "ds_interleave_sources",
+    "ds_per_group_sample",
+    "dd_ppjoin_pairs",
+    "pf_equidepth_nchars_by_lang",
+    "agg_modern_functions",
+    "ev_markov_transitions",
+    "etl_merge_upsert",
+    "ds_dsir_logweights",
+    "sk_hll_users",
+    "graph_adamic_adar",
+    "tx_ccnet_buckets",
+    "sk_hll_users_by_type",
+    "ev_resample_ffill",
+    "ev_cusum_drift",
+    "sk_hll_union_intersection",
+    "pf_psi_totalprice_drift",
+    "ds_softdedup_weights",
+    "tx_vocab_coverage",
+    "ev_trend_daily",
+    "ds_pps_systematic_sample",
+    "ds_quality_budget_select",
+    "ds_temperature_mixture",
+    "tx_inverted_index",
+    "tx_bpe_first_merges",
+    "tx_source_kl_divergence",
+    "ann_topk_gemm",
+    "dd_cross_source_leakage",
+    "emb_covariance_cells",
+    "pf_key_skew_profile",
+    "dd_containment_pairs",
+    "pipe_corpus_curation_e2e",
+    "ev_conversion_latency_quantiles",
+    "fe_target_encoding_loo",
+    "ds_shard_assignment",
+    "ds_cluster_safe_split",
+    "sql_pipe_syntax_orders",
 ]
 
 

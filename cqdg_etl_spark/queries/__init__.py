@@ -38,10 +38,16 @@ from cqdg_etl_spark.queries import datapipe13 as _datapipe13  # noqa: E402
 
 _datapipe13.register()
 
+# Round-6 publication (staged in round 5, verified locally at
+# sf0.001/0.01 by tests/test_datapipe14.py before publication):
+from cqdg_etl_spark.queries import datapipe14 as _datapipe14  # noqa: E402
+
+_datapipe14.register()
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 194
+EXPECTED_REGISTRY_SIZE = 204
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

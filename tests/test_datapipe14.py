@@ -36,14 +36,13 @@ def _compare_staged(spark, name: str, sf_dir: str, con=None) -> None:
         )
 
 
-def test_staged_not_published():
-    """The round-5 registry freeze analogue: staged names stay out of
-    REGISTRY until the round-6 publication flips them in."""
+def test_staged_published():
+    """Round-6 publication: every staged name is bound in REGISTRY to
+    the SAME Query object (not a shadowing copy)."""
     from cqdg_etl_spark.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY)), (
-        "staged datapipe14 names leaked into the published registry"
-    )
+    for name, q in STAGED.items():
+        assert REGISTRY.get(name) is q, name
 
 
 def test_staged_batch_size():
