@@ -13,10 +13,53 @@ JVM/session startup so per-query numbers reflect steady state.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
+
+
+def _anchor_mins(sf: str, window: int = 3) -> dict[str, float]:
+    """Per-query minimum over the LAST ``window`` committed
+    BENCH_r*.json rounds that recorded the query at this SF — the
+    absolute anchor the internal-spread guard lacks (VERDICT r5 #3): a
+    contention burst spanning all runs of one query shows a
+    tight-but-uniformly-high triple that no within-sample test can
+    see, but it cannot beat a time this plan recently posted on this
+    box. A multi-round window keeps the anchor immune to ONE contended
+    prior round (BENCH_r05 was taken inside a steal window — 26 of 28
+    queries read +3-81%); bounding it to recent rounds keeps it from
+    anchoring to an obsolete plan (q9's round-1 value predates its
+    round-2 de-vacuation and is 4-5x below anything the real plan can
+    post — an all-time min would flag q9 forever)."""
+    per_round: dict[str, list[float]] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            rec = json.loads(open(path).read())
+        except (json.JSONDecodeError, OSError):
+            continue
+        # The driver wraps the bench line: {"sf": ..., "parsed": {line}}.
+        wrapper, rec = rec, (rec.get("parsed") or rec)
+        if str(rec.get("sf")) != sf:
+            continue
+        queries = dict(rec.get("queries") or {})
+        if not queries and isinstance(wrapper.get("tail"), str):
+            # Some rounds' wrappers carry an empty "parsed" and only a
+            # truncated "tail" fragment of the bench line (BENCH_r05);
+            # scrape name:number pairs out of it. "runs" triples in the
+            # fragment don't match (their values are lists).
+            import re
+
+            for m in re.finditer(r'"(\w+)":\s*([0-9.]+)', wrapper["tail"]):
+                queries.setdefault(m.group(1), float(m.group(2)))
+            for meta in ("sf", "value", "n", "rc", "cpus"):
+                queries.pop(meta, None)
+        for name, t in queries.items():
+            if isinstance(t, (int, float)) and t > 0:
+                per_round.setdefault(name, []).append(float(t))
+    return {name: min(vals[-window:]) for name, vals in per_round.items()}
 
 
 def main() -> None:
@@ -40,8 +83,11 @@ def main() -> None:
         first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    anchors = _anchor_mins(sf)
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    contended: dict[str, dict[str, float]] = {}
     for name, q in bench_queries.items():
         # Steady-state measurement: one untimed warmup run per query
         # absorbs one-time costs (Catalyst analysis cache, whole-stage
@@ -75,6 +121,23 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
             extra += 1
+        # Absolute anchor (VERDICT r5 #3): a steal burst spanning the
+        # whole window produces a tight-high triple the internal-spread
+        # guard cannot see. Compare the sample min against the best
+        # time any committed round ever posted for this query at this
+        # SF; while it reads >2x that anchor, take up to 2 more runs,
+        # and if it STILL does, flag the query as contended in the
+        # artifact rather than publishing the number as if clean.
+        anc = anchors.get(name)
+        extra = 0
+        while anc and extra < 2 and min(runs) > 2 * anc:
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+            extra += 1
+        if anc and min(runs) > 2 * anc:
+            contended[name] = {"anchor_min": anc,
+                               "ratio": round(min(runs) / anc, 2)}
         runs.sort()
         timings[name] = round(runs[0], 4)
         spreads[name] = [round(t, 4) for t in runs]  # sorted; min..max
@@ -87,7 +150,6 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
@@ -100,6 +162,11 @@ def main() -> None:
                 # official artifact itself (a clean query shows a tight
                 # triple; sustained box contention shows all three high)
                 "runs": spreads,
+                # queries whose best run never got within 2x of their
+                # best committed historical time at this SF, even after
+                # extra runs — read those numbers as box contention,
+                # not plan drift (anchor_min = historical best).
+                "contended": contended,
                 "sf": float(sf) if sf else sf_dir,
             }
         )
