@@ -1,0 +1,111 @@
+"""MinHash-LSH banding parameter audit.
+
+Round 6 made the registered LSH queries derive their banding from the
+corpus size (operators/similarity.derive_banding — SCALE_PROBE_r05.md
+finding #1). This operator is the measurement side of that decision:
+ONE signature pass, every candidate band layout evaluated against it,
+so an operator (or a scheduled audit job) can pick the banding from
+MEASURED candidate volume instead of the collision-probability model
+alone. New module on purpose: published queries must not gain this
+module in their verification closure (operators/dedup.py is closure-
+shared by the whole dedup fleet; an edit there re-marks ~15 names).
+
+No reference counterpart (Ferlab-Ste-Justine/cqdg-etl has no
+analytics); the banding math is the standard OR-amplification analysis
+(Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def collision_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P[candidate] for a pair at the given true Jaccard under an
+    (bands x rows) OR-of-AND banding: 1 - (1 - j^rows)^bands."""
+    return 1.0 - (1.0 - jaccard ** rows) ** bands
+
+
+def band_layout(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band_idx, band_key) rows for one layout of a signature
+    frame (``doc``, ``signature`` array<bigint>). Same '-'-joined key
+    construction as operators/dedup.minhash_lsh_candidates, reproduced
+    here (not imported) so dedup.py stays out of this closure."""
+    return sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band_idx"),
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                i * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_key")
+
+
+def lsh_param_audit(
+    sig: DataFrame,
+    bands_list: tuple[int, ...],
+    num_perm: int,
+    ref_jaccard: float = 0.8,
+) -> DataFrame:
+    """One row per candidate band layout: measured distinct candidate-
+    pair volume plus the model collision probability at a reference
+    Jaccard. The signature frame is built ONCE by the caller (and
+    should be persisted): each layout re-bands the cached signatures —
+    an O(n·bands) explode + an equi-key self-join per layout, never a
+    re-shingle of the corpus and never a cartesian.
+
+    Scale shape: the expensive corpus pass (shingle → hash → 64 mins)
+    is shared; each audit arm shuffles only the skinny
+    (doc, band_idx, band_key) frame. Auditing L layouts costs L
+    equi-joins over candidate volume — exactly the quantity being
+    measured, so a layout that is too coarse for the corpus reveals
+    itself in its own arm's cost, bounded by the audit's count-only
+    output (no vectors, no texts are ever fetched).
+    """
+    arms = []
+    for bands in bands_list:
+        rows_per_band = num_perm // bands
+        layout = band_layout(sig, bands, rows_per_band)
+        # shuffle_hash for the same ReusedExchange reasoning as
+        # minhash_lsh_candidates: broadcast-converting one side would
+        # re-compute the banding subtree instead of reusing it.
+        a = layout.alias("a").hint("shuffle_hash")
+        b = layout.alias("b").hint("shuffle_hash")
+        pairs = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        prob = round(collision_probability(ref_jaccard, bands, rows_per_band), 6)
+        arms.append(
+            pairs.distinct()
+            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+                "n_candidate_pairs",
+                F.lit(prob).cast("double").alias("collision_p_ref"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out

@@ -299,12 +299,16 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "vectors", "quality"),
     oracle="""
         WITH pos AS (
-          SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(18,6)) AS v
           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         ),
         per_dim AS (
           SELECT label, pos,
-                 CAST(round(avg(v), 6) AS DECIMAL(18,6)) AS m
+                 CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)
+                            * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS m
           FROM pos GROUP BY label, pos
         ),
         pairs AS (
@@ -326,24 +330,46 @@ def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates for merging or re-annotation; pairs with `emb_label_
     noise_scores` for the per-example view).
 
-    Determinism: per-dimension means are 6-dp rounded INTO
-    DECIMAL(18,6) first — after that every subtraction, square, and
-    sum is exact decimal arithmetic, and only the final sqrt touches
-    doubles. The pair join runs over the |labels|·dims centroid table
-    (hundreds of rows however large the corpus — centroid aggregation
-    is the only corpus-scale pass, map-side combined)."""
+    Determinism (hardened round 6): per-element values are 6-dp
+    rounded INTO DECIMAL(18,6) BEFORE aggregation, the per-dimension
+    mean is an exact decimal sum divided once as a double, and the
+    6-dp quantization is floor(x*1e6 + 0.5)/1e6 — pure IEEE double
+    ops, bit-identical on any engine. The previous recipe
+    (round(avg(double), 6)) was doubly fragile: avg over raw doubles
+    is summation-ORDER-dependent (shuffle merge order varies run to
+    run), and these structured means land close enough to 6th-dp
+    half boundaries that the order jitter flipped the rounded value
+    (observed run-to-run on emb_intra_class_dispersion's identical
+    recipe before it shipped). After the quantized means everything
+    is exact decimal arithmetic until the final sqrt. The pair join
+    runs over the |labels|·dims centroid table (hundreds of rows
+    however large the corpus — centroid aggregation is the only
+    corpus-scale pass, map-side combined)."""
     from pyspark.sql import Window as W  # noqa: F401  (symmetry w/ module)
 
     emb = load(spark, sf_dir, "embeddings")
     pos = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos0", "v"
+            "pos0", "v0"
         ),
-    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
-    per_dim = (
-        pos.groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 6).cast("decimal(18,6)").alias("m"))
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v0"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    per_dim = pos.groupBy("label", "pos").agg(
+        (
+            F.floor(
+                F.sum("v").cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
     )
     a = per_dim.select(
         F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")

@@ -627,3 +627,359 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(
         edges, seeds, iterations=_PPR_ITER, damping=_PPR_DAMP
     )
+
+
+# ------------------------------------------ LSH banding parameter audit
+
+_AUDIT_BANDS = (8, 16, 32)  # layouts of the 64-perm signature
+_AUDIT_REF_J = 0.8
+
+
+def _sql_lsh_param_audit() -> str:
+    """Oracle: one arm per layout, each re-deriving the full MinHash
+    CTE chain (datapipe._sql_minhash_ctes) at that banding; the model
+    probability is a python-computed literal embedded identically on
+    both engine sides."""
+    from cqdg_etl_spark.operators.lsh_audit import collision_probability
+    from cqdg_etl_spark.queries.datapipe import _sql_minhash_ctes
+
+    arms = []
+    for bands in _AUDIT_BANDS:
+        r = 64 // bands
+        p = round(collision_probability(_AUDIT_REF_J, bands, r), 6)
+        arms.append(f"""
+        SELECT CAST({bands} AS INTEGER) AS bands,
+               CAST({r} AS INTEGER) AS rows_per_band,
+               s.n_candidate_pairs,
+               CAST({p} AS DOUBLE) AS collision_p_ref
+        FROM (
+          WITH {_sql_minhash_ctes(64, bands)}
+          SELECT count(*) AS n_candidate_pairs
+          FROM (SELECT DISTINCT a.doc AS da, b.doc AS db
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc < b.doc) q
+        ) s""")
+    return " UNION ALL ".join(arms)
+
+
+@_staged(
+    "dd_lsh_param_audit",
+    tags=("datapipe", "dedup", "lsh", "audit"),
+    oracle=_sql_lsh_param_audit(),
+)
+def dd_lsh_param_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding audit: the 64-perm signature is built ONCE
+    (persisted), then every candidate layout (8x8, 16x4, 32x2) is
+    banded from the cache and measured — distinct candidate-pair
+    volume next to the model collision probability at Jaccard 0.8.
+    The measurement side of round 6's derive-banding-from-corpus-size
+    change: a scheduled audit picks the layout from MEASURED candidate
+    volume (the true cost driver) instead of the probability model
+    alone. One corpus pass however many layouts; each arm is a skinny
+    equi-key self-join (operators/lsh_audit.py — a NEW module so the
+    published dedup fleet's verification closure stays untouched)."""
+    from cqdg_etl_spark.operators.dedup import minhash_signatures
+    from cqdg_etl_spark.operators.lsh_audit import lsh_param_audit
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "text", "doc_id", num_perm=64).persist()
+    return lsh_param_audit(
+        sig, _AUDIT_BANDS, num_perm=64, ref_jaccard=_AUDIT_REF_J
+    )
+
+
+# ------------------------------------------ BPE-ish pre-token profile
+
+# ASCII-only classes on the NORMALIZED (lowercased, ws-collapsed) text,
+# so the pattern means the same thing to Java regex and RE2: letter
+# runs, digit runs, and single punctuation marks — the GPT-2-style
+# pre-tokenization boundary a byte-level BPE trains over.
+_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@_staged(
+    "tx_bpe_pretoken_stats",
+    tags=("datapipe", "text", "tokenizer"),
+    oracle=f"""
+        WITH pt AS (
+          SELECT doc_id, source,
+                 unnest(regexp_extract_all({SQL_NORM.format(c='text')},
+                                           '{_PRETOKEN_RE}')) AS p
+          FROM documents
+        ),
+        ws AS (
+          SELECT source,
+                 sum(CASE WHEN {SQL_NORM.format(c='text')} = '' THEN 0
+                     ELSE len({SQL_TOKS.format(c='text')}) END)
+                   AS n_ws_tokens
+          FROM documents GROUP BY source
+        ),
+        agg AS (
+          SELECT source,
+                 count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_pretokens,
+                 count(DISTINCT p) AS n_distinct_pretokens,
+                 sum(len(p)) AS pretoken_chars
+          FROM pt GROUP BY source
+        )
+        SELECT a.source, n_docs, n_pretokens, n_distinct_pretokens,
+               round(CAST(pretoken_chars AS DOUBLE) / n_pretokens, 6)
+                 AS chars_per_pretoken,
+               round(CAST(n_pretokens AS DOUBLE) / n_ws_tokens, 6)
+                 AS pretokens_per_wstoken
+        FROM agg a JOIN ws USING (source)
+    """,
+)
+def tx_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-tokenization profile per source: letter/digit/punct runs
+    (the byte-level-BPE training boundary) counted against whitespace
+    tokens — fertility inputs for sizing a tokenizer before training
+    it (chars per pre-token ~ how much a BPE can merge; pre-tokens per
+    whitespace token ~ how much punctuation splitting inflates the
+    sequence). All integer counts are exact; the two ratios divide the
+    same two integers on both engines. One explode + map-side-combined
+    aggregates; the distinct-pretoken count shuffles the (source,
+    pretoken) vocabulary, bounded by vocab size not corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    norm = normalize_ws(F.col("text"))
+    pt = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(norm, F.lit(_PRETOKEN_RE), 0)
+        ).alias("p"),
+    )
+    agg = pt.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_pretokens"),
+        F.countDistinct("p").alias("n_distinct_pretokens"),
+        F.sum(F.length("p")).alias("pretoken_chars"),
+    )
+    ws = docs.select(
+        "source",
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col("text"))))
+        .alias("nt"),
+    ).groupBy("source").agg(F.sum("nt").alias("n_ws_tokens"))
+    return agg.join(ws, "source").select(
+        "source",
+        "n_docs",
+        "n_pretokens",
+        "n_distinct_pretokens",
+        F.round(
+            F.col("pretoken_chars").cast("double") / F.col("n_pretokens"), 6
+        ).alias("chars_per_pretoken"),
+        F.round(
+            F.col("n_pretokens").cast("double") / F.col("n_ws_tokens"), 6
+        ).alias("pretokens_per_wstoken"),
+    )
+
+
+# ------------------------------------------ strict 3-step funnel
+
+_FUNNEL_WINDOW = "INTERVAL 7 DAY"  # per-step completion window
+
+
+@_staged(
+    "ev_strict_funnel_3step",
+    tags=("datapipe", "events", "funnel"),
+    oracle=f"""
+        WITH s AS (
+          SELECT user_id, min(ts) AS s FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        v AS (
+          SELECT e.user_id, min(e.ts) AS v
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view'
+            AND e.ts > s.s AND e.ts <= s.s + {_FUNNEL_WINDOW}
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts > v.v AND e.ts <= v.v + {_FUNNEL_WINDOW}
+          GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS INTEGER) AS stage_idx, 'signup' AS stage,
+               (SELECT count(*) FROM s) AS n_users
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'view',
+               (SELECT count(*) FROM v)
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'purchase',
+               (SELECT count(*) FROM p)
+    """,
+)
+def ev_strict_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel: first signup, then the first
+    view STRICTLY after it within 7 days, then the first purchase
+    strictly after that view within 7 days — per-step completion
+    windows, not the loose any-order funnel of ev_funnel_transitions.
+    Three user-keyed conditional-min aggregates chained by equi-joins
+    on user_id: each later stage joins the (user, prev_ts) frame back
+    to the fact with a residual range predicate, so the plan is three
+    co-partitioned hash joins (the fact is shuffled on user_id once
+    per stage, never sorted globally, never ranged-joined). Output is
+    the 3-row stage table; at 100 TB each stage frame is
+    one-row-per-user, bounded by the user dimension."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(_FUNNEL_WINDOW)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("s")) & (F.col("ts") <= F.col("s") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v")) & (F.col("ts") <= F.col("v") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage(s, 1, "signup")
+        .unionByName(stage(v, 2, "view"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+
+
+# ------------------------------------------ intra-class dispersion
+
+@_staged(
+    "emb_intra_class_dispersion",
+    tags=("datapipe", "vectors", "quality"),
+    oracle="""
+        WITH pos AS (
+          SELECT vec_id, label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(18,6)) AS v
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        cent AS (
+          SELECT label, pos,
+                 CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)
+                            * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS m
+          FROM pos GROUP BY label, pos
+        ),
+        cnorm AS (
+          SELECT label, sqrt(CAST(sum(m * m) AS DOUBLE)) AS nc
+          FROM cent GROUP BY label
+        ),
+        dots AS (
+          SELECT p.vec_id, p.label,
+                 sum(p.v * c.m) AS dot,
+                 sum(p.v * p.v) AS x2
+          FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+          GROUP BY p.vec_id, p.label
+        ),
+        cos AS (
+          SELECT d.label,
+                 floor(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(x2 AS DOUBLE)) * nc)
+                       * 1000000.0 + 0.5) / 1000000.0 AS c
+          FROM dots d JOIN cnorm USING (label)
+        )
+        SELECT label, count(*) AS n_vectors,
+               floor(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0
+                 AS mean_cos_to_centroid,
+               CAST(min(c) AS DOUBLE) AS min_cos_to_centroid
+        FROM cos GROUP BY label
+    """,
+)
+def emb_intra_class_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-class tightness audit: per label, the mean and worst
+    cosine of members to their own label centroid — the within-class
+    complement of emb_centroid_separation (between-class). A label
+    with high separation but low tightness is a mixed/mislabeled
+    cluster; the pair of audits is the go/no-go before using labels
+    for contrastive training.
+
+    Determinism: per-dim values and centroid means are 6-dp rounded
+    INTO DECIMAL(18,6); dot products and squared norms are exact
+    decimal sums over the fixed dim order; only the final sqrt/divide
+    touch doubles, then round 6dp. Scale shape: centroids are one
+    map-side-combined agg to |labels|x dims rows (broadcastable
+    however large the corpus); the dot-product join is
+    broadcast-per-dim, so the corpus-sized pass is a single explode +
+    one groupBy(vec_id) — no pairwise work anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v0"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v0"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    cent = pos.groupBy("label", "pos").agg(
+        (
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1))
+                * F.lit(1000000.0) + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m")).cast("double")).alias("nc")
+    )
+    dots = (
+        pos.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("m")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("x2"),
+        )
+    )
+    # Quantize to 6dp with floor(x*1e6 + 0.5)/1e6 instead of round():
+    # every step is an IEEE double op, bit-identical on any engine,
+    # whereas round()-on-double is implementation-defined at near-.5
+    # boundaries (Spark rounds the exact binary expansion, DuckDB the
+    # scaled float — measured 1-ulp splits on this corpus's
+    # structured cosines).
+    def q6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    cos = dots.join(F.broadcast(cnorm), "label").select(
+        "label",
+        q6(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("x2").cast("double")) * F.col("nc"))
+        ).alias("c"),
+    )
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        q6(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cos_to_centroid"),
+        F.min("c").cast("double").alias("min_cos_to_centroid"),
+    )

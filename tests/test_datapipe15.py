@@ -47,7 +47,7 @@ def test_staged_not_published():
 
 
 def test_staged_batch_size():
-    assert len(STAGED) == 8
+    assert len(STAGED) == 12
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -350,3 +350,133 @@ def test_ppr_no_seed_mass_without_seeds_in_component(spark, tmp_path):
     }
     assert out[501] == 0.0 and out[502] == 0.0
     assert out[0] > 0.0 and out[1] > 0.0
+
+
+# ------------------------------------------- LSH banding parameter audit
+
+
+def test_lsh_param_audit_monotone_and_model(spark, sf_dir):
+    """Shorter band keys can only ADD collisions: candidate volume must
+    be nondecreasing from 8x8 to 16x4 to 32x2, and the model column
+    must equal the closed-form OR-amplification probability."""
+    from cqdg_etl_spark.operators.lsh_audit import collision_probability
+
+    rows = {
+        r["bands"]: r
+        for r in STAGED["dd_lsh_param_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {8, 16, 32}
+    assert (
+        rows[8]["n_candidate_pairs"]
+        <= rows[16]["n_candidate_pairs"]
+        <= rows[32]["n_candidate_pairs"]
+    )
+    for b, r in rows.items():
+        assert r["rows_per_band"] == 64 // b
+        assert r["collision_p_ref"] == round(
+            collision_probability(0.8, b, 64 // b), 6
+        )
+
+
+def test_lsh_param_audit_subsumes_registered_candidates(spark, sf_dir):
+    """The 16x4 audit arm measures exactly the registered
+    dd_minhash_lsh_candidates pair set (same signature, same layout)."""
+    from cqdg_etl_spark.queries import REGISTRY
+
+    n_16 = {
+        r["bands"]: r["n_candidate_pairs"]
+        for r in STAGED["dd_lsh_param_audit"].fn(spark, sf_dir).collect()
+    }[16]
+    n_reg = REGISTRY["dd_minhash_lsh_candidates"].fn(spark, sf_dir).count()
+    assert n_16 == n_reg
+
+
+# ------------------------------------------- BPE pre-token profile
+
+
+def test_bpe_pretoken_hand_computed(spark, tmp_path):
+    """"Ab2 c!!" normalizes to "ab2 c!!" -> pre-tokens ab|2|c|!|!
+    (5 of them, 6 chars) against 2 whitespace tokens."""
+    docs = spark.createDataFrame(
+        [(1, "Ab2 c!!", "en", "s0", 7)], _DOC_SCHEMA
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    out = STAGED["tx_bpe_pretoken_stats"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pretokens"] == 5
+    assert r["n_distinct_pretokens"] == 4  # ab, 2, c, !
+    assert r["chars_per_pretoken"] == 1.2
+    assert r["pretokens_per_wstoken"] == 2.5
+    _compare_staged(spark, "tx_bpe_pretoken_stats", d,
+                    con=_fixture_conn(d, ["documents"]))
+
+
+# ------------------------------------------- strict 3-step funnel
+
+
+def test_strict_funnel_order_and_windows(spark, tmp_path):
+    """User 1 completes the funnel in order; user 2's only view is
+    BEFORE signup (stage 2 not reached); user 3 views 8 days after
+    signup (outside the 7-day window); user 4 purchases before the
+    view (purchase must follow the view)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(eid, days, uid, typ):
+        return (eid, t0 + dt.timedelta(days=days), uid, typ, 1.0, "{}")
+
+    ev = spark.createDataFrame(
+        [
+            row(1, 0, 1, "signup"), row(2, 1, 1, "view"),
+            row(3, 2, 1, "purchase"),
+            row(4, 5, 2, "signup"), row(5, 4, 2, "view"),
+            row(6, 0, 3, "signup"), row(7, 8, 3, "view"),
+            row(8, 0, 4, "signup"), row(9, 1, 4, "view"),
+            row(10, 0.5, 4, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = _fixture_dir(spark, tmp_path, events=ev)
+    out = {
+        r["stage"]: r["n_users"]
+        for r in STAGED["ev_strict_funnel_3step"].fn(spark, d).collect()
+    }
+    assert out == {"signup": 4, "view": 2, "purchase": 1}
+    _compare_staged(spark, "ev_strict_funnel_3step", d,
+                    con=_fixture_conn(d, ["events"]))
+
+
+# ------------------------------------------- intra-class dispersion
+
+
+def test_dispersion_tight_vs_mixed_cluster(spark, tmp_path):
+    """Label 0 is four identical vectors (every cosine to the centroid
+    is 1.0); label 1 mixes two orthogonal directions (centroid sits
+    between them, mean cosine well below 1)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 0.0, 0.0, 0.0], 0),
+            (3, [1.0, 0.0, 0.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0, 0.0], 0),
+            (5, [0.0, 1.0, 0.0, 0.0], 1),
+            (6, [0.0, 0.0, 1.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = _fixture_dir(spark, tmp_path, embeddings=emb)
+    out = {
+        r["label"]: r
+        for r in STAGED["emb_intra_class_dispersion"].fn(spark, d).collect()
+    }
+    assert out[0]["n_vectors"] == 4 and out[1]["n_vectors"] == 2
+    assert out[0]["mean_cos_to_centroid"] == 1.0
+    assert out[0]["min_cos_to_centroid"] == 1.0
+    # each orthogonal member is at 45 degrees to the (0.5, 0.5) centroid
+    assert abs(out[1]["mean_cos_to_centroid"] - 0.707107) < 1e-6
+    assert out[1]["mean_cos_to_centroid"] < 0.75
+    _compare_staged(spark, "emb_intra_class_dispersion", d,
+                    con=_fixture_conn(d, ["embeddings"]))
