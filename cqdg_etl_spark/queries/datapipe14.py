@@ -1,15 +1,11 @@
-"""Round-6 staged queries — NOT yet in the driver registry.
+"""Round-5-staged queries, PUBLISHED round 6 (registry 194 → 204).
 
-Same staging discipline as datapipe13 (round 4 → published round 5):
-full Query objects with DuckDB value-hash oracles, locally verified by
-tests/test_datapipe14.py at sf0.001/sf0.01, kept out of
-``cqdg_etl_spark.queries.REGISTRY`` so the published surface never
-carries a name without a driver row. The driver's 50-row round budget
-is already allocated (12 datapipe13 publications + 38 oldest
-re-confirmations), so these wait one round by design.
-
-To publish (round 6): call ``register()`` from queries/__init__.py and
-bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``.
+Same staging discipline as datapipe13 (staged r4 → published r5): full
+Query objects with DuckDB value-hash oracles, locally verified by
+tests/test_datapipe14.py at sf0.001/sf0.01 while staged, registered
+into ``cqdg_etl_spark.queries.REGISTRY`` by queries/__init__.py once
+the round-6 driver window had room for their first rows (_FRONT
+positions 4–13).
 
 Batch theme: the evaluation-and-curation layer a training-data
 pipeline runs AROUND the operators that already exist — measured
