@@ -63,6 +63,9 @@ WAVE3 = [
     "q18_large_volume_customers",
     "q21_last_shipper",
     "q22_idle_customers",
+    # round-6 addition: the one datapipe14 publication whose input
+    # (orders) only scales under the warehouse fixture.
+    "sql_group_by_all_lateral",
 ]
 
 # Every key column that must shift together for cross-table joins to
@@ -103,6 +106,29 @@ WAVE2 = [
     "ev_sessionize",
     "ev_rfm_segments",
     "ev_funnel_transitions",
+]
+
+
+# Wave 4 (--wave4): the round-6 datapipe14 publications — first
+# curvature measurement for the batch. Everything here reads tables
+# the corpus fixture replicates (documents / embeddings / events /
+# lineitem); sql_group_by_all_lateral reads orders and probes under
+# --wave3's warehouse fixture instead. Superlinearity risks by shape:
+# paragraph-level pair enumeration (dd_paragraph_dedup), brute-force
+# ground truth inside the recall eval (dd_lsh_recall_eval — the exact
+# arm is O(n^2/cells) by design), iterative peel rounds
+# (graph_kcore_peel), global cumsum prefix (ds_waterfill_budget), and
+# per-partition Python kernels (mm_mp4_demux_stats).
+WAVE4 = [
+    "dd_paragraph_dedup",
+    "dd_lsh_recall_eval",
+    "ds_length_buckets",
+    "tx_langid_eval_confusion",
+    "mm_mp4_demux_stats",
+    "ev_ewma_smoothed",
+    "ds_waterfill_budget",
+    "graph_kcore_peel",
+    "emb_dim_variance_topk",
 ]
 
 
@@ -304,8 +330,9 @@ def main() -> int:
     args = sys.argv[1:]
     wave2 = "--wave2" in args
     wave3 = "--wave3" in args
+    wave4 = "--wave4" in args
     scales = [
-        int(a) for a in args if a not in ("--wave2", "--wave3")
+        int(a) for a in args if a not in ("--wave2", "--wave3", "--wave4")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -313,7 +340,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave3:
+    if wave4:
+        all_names = WAVE4
+    elif wave3:
         all_names = WAVE3
     elif wave2:
         all_names = WAVE2
