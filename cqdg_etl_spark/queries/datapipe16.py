@@ -1,0 +1,595 @@
+"""Round-8 staged queries — NOT yet in the driver registry.
+
+Same staging discipline as datapipe13→15: full Query objects with
+DuckDB value-hash oracles, locally verified by tests/test_datapipe16.py
+at sf0.001/sf0.01, kept out of ``cqdg_etl_spark.queries.REGISTRY`` so
+the published surface never carries a name without a driver row. The
+round-7 window is already spoken for (12 datapipe15 publications +
+backlog drain); these wait their turn by design.
+
+To publish (round 8): call ``register()`` from queries/__init__.py and
+bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``.
+
+Batch theme: closing the loop on the engine's approximate structures —
+the production ANN serving shape (IVF coarse pruning → PQ-ADC code
+shortlist → exact rerank, the FAISS IndexIVFPQ+refine pipeline), a
+calibration audit that measures how well the MinHash signature
+estimator tracks exact Jaccard (per-bin bias/error over the LSH
+candidate set), the near-dup CLUSTER size distribution (the corpus
+forensics number dedup budgeting starts from), and a fully
+integer-exact robust outlier profile (median/MAD, Iglewicz–Hoaglin)
+per language. No reference counterpart
+(Ferlab-Ste-Justine/cqdg-etl has no analytics of this kind); every
+shape is chosen for the 100-TB target and documented per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators import similarity
+from cqdg_etl_spark.queries.datapipe import (
+    _sql_cos,
+    _sql_minhash_ctes,
+    _sql_shingles,
+)
+from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
+
+_SQL_SHINGLES = _sql_shingles("text")
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, oracle: str | None = None, bench: bool = False,
+            tags: tuple[str, ...] = ()):
+    def deco(fn):
+        STAGED[name] = Query(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Publish the staged queries into the driver registry (round 8)."""
+    REGISTRY.update(STAGED)
+
+
+# -------------------------------------------- IVF + PQ-ADC + exact rerank
+
+_RR_K = 5
+_RR_SHORT = 20
+_RR_NPROBE = 2
+_RR_COARSE_BITS = 4
+_RR_M = 4
+_RR_PQ_BITS = 4
+_RR_DIM = 64
+
+
+def _sql_ivf_pq_rerank() -> str:
+    """Oracle: the full three-stage pipeline re-derived in SQL — the
+    coarse-quantizer CTEs of ann_topk_ivf's oracle (SRP seed cells,
+    exact-decimal Lloyd step, argmin assignment), the per-subspace
+    codebook/code CTEs of ann_topk_pq_adc's oracle, ADC distances
+    restricted to the probed-cell pair set, shortlist by (adc,
+    neighbor_id), exact-cosine rerank by (cos DESC, neighbor_id)."""
+    dim, sub = _RR_DIM, _RR_DIM // _RR_M
+    planes = similarity.rademacher_planes(dim, _RR_COARSE_BITS, 42)
+
+    def bit(plane, v, d):
+        lits = "[" + ",".join(f"CAST({x}.0 AS DOUBLE)" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {d + 1}), "
+            f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    cell = bit(planes[0], "embedding", dim)
+    for p in planes[1:]:
+        cell = f"({cell} * 2 + {bit(p, 'embedding', dim)})"
+
+    def l2sq(v, cv, d):
+        return (
+            f"list_sum(list_transform(range(1, {d + 1}), "
+            f"k -> (CAST({v}[k] AS DOUBLE) - {cv}[k]) "
+            f"* (CAST({v}[k] AS DOUBLE) - {cv}[k])))"
+        )
+
+    coarse = f"""
+        c0 AS (
+          SELECT vec_id, embedding, {cell} AS cell
+          FROM embeddings WHERE vec_id >= 10
+        ),
+        ccomp AS (
+          SELECT cell, k AS d,
+                 CAST(SUM(CAST(CAST(embedding[k] AS DOUBLE)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM c0, range(1, {dim + 1}) t(k)
+          GROUP BY cell, k
+        ),
+        ccent AS (SELECT cell, list(m ORDER BY d) AS cv
+                  FROM ccomp GROUP BY cell),
+        cassign AS (
+          SELECT vec_id, cell FROM (
+            SELECT c.vec_id, ccent.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {l2sq('c.embedding', 'ccent.cv', dim)},
+                              ccent.cell) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id >= 10) c CROSS JOIN ccent
+          ) WHERE rn = 1
+        ),
+        qprobe AS (
+          SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, ccent.cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {l2sq('q.embedding', 'ccent.cv', dim)},
+                              ccent.cell) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10) q CROSS JOIN ccent
+          ) WHERE rn <= {_RR_NPROBE}
+        ),
+        prs AS (
+          SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          FROM qprobe q JOIN cassign c USING (cell)
+        )"""
+
+    pq_ctes = []
+    for s in range(_RR_M):
+        sp = similarity.rademacher_planes(sub, _RR_PQ_BITS, 42 + s)
+        lo = s * sub
+        scell = bit(sp[0], "sv", sub)
+        for p in sp[1:]:
+            scell = f"({scell} * 2 + {bit(p, 'sv', sub)})"
+        l2 = l2sq("c.sv", f"cent{s}.cv", sub)
+        qd = l2sq("q.qs", "cent.cv", sub)
+        pq_ctes.append(f"""
+        v{s} AS (SELECT vec_id, list_slice(embedding, {lo + 1}, {lo + sub})
+                        AS sv FROM embeddings WHERE vec_id >= 10),
+        cc{s} AS (SELECT vec_id, sv, {scell} AS cell FROM v{s}),
+        comp{s} AS (
+          SELECT cell, k AS d,
+                 CAST(SUM(CAST(CAST(sv[k] AS DOUBLE) AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*) AS m
+          FROM cc{s}, range(1, {sub + 1}) t(k)
+          GROUP BY cell, k
+        ),
+        cent{s} AS (SELECT cell, list(m ORDER BY d) AS cv
+                    FROM comp{s} GROUP BY cell),
+        a{s} AS (
+          SELECT vec_id, cell AS code_{s} FROM (
+            SELECT c.vec_id, cent{s}.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {l2}, cent{s}.cell) AS rn
+            FROM v{s} c CROSS JOIN cent{s}
+          ) WHERE rn = 1
+        ),
+        q{s} AS (SELECT vec_id AS query_id,
+                        list_slice(embedding, {lo + 1}, {lo + sub}) AS qs
+                 FROM embeddings WHERE vec_id < 10),
+        d{s} AS (
+          SELECT p.query_id, p.neighbor_id, {qd} AS d
+          FROM prs p
+          JOIN q{s} q ON q.query_id = p.query_id
+          JOIN a{s} a ON a.vec_id = p.neighbor_id
+          JOIN cent{s} cent ON cent.cell = a.code_{s}
+        )""")
+
+    joins = " ".join(
+        f"JOIN d{s} USING (query_id, neighbor_id)" for s in range(1, _RR_M)
+    )
+    total = "d0.d"
+    for s in range(1, _RR_M):
+        total = f"({total} + d{s}.d)"
+    cos = _sql_cos("qq.qe", "cc.ce", dim)
+    return f"""
+        WITH {coarse},
+        {",".join(pq_ctes)},
+        tot AS (
+          SELECT query_id, neighbor_id, {total} AS adc
+          FROM d0 {joins}
+        ),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc, neighbor_id) AS srank
+            FROM tot) WHERE srank <= {_RR_SHORT}
+        ),
+        rer AS (
+          SELECT s.query_id, s.neighbor_id, {cos} AS cos
+          FROM short s
+          JOIN (SELECT vec_id, embedding AS qe FROM embeddings
+                WHERE vec_id < 10) qq ON qq.vec_id = s.query_id
+          JOIN (SELECT vec_id, embedding AS ce FROM embeddings
+                WHERE vec_id >= 10) cc ON cc.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        FROM (SELECT query_id, neighbor_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rank FROM rer)
+        WHERE rank <= {_RR_K}
+    """
+
+
+@_staged(
+    "ann_topk_ivf_pq_rerank",
+    tags=("datapipe", "ann", "ivf", "pq", "rerank"),
+    oracle=_sql_ivf_pq_rerank(),
+)
+def ann_topk_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN serving pipeline (FAISS IndexIVFPQ + refine,
+    Jégou 2011 §V): IVF coarse cells prune the corpus to the query's
+    nprobe=2 cells, PQ asymmetric distances over 4-byte codes rank
+    those candidates without touching a full vector, and only the
+    top-20 shortlist pays the exact-cosine rerank. Completes the ANN
+    family: brute force (exact baseline) → LSH/IVF/PQ-ADC (single
+    approximations) → GEMM (exact bounded-output) → this composition
+    (what a billion-vector index actually runs). Every stage is the
+    deterministic engine-portable quantizer, so even the composed
+    approximate result is value-hash-checked end to end — the oracle
+    re-derives coarse centroids, codebooks, codes, ADC shortlist, and
+    rerank in SQL (operators/ann_rerank.py for the scale shape)."""
+    from cqdg_etl_spark.operators.ann_rerank import ivf_pq_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=_RR_K,
+        shortlist=_RR_SHORT,
+        coarse_bits=_RR_COARSE_BITS,
+        nprobe=_RR_NPROBE,
+        m=_RR_M,
+        pq_bits=_RR_PQ_BITS,
+    )
+
+
+# -------------------------------------------- MinHash estimator calibration
+
+_CAL_PERM = 64
+_CAL_BANDS = 16
+
+
+def _sql_minhash_calibration() -> str:
+    """Oracle: the registered MinHash CTE chain (signature columns
+    m0..m63 pre-array), candidate pairs from the 16x4 banding, exact
+    Jaccard over the distinct hash sets, signature agreement as the
+    sum of 64 equality terms, then per-exact-Jaccard-decile bias
+    stats. Quantization is the IEEE floor(x*1e6+0.5)/1e6 everywhere a
+    6-dp value is surfaced (engine round() is implementation-defined
+    at near-.5 boundaries)."""
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_CAL_PERM)
+    )
+    return f"""
+        WITH {_sql_minhash_ctes(_CAL_PERM, _CAL_BANDS)},
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc < b.doc
+        ),
+        sets AS (SELECT doc, list(DISTINCT h) AS hs FROM h GROUP BY doc),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b,
+                 ({matches}) AS matches,
+                 len(list_intersect(x.hs, y.hs)) AS inter,
+                 len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                   AS uni
+          FROM cand c
+          JOIN sig a ON a.doc = c.doc_a
+          JOIN sig b ON b.doc = c.doc_b
+          JOIN sets x ON x.doc = c.doc_a
+          JOIN sets y ON y.doc = c.doc_b
+        ),
+        px AS (
+          SELECT (10 * inter) // uni AS bucket,
+                 matches,
+                 CAST(floor(CAST(inter AS DOUBLE) / uni
+                            * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS jac6,
+                 CAST(floor(abs(CAST(matches AS DOUBLE) / {_CAL_PERM}
+                                - CAST(inter AS DOUBLE) / uni)
+                            * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS err6
+          FROM pairs
+        )
+        SELECT bucket, count(*) AS n_pairs,
+               floor(CAST(sum(matches) AS DOUBLE)
+                     / ({_CAL_PERM} * count(*)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_est,
+               floor(CAST(sum(jac6) AS DOUBLE) / count(*)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_exact,
+               floor(CAST(sum(err6) AS DOUBLE) / count(*)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err
+        FROM px GROUP BY bucket
+    """
+
+
+@_staged(
+    "dd_minhash_calibration",
+    tags=("datapipe", "dedup", "lsh", "audit"),
+    oracle=_sql_minhash_calibration(),
+)
+def dd_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: over the LSH candidate pairs,
+    how well does signature agreement (matches/64 — the estimate a
+    signature-only dedup would act on) track EXACT Jaccard? One row
+    per exact-Jaccard decile: pair count, mean estimate, mean exact,
+    mean |error|. This is the audit that justifies (or forbids)
+    skipping the exact-verify stage at fleet scale: E[matches/64] =
+    J per pair, but the candidate set is banding-biased and 64 perms
+    give sigma ~ sqrt(J(1-J)/64) ~ 0.06 — the per-decile error column
+    measures the real bias+variance on THIS corpus.
+
+    Engine-exactness: matches and intersections are integers; the
+    decile is integer-division exact ((10*inter) DIV union; J=1 lands
+    in its own bucket 10); every surfaced mean is an exact integer or
+    decimal sum divided once and quantized with the IEEE
+    floor(x*1e6+0.5)/1e6. Scale shape: ONE persisted (doc, hs) frame
+    feeds signatures, banding, and the exact verify (the
+    minhash_verified_pairs sharing discipline); candidates bound all
+    pairwise work; the output is <= 11 rows."""
+    from pyspark import StorageLevel
+    from cqdg_etl_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    sets = dedup.shingle_hash_sets(docs, "text", "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", _CAL_PERM, _CAL_BANDS, sets=sets
+    ).select("doc_a", "doc_b")
+    sig = dedup.signatures_from_sets(sets, _CAL_PERM)
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    xa = sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    xb = sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    uni = F.size("hs_a") + F.size("hs_b") - inter
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+
+    def q6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    px = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .join(xa, "doc_a").join(xb, "doc_b")
+        .select(
+            (F.lit(10) * inter).cast("long").alias("_ti"),
+            uni.cast("long").alias("_u"),
+            matches.cast("long").alias("matches"),
+            q6(inter.cast("double") / uni).cast("decimal(18,6)").alias("jac6"),
+            q6(
+                F.abs(
+                    matches.cast("double") / F.lit(float(_CAL_PERM))
+                    - inter.cast("double") / uni
+                )
+            ).cast("decimal(18,6)").alias("err6"),
+        )
+        .select(
+            F.expr("_ti div _u").alias("bucket"),
+            "matches", "jac6", "err6",
+        )
+    )
+    return px.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        q6(
+            F.sum("matches").cast("double")
+            / (F.lit(_CAL_PERM) * F.count(F.lit(1)))
+        ).alias("mean_est"),
+        q6(F.sum("jac6").cast("double") / F.count(F.lit(1))).alias("mean_exact"),
+        q6(F.sum("err6").cast("double") / F.count(F.lit(1))).alias("mean_abs_err"),
+    )
+
+
+# -------------------------------------------- dup-cluster size profile
+
+
+@_staged(
+    "dd_dup_cluster_size_profile",
+    tags=("datapipe", "dedup", "graph", "profile"),
+    oracle=f"""
+        WITH RECURSIVE s AS (
+          SELECT doc_id AS doc, unnest({_SQL_SHINGLES}) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc, count(*) AS n_shingles FROM s GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc = doc_a
+          JOIN sizes sb ON sb.doc = doc_b
+          WHERE CAST(n_inter AS DOUBLE)
+                / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.8
+        ), sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ), walk(node, label) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT s2.b, w.label FROM walk w JOIN sym s2 ON s2.a = w.node
+        ), comp AS (
+          SELECT node, min(label) AS component FROM walk GROUP BY node
+        ), clustered AS (
+          SELECT coalesce(comp.component, doc_id) AS cluster
+          FROM documents LEFT JOIN comp ON comp.node = doc_id
+        ), csz AS (
+          SELECT cluster, count(*) AS cluster_size
+          FROM clustered GROUP BY cluster
+        )
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM csz GROUP BY cluster_size
+    """,
+)
+def dd_dup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution: exact 3-gram Jaccard >= 0.8
+    pairs -> connected components -> one row per cluster SIZE with the
+    number of clusters of that size (singletons included, so
+    sum(size * count) == corpus size — the invariant the fixture test
+    pins). This is the first number a dedup budget is planned from:
+    keep-one-per-cluster savings are sum((size-1) * count), and a heavy
+    tail (one giant boilerplate cluster) changes the strategy from
+    pair-verify to cluster-representative sampling. Scale story = its
+    components': inverted-index pair generation + auto-dispatched
+    connected components (2-shuffle rounds, lineage truncated per
+    round) + two map-side-combined aggregates over #clusters rows,
+    with a <= |distinct sizes|-row output."""
+    from cqdg_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from cqdg_etl_spark.operators.graph import connected_components_auto
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    comp = connected_components_auto(pairs, "doc_a", "doc_b")
+    clustered = docs.join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster")
+    )
+    csz = clustered.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+# -------------------------------------------- robust outlier profile
+
+
+@_staged(
+    "pf_robust_zscore_event_value",
+    tags=("datapipe", "profile", "quality", "events"),
+    oracle="""
+        WITH d AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events
+        ),
+        r AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY v, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM d
+        ),
+        med AS (SELECT event_type, v AS med FROM r
+                WHERE rk = (n + 1) // 2),
+        dev AS (
+          SELECT d.event_type, d.event_id, m.med,
+                 abs(d.v - m.med) AS dev
+          FROM d JOIN med m USING (event_type)
+        ),
+        r2 AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY dev, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        ),
+        mad AS (SELECT event_type, dev AS mad FROM r2
+                WHERE rk = (n + 1) // 2)
+        SELECT dev.event_type,
+               count(*) AS n_events,
+               max(dev.med) AS median_cents,
+               max(mad.mad) AS mad_cents,
+               CAST(sum(CASE WHEN 6745 * dev.dev > 35000 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
+    """,
+)
+def pf_robust_zscore_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value-outlier profile (Iglewicz & Hoaglin 1993):
+    median and MAD of the event value (as integer cents) per event
+    type, and the count of events whose modified z-score
+    0.6745*(x-med)/MAD exceeds 3.5 — the screen that catches fraud
+    spikes and unit-error blobs where a mean/stddev z-score is itself
+    dragged by the outliers it is hunting (the corpus's heavy-tailed
+    values flag ~0.4% per type; a documents.n_chars variant was
+    rejected as vacuous — uniform lengths never clear |z| 1.9).
+
+    EVERYTHING after the one floor(value*100) quantization is
+    integer-exact: medians and MADs are lower-median order statistics
+    of integers (rank (n+1) DIV 2, ties broken by event_id; floor
+    because DuckDB's double->bigint CAST rounds while Spark's
+    truncates), and the outlier test 0.6745*dev > 3.5*MAD is evaluated
+    as 6745*dev > 35000*MAD in integers — no float survives into any
+    compare. MAD = 0 (over half the group at the median) degenerates
+    to flagging every non-median event — standard for the estimator
+    and pinned in the fixture test.
+
+    Scale shape: the oracle's per-type windows re-derive the same
+    values, but the ENGINE side never sorts an event type on one
+    task — both order statistics come from the range-partitioned
+    global_rank (rank-within-type = global rank minus a broadcast
+    per-type base), the per-type medians/MADs broadcast back
+    (#types rows), and the final pass is one map-side-combined
+    aggregate."""
+    from cqdg_etl_spark.operators.ranking import global_rank
+
+    d = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        ranked = global_rank(
+            df,
+            [F.col("event_type"), F.col(val), F.col("event_id")],
+            rank_col="_g",
+        )
+        base = F.broadcast(
+            ranked.groupBy("event_type").agg(
+                F.min("_g").alias("_b"), F.count(F.lit(1)).alias("_n")
+            )
+        )
+        return (
+            ranked.join(base, "event_type")
+            .filter(
+                F.col("_g") - F.col("_b") + 1 == F.expr("(_n + 1) div 2")
+            )
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = lower_median(d, "v", "med")
+    dev = d.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("dev"),
+    )
+    mad = lower_median(
+        dev.select("event_type", "event_id", F.col("dev").alias("v")),
+        "v",
+        "mad",
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.lit(6745) * F.col("dev") > F.lit(35000) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
