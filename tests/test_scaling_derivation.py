@@ -89,3 +89,59 @@ def test_registered_queries_unchanged_at_harness_scale(spark, sf_dir):
     reg2 = REGISTRY["dd_semantic_prune"].fn(spark, sf_dir)
     fixed2 = similarity.semantic_dedup(emb, threshold=0.4, n_bits=4)
     assert norm(reg2) == norm(fixed2)
+
+
+# --------------------------------------------------- property tests
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(n=st.integers(min_value=1, max_value=10**12))
+    @settings(max_examples=200, deadline=None)
+    def test_derive_banding_recall_bound_everywhere(n):
+        """For EVERY corpus size: per-pair recall at the threshold is
+        >= the base config's, B is minimal for that bound, and at
+        n <= n0 the result is exactly the base config."""
+        p1 = 1.0 - math.acos(0.4) / math.pi
+        base_recall = 1.0 - (1.0 - p1 ** 4) ** 8
+        bands, r = similarity.derive_banding(n)
+        if n <= 2000:
+            assert (bands, r) == BASE
+        recall = 1.0 - (1.0 - p1 ** r) ** bands
+        assert recall >= base_recall - 1e-9
+        if bands > 1:
+            assert 1.0 - (1.0 - p1 ** r) ** (bands - 1) < base_recall
+
+    @given(n=st.integers(min_value=1, max_value=10**12))
+    @settings(max_examples=200, deadline=None)
+    def test_derive_cell_bits_cell_size_bounded_everywhere(n):
+        """For EVERY corpus size: expected cell size n / 2^bits stays
+        within (n0/2, n0] once n > n0, and bits never shrink below
+        the base."""
+        bits = similarity.derive_cell_bits(n)
+        assert bits >= 4
+        if n <= 2000:
+            assert bits == 4
+        else:
+            cell = n / 2 ** (bits - 4) / 16 * 16  # n / 2^(bits-4)
+            assert 1000.0 < cell <= 2000.0
+
+    @given(
+        n1=st.integers(min_value=1, max_value=10**12),
+        n2=st.integers(min_value=1, max_value=10**12),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_derivations_monotone(n1, n2):
+        """More data never derives a COARSER structure: rows_per_band
+        and cell bits are nondecreasing in n."""
+        if n1 > n2:
+            n1, n2 = n2, n1
+        assert similarity.derive_banding(n1)[1] <= similarity.derive_banding(n2)[1]
+        assert similarity.derive_cell_bits(n1) <= similarity.derive_cell_bits(n2)
