@@ -16,9 +16,10 @@ shortlist → exact rerank, the FAISS IndexIVFPQ+refine pipeline), a
 calibration audit that measures how well the MinHash signature
 estimator tracks exact Jaccard (per-bin bias/error over the LSH
 candidate set), the near-dup CLUSTER size distribution (the corpus
-forensics number dedup budgeting starts from), and a fully
+forensics number dedup budgeting starts from), a fully
 integer-exact robust outlier profile (median/MAD, Iglewicz–Hoaglin)
-per language. No reference counterpart
+per event type, and the pairwise Jensen–Shannon source-distance
+matrix (the symmetric, bounded companion of the KL diagnostic). No reference counterpart
 (Ferlab-Ste-Justine/cqdg-etl has no analytics of this kind); every
 shape is chosen for the 100-TB target and documented per query.
 """
@@ -30,6 +31,8 @@ from pyspark.sql import functions as F
 
 from cqdg_etl_spark.operators import similarity
 from cqdg_etl_spark.queries.datapipe import (
+    SQL_NORM,
+    SQL_TOKS,
     _sql_cos,
     _sql_minhash_ctes,
     _sql_shingles,
@@ -37,6 +40,8 @@ from cqdg_etl_spark.queries.datapipe import (
 from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
 
 _SQL_SHINGLES = _sql_shingles("text")
+_SQL_TOKS_DOC = SQL_TOKS.format(c="text")
+_SQL_NORM_DOC = SQL_NORM.format(c="text")
 
 STAGED: dict[str, Query] = {}
 
@@ -591,5 +596,172 @@ def pf_robust_zscore_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("n_outliers"),
+        )
+    )
+
+
+# -------------------------------------------- Jensen-Shannon matrix
+
+
+@_staged(
+    "tx_source_js_divergence",
+    tags=("datapipe", "text", "composition"),
+    oracle=f"""
+        WITH d AS (
+          SELECT source, {{toks}} AS tk
+          FROM documents WHERE {{norm}} <> ''
+        ),
+        tok AS (SELECT source, unnest(tk) AS t FROM d),
+        st AS (
+          SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+        ),
+        ns AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+        co AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.t, a.c AS ca, b.c AS cb
+          FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        ),
+        terms AS (
+          SELECT source_a, source_b, ca, cb,
+                 CAST(floor((
+                   0.5 * (CAST(ca AS DOUBLE) / na.n)
+                       * ln((2.0 * (CAST(ca AS DOUBLE) / na.n))
+                            / (CAST(ca AS DOUBLE) / na.n
+                               + CAST(cb AS DOUBLE) / nb.n))
+                 + 0.5 * (CAST(cb AS DOUBLE) / nb.n)
+                       * ln((2.0 * (CAST(cb AS DOUBLE) / nb.n))
+                            / (CAST(ca AS DOUBLE) / na.n
+                               + CAST(cb AS DOUBLE) / nb.n))
+                 ) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS term
+          FROM co
+          JOIN ns na ON na.source = co.source_a
+          JOIN ns nb ON nb.source = co.source_b
+        ),
+        agg AS (
+          SELECT source_a, source_b,
+                 sum(term) AS co_terms,
+                 sum(ca) AS co_a, sum(cb) AS co_b
+          FROM terms GROUP BY source_a, source_b
+        ),
+        dom AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS na, b.n AS nb
+          FROM ns a JOIN ns b ON a.source < b.source
+        )
+        SELECT dom.source_a, dom.source_b,
+               floor((coalesce(CAST(co_terms AS DOUBLE), 0.0)
+                      + 0.5 * ln(2.0)
+                        * (1.0 - CAST(coalesce(co_a, 0) AS DOUBLE) / na)
+                      + 0.5 * ln(2.0)
+                        * (1.0 - CAST(coalesce(co_b, 0) AS DOUBLE) / nb))
+                     * 1000000.0 + 0.5) / 1000000.0 AS js
+        FROM dom
+        LEFT JOIN agg ON agg.source_a = dom.source_a
+                     AND agg.source_b = dom.source_b
+    """.format(toks=_SQL_TOKS_DOC, norm=_SQL_NORM_DOC),
+)
+def tx_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the SYMMETRIC, bounded (<= ln 2) companion of
+    tx_source_kl_divergence (KL needs a direction and explodes on
+    disjoint support; JS is the standard corpus-composition distance
+    matrix a mixture-reweighting step consumes). Tokens occurring in
+    only one source of a pair contribute 0.5*p*ln2 in closed form, so
+    only CO-OCCURRING tokens need the pair join: js = sum_co[0.5*p*
+    ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q))] + 0.5*ln2*(1-P_co) +
+    0.5*ln2*(1-Q_co), where P_co/Q_co are the co-occurring mass —
+    exact integer token counts divided once.
+
+    Determinism: probabilities are integer ratios; each per-token
+    libm term is quantized with the IEEE floor(x*1e6+0.5)/1e6 INTO
+    DECIMAL(18,6) and summed order-free; the closed-form tail is a
+    handful of deterministic double ops, quantized once. Shuffle
+    shape: (source, token) counts with map-side combine, ONE
+    token-keyed self-join (a token in all S sources emits S(S-1)/2
+    bounded pair rows — S is the source dimension, not the corpus),
+    per-pair sums, and a broadcast #sources-row totals table."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("source", normalize_ws(F.col("text")).alias("norm"))
+        .filter(F.col("norm") != "")
+        .select("source", F.explode(tokens(F.col("norm"))).alias("t"))
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "t", F.col("c").alias("ca"))
+    b = st.select(F.col("source").alias("source_b"), "t", F.col("c").alias("cb"))
+    na = ns.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = ns.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+
+    def q6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    co = (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    term = q6(
+        F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))
+        + F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))
+    ).cast("decimal(18,6)")
+    agg = (
+        co.select("source_a", "source_b", "ca", "cb", term.alias("term"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("term").alias("co_terms"),
+            F.sum("ca").alias("co_a"),
+            F.sum("cb").alias("co_b"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    # Full pair domain from the sources DIMENSION (fully-disjoint pairs
+    # have no co-occurring row, yet their JS is exactly ln 2): an
+    # equi-join of the two #sources-row totals frames on a
+    # column-DERIVED constant key (pmod(crc32(source), 1) == 0 for
+    # every row, but Catalyst cannot constant-fold it the way it folds
+    # lit(1) keys — a folded key degrades the join to the BNLJ the
+    # plan lint forbids), filtered to a < b, then LEFT-joined to the
+    # co-occurring aggregate. Both sides are the source dimension, so
+    # the single-valued key is harmless.
+    dom = (
+        na.withColumn(
+            "_k", F.pmod(F.crc32(F.col("source_a").cast("binary")), F.lit(1))
+        )
+        .join(
+            nb.withColumn(
+                "_k",
+                F.pmod(F.crc32(F.col("source_b").cast("binary")), F.lit(1)),
+            ),
+            "_k",
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .drop("_k")
+    )
+    return (
+        dom.join(agg, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            q6(
+                F.coalesce(F.col("co_terms").cast("double"), F.lit(0.0))
+                + F.lit(0.5 * ln2)
+                * (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("co_a"), F.lit(0)).cast("double")
+                    / F.col("na")
+                )
+                + F.lit(0.5 * ln2)
+                * (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("co_b"), F.lit(0)).cast("double")
+                    / F.col("nb")
+                )
+            ).alias("js"),
         )
     )

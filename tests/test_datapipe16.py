@@ -44,7 +44,7 @@ def test_staged_not_published():
 
 
 def test_staged_batch_size():
-    assert len(STAGED) == 4
+    assert len(STAGED) == 5
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -272,3 +272,31 @@ def test_robust_zscore_planted_spike(spark, tmp_path):
     assert out["view"]["n_outliers"] == 1  # only the 10000.0
     _compare_staged(spark, "pf_robust_zscore_event_value", d,
                     con=_fixture_conn(d, ["events"]))
+
+
+# --------------------------------------------- JS divergence
+
+
+def test_js_divergence_bounds_and_edges(spark, tmp_path):
+    """Identical sources → js = 0; disjoint-vocabulary sources →
+    js = ln 2 (the JS upper bound); a mixed pair lands strictly
+    between. Symmetric by construction (source_a < source_b)."""
+    a = " ".join(f"a{i}" for i in range(30))
+    b = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s0", 1), (2, a, "en", "s1", 1),
+         (3, b, "en", "s2", 1),
+         (4, a + " " + b, "en", "s3", 1)],
+        _DOC_SCHEMA,
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    out = {
+        (r["source_a"], r["source_b"]): r["js"]
+        for r in STAGED["tx_source_js_divergence"].fn(spark, d).collect()
+    }
+    assert len(out) == 6
+    assert out[("s0", "s1")] == 0.0              # identical
+    assert out[("s0", "s2")] == 0.693147         # disjoint → ln 2
+    assert 0.0 < out[("s0", "s3")] < 0.693147    # half-shared
+    _compare_staged(spark, "tx_source_js_divergence", d,
+                    con=_fixture_conn(d, ["documents"]))
