@@ -188,19 +188,55 @@ class _ModInfo:
         # name -> intra-package dotted module it refers to
         self.imports: dict[str, str] = {}
         self.star_import = False
-        for node in self.tree.body:
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
-                                 ast.ClassDef)):
-                self.bindings[node.name] = node
-            elif isinstance(node, ast.Assign):
-                for t in node.targets:
-                    for n in ast.walk(t):
+        # Module-level bindings include names bound inside module-level
+        # compound statements (if/try fallbacks, for-loop builds) — a
+        # name bound only in an `except ImportError:` arm is still a
+        # module global the query function can reach (ADVICE r6 #2).
+        # Names bound inside a compound statement map to the OUTERMOST
+        # top-level node, so every arm of an if/try that could produce
+        # the value is part of the hashed segment (binding to the inner
+        # Assign would under-mark: two arms binding the same name keep
+        # only one). Function/class bodies bind locals/attributes, not
+        # module names, so the walk does not descend into them.
+        def bind_stmts(stmts, container=None):
+            for node in stmts:
+                owner = container or node
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                     ast.ClassDef)):
+                    self.bindings[node.name] = owner
+                elif isinstance(node, ast.Assign):
+                    for t in node.targets:
+                        for n in ast.walk(t):
+                            if isinstance(n, ast.Name):
+                                self.bindings[n.id] = owner
+                elif isinstance(node, (ast.AnnAssign, ast.AugAssign)) and isinstance(
+                    node.target, ast.Name
+                ):
+                    self.bindings[node.target.id] = owner
+                elif isinstance(node, (ast.For, ast.AsyncFor)):
+                    for n in ast.walk(node.target):
                         if isinstance(n, ast.Name):
-                            self.bindings[n.id] = node
-            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)) and isinstance(
-                node.target, ast.Name
-            ):
-                self.bindings[node.target.id] = node
+                            self.bindings[n.id] = owner
+                    bind_stmts(node.body, owner)
+                    bind_stmts(node.orelse, owner)
+                elif isinstance(node, (ast.If, ast.While)):
+                    bind_stmts(node.body, owner)
+                    bind_stmts(node.orelse, owner)
+                elif isinstance(node, ast.Try):
+                    bind_stmts(node.body, owner)
+                    for h in node.handlers:
+                        bind_stmts(h.body, owner)
+                    bind_stmts(node.orelse, owner)
+                    bind_stmts(node.finalbody, owner)
+                elif isinstance(node, (ast.With, ast.AsyncWith)):
+                    for item in node.items:
+                        if item.optional_vars is not None:
+                            for n in ast.walk(item.optional_vars):
+                                if isinstance(n, ast.Name):
+                                    self.bindings[n.id] = owner
+                    bind_stmts(node.body, owner)
+
+        bind_stmts(self.tree.body)
         # imports anywhere (this codebase imports inside functions too);
         # a nested import binds the same name the walker will look up
         for node in ast.walk(self.tree):
@@ -335,7 +371,10 @@ def _canon_gid_line(line: str) -> str:
     return line[:indent_len] + "GIDCANON[" + canon + "]"
 
 
-_LAMBDA_RE = re.compile(r"\blambda ([A-Za-z0-9]+)_(\d+)")
+# Base names may themselves contain underscores (a Python-side lambda
+# arg named band_key surfaces as band_key_17): non-greedy base group,
+# trailing digit run maximal via \b (ADVICE r6 #5).
+_LAMBDA_RE = re.compile(r"\blambda ([A-Za-z0-9_]+?)_(\d+)\b")
 
 
 def _renumber_lambdas(plan: str) -> str:
@@ -401,6 +440,33 @@ def compute_hashes() -> dict[str, str]:
     return out
 
 
+def _pkg_tree_sha() -> str:
+    """Content hash of every file that can influence query RESULTS:
+    the package sources plus the driver entry module. Tool files
+    (tools/) are deliberately excluded — editing the hash ALGORITHM
+    does not change what the driver rows verified, and re-hashing
+    unchanged code under a new algorithm is exactly what rebase is
+    for."""
+    h = hashlib.sha256()
+    paths = sorted(PKG.rglob("*.py")) + [REPO / "__spark_entry__.py"]
+    for p in paths:
+        h.update(str(p.relative_to(REPO)).encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _git_dirty_paths() -> list[str]:
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return [ln for ln in out.splitlines() if ln.strip()]
+
+
 def _load_state() -> dict:
     if STATE_PATH.exists():
         return json.loads(STATE_PATH.read_text())
@@ -453,6 +519,11 @@ def cmd_promote() -> None:
             state.get("legacy", {}).pop(name, None)
             promoted += 1
     state["pending"] = None
+    # Stamp the result-influencing tree at promote time: rebase's
+    # soundness precondition ("the code is byte-identical to what the
+    # driver rows verified") becomes mechanically checkable instead of
+    # a docstring plea (ADVICE r6 #1).
+    state["promoted_tree"] = _pkg_tree_sha()
     _save_state(state)
     print(f"promoted {promoted} green {tag} rows into verified")
 
@@ -538,9 +609,45 @@ def cmd_rebase(keep_stale: set[str] | None = None) -> None:
     ``keep_stale`` (CLI: ``rebase name1,name2``) lists names KNOWN to
     be genuinely stale (code drifted since their row) — their old
     mismatching hash is kept so they remain in the debt queue instead
-    of being silently blessed."""
+    of being silently blessed.
+
+    The precondition is ENFORCED (ADVICE r6 #1), not just documented:
+    rebase refuses unless the git tree is clean AND the current
+    result-influencing tree hash (package sources + __spark_entry__)
+    equals the one stamped by the last ``promote``. ``--force``
+    overrides both checks for states predating the stamp — the
+    operator then owns the byte-identical claim explicitly."""
     keep_stale = keep_stale or set()
     state = _load_state()
+    force = "--force" in keep_stale
+    keep_stale.discard("--force")
+    if not force:
+        dirty = _git_dirty_paths()
+        if dirty:
+            raise SystemExit(
+                "rebase refused: git tree is dirty (%d paths, e.g. %s). "
+                "Commit/stash first, or pass --force to own the "
+                "byte-identical-to-verified claim by hand."
+                % (len(dirty), dirty[0].strip())
+            )
+        stamped = state.get("promoted_tree")
+        current = _pkg_tree_sha()
+        if stamped is None:
+            raise SystemExit(
+                "rebase refused: state has no promoted_tree stamp "
+                "(predates the guard). Pass --force only if the "
+                "package tree is byte-identical to the code the "
+                "verified driver rows ran against."
+            )
+        if stamped != current:
+            raise SystemExit(
+                "rebase refused: package tree changed since the last "
+                "promote (stamp %s… vs current %s…) — a rebase now "
+                "would bless genuinely stale hashes. List drifted "
+                "names via keep_stale, or re-run after the next "
+                "promote; --force overrides."
+                % (stamped[:12], current[:12])
+            )
     cur = compute_hashes()
     rebased = 0
     for name, entry in state.get("verified", {}).items():
@@ -658,7 +765,10 @@ def main() -> None:
     elif cmd == "seed-legacy":
         cmd_seed_legacy()
     elif cmd == "rebase":
-        keep = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
+        rest = sys.argv[2:]
+        keep = set()
+        for a in rest:
+            keep |= {x for x in a.split(",") if x}
         cmd_rebase(keep)
     elif cmd == "audit-udfs":
         cmd_audit_udfs()
