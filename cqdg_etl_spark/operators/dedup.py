@@ -8,8 +8,9 @@ Five strategies, all expressed as declarative DataFrame plans:
 - minhash+LSH: portable 32-bit token hashes → k permutations →
                banded signatures → bucket join for candidates →
                (optionally) exact verify.
-- simhash:    64-bit sign-aggregated fingerprint, banded for candidates,
-               hamming-distance verify via xor+bit_count.
+- simhash:    128-bit sign-aggregated fingerprint (4×32-bit pigeonhole
+               chunks; the 64-bit/4×16 layout is kept only as the probe
+               contrast series), hamming verify via xor+bit_count.
 - embedding:  cosine over an embedding column (see similarity.py) with a
                threshold join.
 
@@ -451,12 +452,143 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return sig
 
 
+def simhash128(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """128-bit SimHash per document as four 32-bit chunk columns
+    ``(doc, c0..c3)``, token-frequency weighted. All 128 bits come from
+    ONE md5 per token (the full digest, vs simhash64's first 16 hex
+    chars), so the oracle stays engine-portable.
+
+    Why 128 bits (SCALE_PROBE_r05/r06, COVERAGE r6 queue #5): with a
+    64-bit signature the 4-chunk pigeonhole block is 16 bits, so a
+    RANDOM pair bucket-collides w.p. 4·2⁻¹⁶ and junk candidates are
+    ≈ 4n²/65536 — a constant-divisor quadratic, invisible at probe
+    scale (~38 k pairs at n = 50 k) and dominant at n ≥ 10⁸. The
+    64-bit/4×16 layout is TIGHT for hamming ≤ 3 (pigeonhole needs
+    d+1 blocks), so the fix is a wider signature: 4×32-bit chunks drop
+    junk to 4n²/2³², pushing the quadratic knee out 65536×.
+
+    Plan-width trick: the natural form needs 128 per-bit sign sums —
+    past Spark's whole-stage-codegen field limit
+    (``spark.sql.codegen.maxFields`` = 100), which would drop the hot
+    aggregate to interpreted row-at-a-time mode. Two bit-counters are
+    instead PACKED per aggregate column (bit 2j's ones-count in the low
+    32-bit lane, bit 2j+1's in the high lane), so the aggregate is 64
+    sums + count — the same plan width as simhash64, codegen stays on,
+    and it is still one map-side-combined groupBy. Lanes cannot carry
+    into each other: each lane gains at most 1 per token occurrence, so
+    lane values stay < 2³¹ for any document under 2³¹ tokens. Sign
+    decision: bit set iff ones·2 > n_tokens (ties → clear) — identical
+    to the ±1 sum being > 0.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_ws(F.col(text_col)), " ")).alias("tok"),
+    )
+    hx = F.md5(F.col("tok"))
+    words = [
+        F.conv(F.substring(hx, 1 + 8 * w, 8), 16, 10).cast("bigint")
+        for w in range(4)
+    ]
+    lane_hi = F.lit(4294967296).cast("bigint")  # 2^32
+    packed = [
+        (
+            F.shiftright(words[j // 16], (2 * j) % 32) % 2
+            + (F.shiftright(words[j // 16], (2 * j) % 32 + 1) % 2) * lane_hi
+        ).alias(f"p{j}")
+        for j in range(64)
+    ]
+    agg = toks.select("doc", *packed).groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p{j}").alias(f"s{j}") for j in range(64)],
+    )
+
+    def ones(b: int) -> Column:  # ones-count of global bit b
+        s = F.col(f"s{b // 2}")
+        return F.shiftright(s, 32) if b % 2 else s % lane_hi
+
+    chunk_cols = []
+    for c in range(4):
+        terms = [
+            F.when(
+                ones(c * 32 + k) * 2 > F.col("n"),
+                F.lit(1 << k).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for k in range(32)
+        ]
+        chunk_cols.append(sum(terms[1:], terms[0]).alias(f"c{c}"))
+    return agg.select("doc", *chunk_cols)
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 63-bit signature into 4 chunks
+    """Near-dup pairs by SimHash-128: band the four 32-bit chunks
     (pigeonhole: ≤3 differing bits → ≥1 identical chunk), bucket-join,
-    then exact hamming via xor + bit_count."""
+    then exact 128-bit hamming as the sum of per-chunk xor+bit_count.
+
+    Replaces the 64-bit/4×16 layout (kept as simhash_near_pairs64, the
+    probe contrast series): same plan shape — chunk explode, shuffle
+    hash join on (chunk_idx, chunk_val), distinct, verify — but random
+    bucket collisions drop from 4n²/2¹⁶ to 4n²/2³², so the candidate
+    volume tracks the true near-dup density instead of a quadratic
+    junk floor (see simhash128's docstring for the scale arithmetic).
+    """
+    sig = simhash128(df, text_col, id_col)
+    chunks = sig.select(
+        "doc",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.col(f"c{i}").alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "c0", "c1", "c2", "c3", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            *[F.col(f"a.c{i}").alias(f"ca{i}") for i in range(4)],
+            *[F.col(f"b.c{i}").alias(f"cb{i}") for i in range(4)],
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("ca0").bitwiseXOR(F.col("cb0")))
+        + F.bit_count(F.col("ca1").bitwiseXOR(F.col("cb1")))
+        + F.bit_count(F.col("ca2").bitwiseXOR(F.col("cb2")))
+        + F.bit_count(F.col("ca3").bitwiseXOR(F.col("cb3")))
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs64(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """FIXED-WIDTH CONTRAST series (pre-round-7 layout): 63-bit SimHash
+    banded into 4×16-bit chunks. Kept so the scale probe can measure
+    the constant-divisor quadratic this layout carries (junk candidates
+    ≈ 4n²/65536) against simhash_near_pairs' 4×32 replacement — NOT for
+    production use."""
     sig = simhash64(df, text_col, id_col)
     chunks = sig.select(
         "doc",

@@ -212,50 +212,68 @@ def dd_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_simhash_pairs(max_hamming: int = 3) -> str:
-    """DuckDB oracle mirroring operators/dedup.simhash64 +
-    simhash_near_pairs bit-for-bit: md5-derived 32-bit halves, the same
-    63 frequency-weighted sign sums (bit 63 kept clear), 4×16-bit
-    pigeonhole chunks, xor+bit_count verify."""
-    sums = ", ".join(
-        "sum(CASE WHEN ({src} >> {sh}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
-            src="hi" if b < 32 else "lo", sh=b % 32, b=b
+    """DuckDB oracle mirroring operators/dedup.simhash128 +
+    simhash_near_pairs bit-for-bit: four md5-derived 32-bit words per
+    token, the same 64 packed lane sums (bit 2j's ones-count in the low
+    32-bit lane, bit 2j+1's in the high — the plan-width trick the
+    Spark side uses to stay under the codegen field limit), ones·2 > n
+    sign decisions, 4×32-bit pigeonhole chunks, and the summed
+    per-chunk xor+bit_count verify."""
+    packed = ", ".join(
+        "CAST(sum((w{w} >> {s}) % 2 + ((w{w} >> {s1}) % 2) * 4294967296)"
+        " AS BIGINT) AS s{j}".format(
+            w=j // 16, s=(2 * j) % 32, s1=(2 * j) % 32 + 1, j=j
         )
-        for b in range(63)
+        for j in range(64)
     )
-    sig_terms = " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(63)
+
+    def ones(b: int) -> str:
+        return (
+            f"(s{b // 2} >> 32)" if b % 2 else f"(s{b // 2} % 4294967296)"
+        )
+
+    chunk_exprs = ", ".join(
+        " + ".join(
+            f"(CASE WHEN {ones(c * 32 + k)} * 2 > n "
+            f"THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+            for k in range(32)
+        )
+        + f" AS c{c}"
+        for c in range(4)
     )
     chunk_selects = " UNION ALL ".join(
-        f"SELECT doc, simhash, {i} AS chunk_idx, "
-        f"(simhash >> {i * 16}) % 65536 AS chunk_val FROM sig"
+        f"SELECT doc, c0, c1, c2, c3, {i} AS chunk_idx, c{i} AS chunk_val "
+        "FROM sig"
         for i in range(4)
     )
+    ham = " + ".join(f"bit_count(xor(ca{i}, cb{i}))" for i in range(4))
     return f"""
         WITH toks AS (
           SELECT doc_id AS doc, unnest({SQL_TOKS.format(c='text')}) AS tok
           FROM documents
         ), hl AS (
           SELECT doc,
-                 CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
-                 CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+                 CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS w0,
+                 CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS w1,
+                 CAST(concat('0x', substr(md5(tok), 17, 8)) AS BIGINT) AS w2,
+                 CAST(concat('0x', substr(md5(tok), 25, 8)) AS BIGINT) AS w3
           FROM toks
-        ), bits AS (
-          SELECT doc, {sums} FROM hl GROUP BY doc
+        ), lanes AS (
+          SELECT doc, count(*) AS n, {packed} FROM hl GROUP BY doc
         ), sig AS (
-          SELECT doc, {sig_terms} AS simhash FROM bits
+          SELECT doc, {chunk_exprs} FROM lanes
         ), chunks AS ({chunk_selects}),
         cand AS (
           SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-                 a.simhash AS sig_a, b.simhash AS sig_b
+                 a.c0 AS ca0, a.c1 AS ca1, a.c2 AS ca2, a.c3 AS ca3,
+                 b.c0 AS cb0, b.c1 AS cb1, b.c2 AS cb2, b.c3 AS cb3
           FROM chunks a JOIN chunks b
             ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
                AND a.doc < b.doc
         )
-        SELECT doc_a, doc_b,
-               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
         FROM cand
-        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+        WHERE {ham} <= {max_hamming}
     """
 
 
@@ -265,10 +283,15 @@ def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     oracle=_sql_simhash_pairs(),
 )
 def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming ≤ 3 via 4×16-bit pigeonhole
-    banding). Fully oracle-checked (portable md5 token halves → DuckDB
-    reproduces the exact signatures) — upgraded from the round-1
-    rows-only check; hamming-bound recall additionally tested."""
+    """SimHash-128 near-dup pairs (hamming ≤ 3 via 4×32-bit pigeonhole
+    banding). Fully oracle-checked (portable md5 token words → DuckDB
+    reproduces the exact signatures); hamming-bound recall additionally
+    tested. Re-registered round 7 from the 64-bit/4×16 layout, whose
+    16-bit blocks give every random pair a 4·2⁻¹⁶ bucket-collision
+    chance — junk candidates ≈ 4n²/65536, a constant-divisor quadratic
+    dominant at n ≥ 10⁸ (COVERAGE r6 queue #5). The wider chunks push
+    the knee out 65536× at the same plan shape and plan width (see
+    operators/dedup.simhash128)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
@@ -348,8 +371,29 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cos 0.4 is similarity SEARCH mis-posed as dedup — for
     bounded-output top-k use ann_topk_gemm (measured flat over the
     same decade)."""
+    import os
+
     emb = load(spark, sf_dir, "embeddings")
     bands, rows_per_band = similarity.derive_banding(emb.count(), threshold=0.4)
+    # Oracle-pin guard (ADVICE r6 #3): this registered query's DuckDB
+    # oracle is bit-unrolled at the base (8, 4) config, which the
+    # derivation returns for every corpus of <= 2000 vectors. On a
+    # larger corpus the derived banding diverges from the pinned
+    # oracle — fail loudly instead of letting an oracle comparison
+    # silently mismatch. Scale probes opt in via CQDG_SCALE_DERIVE=1;
+    # production callers use similarity.banded_cosine_dup_pairs +
+    # derive_banding directly (no oracle contract there).
+    if (bands, rows_per_band) != (8, 4) and os.environ.get(
+        "CQDG_SCALE_DERIVE"
+    ) != "1":
+        raise ValueError(
+            "dd_embedding_cosine_pairs: derived banding "
+            f"{(bands, rows_per_band)} diverges from the (8, 4) config "
+            "pinned in this query's oracle (corpus > 2000 vectors). "
+            "Set CQDG_SCALE_DERIVE=1 for scale runs, or call "
+            "similarity.banded_cosine_dup_pairs with derive_banding "
+            "for production corpora."
+        )
     return similarity.banded_cosine_dup_pairs(
         emb, threshold=0.4, bands=bands, rows_per_band=rows_per_band
     )

@@ -300,7 +300,8 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH pos AS (
           SELECT label, i AS pos,
-                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                 CAST(floor(CAST(embedding[i] AS DOUBLE)
+                            * 1000000.0 + 0.5) / 1000000.0
                       AS DECIMAL(18,6)) AS v
           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         ),
@@ -356,7 +357,12 @@ def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("v0"), 6).cast("decimal(18,6)").alias("v"),
+        # Raw elements get the same floor(x*1e6+0.5)/1e6 quantization
+        # as the derived means: round()-on-double is implementation-
+        # defined at 6th-dp half boundaries and would 1-ulp-split the
+        # engines on a boundary-adjacent input (ADVICE r6 #4).
+        (F.floor(F.col("v0") * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).cast("decimal(18,6)").alias("v"),
     )
     per_dim = pos.groupBy("label", "pos").agg(
         (

@@ -1,15 +1,11 @@
-"""Round-7 staged queries — NOT yet in the driver registry.
+"""Round-7 publication (staged in round 6, published round 7).
 
 Same staging discipline as datapipe13 (staged r4 → published r5) and
-datapipe14 (staged r5 → queued r6): full Query objects with DuckDB
+datapipe14 (staged r5 → published r6): full Query objects with DuckDB
 value-hash oracles, locally verified by tests/test_datapipe15.py at
-sf0.001/sf0.01, kept out of ``cqdg_etl_spark.queries.REGISTRY`` so the
-published surface never carries a name without a driver row. The
-round-6 driver window is already allocated to the datapipe14
-publication + re-confirmations; these wait their turn by design.
-
-To publish (round 7): call ``register()`` from queries/__init__.py and
-bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``.
+sf0.001/sf0.01 + adversarial fixtures while staged, then flipped into
+``cqdg_etl_spark.queries.REGISTRY`` via ``register()`` with the 12
+names front-loaded in the round-7 driver window.
 
 Batch theme: corpus-forensics and assignment primitives that round out
 the curation layer — truncation-prefix dedup (the duplicate class
@@ -665,6 +661,7 @@ def _sql_lsh_param_audit() -> str:
 
 @_staged(
     "dd_lsh_param_audit",
+    bench=True,  # VERDICT r6 #1: one signature pass, three measured layouts
     tags=("datapipe", "dedup", "lsh", "audit"),
     oracle=_sql_lsh_param_audit(),
 )
@@ -871,7 +868,8 @@ def ev_strict_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH pos AS (
           SELECT vec_id, label, i AS pos,
-                 CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                 CAST(floor(CAST(embedding[i] AS DOUBLE)
+                            * 1000000.0 + 0.5) / 1000000.0
                       AS DECIMAL(18,6)) AS v
           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         ),
@@ -935,7 +933,12 @@ def emb_intra_class_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("v0"), 6).cast("decimal(18,6)").alias("v"),
+        # Raw elements get the same floor(x*1e6+0.5)/1e6 quantization
+        # as every derived value: round()-on-double is implementation-
+        # defined at 6th-dp half boundaries and would 1-ulp-split the
+        # engines on a boundary-adjacent input (ADVICE r6 #4).
+        (F.floor(F.col("v0") * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).cast("decimal(18,6)").alias("v"),
     )
     cent = pos.groupBy("label", "pos").agg(
         (

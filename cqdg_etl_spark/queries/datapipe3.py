@@ -111,8 +111,25 @@ def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation returns exactly _SEM_BITS=4, so the SQL oracle (which
     re-derives the 2^4-cell quantizer) is the derived config. The
     sizing count() is a parquet metadata read."""
+    import os
+
     emb = load(spark, sf_dir, "embeddings")
     n_bits = similarity.derive_cell_bits(emb.count(), base_bits=_SEM_BITS)
+    # Oracle-pin guard (ADVICE r6 #3): the SQL oracle re-derives the
+    # quantizer at 2^_SEM_BITS cells, which matches the derivation for
+    # every corpus of <= 2000 vectors. Beyond that the derived n_bits
+    # diverges from the pinned oracle — fail loudly rather than let an
+    # oracle comparison silently mismatch. Scale probes opt in via
+    # CQDG_SCALE_DERIVE=1; production callers use
+    # similarity.semantic_dedup + derive_cell_bits directly.
+    if n_bits != _SEM_BITS and os.environ.get("CQDG_SCALE_DERIVE") != "1":
+        raise ValueError(
+            f"dd_semantic_prune: derived n_bits={n_bits} diverges from "
+            f"the n_bits={_SEM_BITS} config pinned in this query's "
+            "oracle (corpus > 2000 vectors). Set CQDG_SCALE_DERIVE=1 "
+            "for scale runs, or call similarity.semantic_dedup with "
+            "derive_cell_bits for production corpora."
+        )
     return similarity.semantic_dedup(emb, threshold=_SEM_TAU, n_bits=n_bits)
 
 

@@ -319,8 +319,38 @@ def test_simhash_identical_and_distinct(spark):
     sigs = {r.doc: r.simhash for r in dedup.simhash64(df, "text", "doc_id").collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
-    pairs = dedup.simhash_near_pairs(df, "text", "doc_id", max_hamming=3).collect()
-    assert (1, 2) in {(r.doc_a, r.doc_b) for r in pairs}
+    for fn in (dedup.simhash_near_pairs, dedup.simhash_near_pairs64):
+        pairs = fn(df, "text", "doc_id", max_hamming=3).collect()
+        got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+        assert got.get((1, 2)) == 0
+        assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash128_chunks_and_pigeonhole(spark):
+    """simhash128 chunk values are 32-bit non-negative; identical docs
+    share all four chunks; a ≤3-bit perturbation of the TOKEN SET is
+    still caught by the 4×32 pigeonhole (the recall side of the
+    round-7 re-registration — the junk-floor side is measured by the
+    scale probe's simhash_pairs_64bit contrast)."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    data = [(1, base), (2, base), (3, base + " one_extra_token")]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    sig = {r.doc: (r.c0, r.c1, r.c2, r.c3)
+           for r in dedup.simhash128(df, "text", "doc_id").collect()}
+    for cs in sig.values():
+        assert all(0 <= c < (1 << 32) for c in cs)
+    assert sig[1] == sig[2]
+    pairs = dedup.simhash_near_pairs(df, "text", "doc_id").collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    # doc 3 differs by one added token: its signature is near-identical,
+    # so the pair must survive the pigeonhole if within the bound.
+    ham13 = sum(
+        bin(a ^ b).count("1") for a, b in zip(sig[1], sig[3])
+    )
+    if ham13 <= 3:
+        assert (1, 3) in got and got[(1, 3)] == ham13
 
 
 def test_ann_lsh_is_subset_quality(spark, sf_dir):

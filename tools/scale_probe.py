@@ -25,10 +25,17 @@ here, not any one cell.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import time
 from pathlib import Path
+
+# The registered derive-parameter queries (dd_embedding_cosine_pairs,
+# dd_semantic_prune) fail loudly when the derived config diverges from
+# their pinned harness oracle (ADVICE r6 #3); scale runs are exactly
+# the divergence case, so the probe opts in.
+os.environ.setdefault("CQDG_SCALE_DERIVE", "1")
 
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
@@ -165,11 +172,27 @@ def _embedding_pairs_fixed_banding(spark, sf_dir: str, scale: int):
     )
 
 
+def _simhash_pairs_64bit(spark, sf_dir: str, scale: int):
+    """CONTRAST series: the pre-round-7 SimHash layout (63-bit
+    signature, 4×16-bit pigeonhole chunks). Round 7 re-registered
+    dd_simhash_near_pairs on simhash128 with 4×32-bit chunks because
+    the 16-bit blocks carry a constant-divisor quadratic (junk
+    candidates ≈ 4n²/65536 — COVERAGE r6 queue #5); this variant
+    preserves the old curve so the junk-floor suppression is a
+    measured pair, not an assertion."""
+    from cqdg_etl_spark.operators import dedup
+    from cqdg_etl_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs64(docs, "text", "doc_id", max_hamming=3)
+
+
 # Programmatic series: operator variants that differ from a registered
 # query only by a scale-dependent parameter. fn(spark, sf_dir, scale).
 EXTRA = {
     "semantic_prune_fixed_bits": _semantic_prune_fixed_bits,
     "embedding_pairs_fixed_banding": _embedding_pairs_fixed_banding,
+    "simhash_pairs_64bit": _simhash_pairs_64bit,
 }
 
 ALL_TABLES = [
