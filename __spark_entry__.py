@@ -19,69 +19,56 @@ from cqdg_etl_spark.queries import REGISTRY
 # Driver correctness-row ordering. The driver caps a round at 50 rows,
 # so _FRONT position is the publication priority.
 _FRONT = [
-    # Mechanically derived at the round-6 start: `python
-    # tools/verification_state.py front` after the r05 promote, with
-    # the round-6 datapipe14 publication spliced in per VERDICT r5 #2.
-    # The verification DEBT comes first (debt-prefix policy,
-    # tests/test_verification_state.py): positions 1-3 the three
-    # round-5 roll-over names (r4 rows, staled by the aecb67c/741220d
-    # edits; the 53-name r5 debt exceeded the 50-row window), 4-13 the
-    # datapipe14 publication (never driver-verified), 14-28 the names
-    # staled by this round's scale-derived-parameter edit to
-    # operators/similarity.py (1a8354b; function-level closure keeps
-    # it to the 15 names that actually reach the edited module).
-    # After the debt: everything else, oldest green round first —
-    # positions 29-50 drain the r1 backlog (TPC-H core first).
-    "tx_source_vocab_overlap",
-    "tx_zipf_fit",
-    "emb_centroid_separation",
-    "dd_paragraph_dedup",
-    "dd_lsh_recall_eval",
-    "ds_length_buckets",
-    "tx_langid_eval_confusion",
-    "mm_mp4_demux_stats",
-    "ev_ewma_smoothed",
-    "ds_waterfill_budget",
-    "graph_kcore_peel",
-    "sql_group_by_all_lateral",
-    "emb_dim_variance_topk",
+    # Mechanically derived at the round-7 window build: `python
+    # tools/verification_state.py front` after the r06 promote (zero
+    # roll-over — all 50 r6 rows verified), the datapipe15 publication,
+    # and the round's bundled staling edits. Debt-prefix policy
+    # (tests/test_verification_state.py): positions 1-12 the datapipe15
+    # publication (never driver-verified), 13-37 the 25 names staled by
+    # this round's bundle — the simhash128 re-registration
+    # (operators/dedup.py; whole dedup closure), the oracle-pin guards
+    # on the two derive-parameter queries (ADVICE r6 #3), and the
+    # raw-element floor-quantization fix (ADVICE r6 #4) — oldest
+    # verified round first. Positions 38-50 drain the r1 backlog
+    # oldest-first (13 slots: the 37-name debt left 13 of the 50-row
+    # window; COVERAGE.md round-7 delta shows the SLA arithmetic).
+    "dd_truncation_prefix_pairs",
+    "tx_syllable_complexity",
+    "tx_shingle_novelty",
+    "ev_seasonal_outliers",
+    "ds_stratified_kfold",
+    "ds_weighted_sample_wor",
+    "ds_rendezvous_rebalance",
+    "graph_personalized_pagerank",
+    "dd_lsh_param_audit",
+    "tx_bpe_pretoken_stats",
+    "ev_strict_funnel_3step",
+    "emb_intra_class_dispersion",
+    "dd_exact_fingerprint_groups",
+    "dd_duplicate_clusters",
+    "dd_minhash_lsh_candidates",
+    "dd_simhash_near_pairs",
+    "dd_minhash_verified_pairs",
+    "dd_canonical_per_cluster",
+    "dd_span_dedup",
+    "dd_fuzzy_name_pairs",
+    "dd_tfidf_cosine_pairs",
+    "ret_bm25_topk",
+    "tx_novelty_score",
+    "dd_ngram_jaccard_pairs",
+    "tx_tfidf_term_stats",
+    "dd_ppjoin_pairs",
+    "ds_softdedup_weights",
+    "dd_cross_source_leakage",
+    "dd_containment_pairs",
+    "pipe_corpus_curation_e2e",
+    "ds_cluster_safe_split",
     "dd_embedding_cosine_pairs",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf",
-    "emb_label_centroids",
-    "emb_quantize_int8",
     "dd_semantic_prune",
-    "emb_pq_codes",
     "ret_hybrid_rrf",
-    "ann_topk_pq_adc",
-    "emb_hard_negatives",
-    "emb_hard_negatives_banded",
-    "emb_label_noise_scores",
+    "emb_centroid_separation",
     "emb_topk_recall_eval",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q21_last_shipper",
-    "q2_min_cost_supplier",
-    "q16_supplier_part_variety",
-    "q20_heavy_shippers",
-    "j2_left_join_order_counts",
-    "j5_full_outer_summary_merge",
-    "j6_cross_domain_zero_fill",
+    "dd_lsh_recall_eval",
     "j_semi_anti_customers",
     "a1_nest_orders_per_customer",
     "a2_collect_set_segments",
@@ -132,13 +119,11 @@ _FRONT = [
     "ev_asof_purchase_view",
     "ev_range_error_near_signup",
     "etl_scd2_customer_merge",
-    "dd_exact_fingerprint_groups",
     "tx_quality_features",
     "tx_language_id",
     "tx_token_counts_by_source",
     "tx_winnowing_fingerprints",
     "mm_media_meta",
-    "dd_duplicate_clusters",
     "ds_train_val_split",
     "ds_stratified_sample",
     "tx_quality_quantile_filter",
@@ -150,22 +135,16 @@ _FRONT = [
     "ev_stream_left_outer_join",
     "sql_recursive_supplier_tree",
     "sql_scalar_udf_revenue",
-    "dd_minhash_lsh_candidates",
-    "dd_simhash_near_pairs",
     "mm_media_features",
     "pf_expect_orders",
-    "dd_minhash_verified_pairs",
     "tx_c4_rule_filter",
     "tx_pii_redaction",
-    "dd_canonical_per_cluster",
     "tx_top_bigrams",
     "pf_histogram_totalprice",
     "ds_mixture_weighted_sample",
     "tx_bigram_lm_score",
     "ev_json_props",
-    "dd_span_dedup",
     "graph_pagerank_coparts",
-    "dd_fuzzy_name_pairs",
     "graph_triangle_counts",
     "agg_grouping_sets_mix",
     "ev_range_frame_hourly_avg",
@@ -173,15 +152,12 @@ _FRONT = [
     "fe_hashing_trick",
     "etl_snapshot_diff",
     "etl_incremental_rollup",
-    "dd_tfidf_cosine_pairs",
     "etl_keep_latest_event",
     "sk_linear_count_users",
     "ev_variant_props",
     "src_pysource_docs_stats",
-    "ret_bm25_topk",
     "tx_pmi_bigrams",
     "fe_zscore_by_lang",
-    "tx_novelty_score",
     "q15_top_supplier",
     "q11_important_part_value",
     "ev_rfm_segments",
@@ -191,9 +167,7 @@ _FRONT = [
     "mb_association_rules",
     "pf_ks_totalprice_drift",
     "pf_benford_totalprice",
-    "dd_ngram_jaccard_pairs",
     "tx_fingerprints",
-    "tx_tfidf_term_stats",
     "ds_decontaminate_vs_benchmark",
     "ds_pack_sequences",
     "tx_cms_heavy_hitters",
@@ -202,7 +176,6 @@ _FRONT = [
     "ds_deterministic_shuffle",
     "ds_interleave_sources",
     "ds_per_group_sample",
-    "dd_ppjoin_pairs",
     "pf_equidepth_nchars_by_lang",
     "agg_modern_functions",
     "ev_markov_transitions",
@@ -216,7 +189,6 @@ _FRONT = [
     "ev_cusum_drift",
     "sk_hll_union_intersection",
     "pf_psi_totalprice_drift",
-    "ds_softdedup_weights",
     "tx_vocab_coverage",
     "ev_trend_daily",
     "ds_pps_systematic_sample",
@@ -226,16 +198,56 @@ _FRONT = [
     "tx_bpe_first_merges",
     "tx_source_kl_divergence",
     "ann_topk_gemm",
-    "dd_cross_source_leakage",
     "emb_covariance_cells",
     "pf_key_skew_profile",
-    "dd_containment_pairs",
-    "pipe_corpus_curation_e2e",
     "ev_conversion_latency_quantiles",
     "fe_target_encoding_loo",
     "ds_shard_assignment",
-    "ds_cluster_safe_split",
     "sql_pipe_syntax_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_last_shipper",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_variety",
+    "q20_heavy_shippers",
+    "j2_left_join_order_counts",
+    "j5_full_outer_summary_merge",
+    "j6_cross_domain_zero_fill",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "emb_pq_codes",
+    "ann_topk_pq_adc",
+    "emb_hard_negatives",
+    "emb_hard_negatives_banded",
+    "emb_label_noise_scores",
+    "tx_source_vocab_overlap",
+    "tx_zipf_fit",
+    "dd_paragraph_dedup",
+    "ds_length_buckets",
+    "tx_langid_eval_confusion",
+    "mm_mp4_demux_stats",
+    "ev_ewma_smoothed",
+    "ds_waterfill_budget",
+    "graph_kcore_peel",
+    "sql_group_by_all_lateral",
+    "emb_dim_variance_topk",
 ]
 
 

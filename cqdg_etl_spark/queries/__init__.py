@@ -44,10 +44,16 @@ from cqdg_etl_spark.queries import datapipe14 as _datapipe14  # noqa: E402
 
 _datapipe14.register()
 
+# Round-7 publication (staged in round 6, verified locally at
+# sf0.001/0.01 + adversarial fixtures by tests/test_datapipe15.py):
+from cqdg_etl_spark.queries import datapipe15 as _datapipe15  # noqa: E402
+
+_datapipe15.register()
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 204
+EXPECTED_REGISTRY_SIZE = 216
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"
