@@ -139,6 +139,36 @@ WAVE4 = [
 ]
 
 
+# Wave 5 (--wave5): the round-7 datapipe15 publications — first
+# curvature measurement for the batch — plus the simhash 64↔128
+# contrast pair (the registered query re-measured on its new 4×32
+# layout next to the preserved 4×16 layout whose junk-candidate floor
+# motivated the change). Superlinearity risks by shape: prefix-bucket
+# self-join (dd_truncation_prefix_pairs), corpus-wide shingle
+# first-occurrence (tx_shingle_novelty), per-user conditional-min
+# chains (ev_strict_funnel_3step), seeded power iteration
+# (graph_personalized_pagerank), multi-layout banding self-joins
+# (dd_lsh_param_audit), weighted-key exponent sampling
+# (ds_weighted_sample_wor), and the two-pass global ranks inside
+# kfold/rendezvous.
+WAVE5 = [
+    "dd_truncation_prefix_pairs",
+    "tx_syllable_complexity",
+    "tx_shingle_novelty",
+    "ev_seasonal_outliers",
+    "ds_stratified_kfold",
+    "ds_weighted_sample_wor",
+    "ds_rendezvous_rebalance",
+    "graph_personalized_pagerank",
+    "dd_lsh_param_audit",
+    "tx_bpe_pretoken_stats",
+    "ev_strict_funnel_3step",
+    "emb_intra_class_dispersion",
+    "dd_simhash_near_pairs",
+    "simhash_pairs_64bit",
+]
+
+
 def _semantic_prune_fixed_bits(spark, sf_dir: str, scale: int):
     """CONTRAST series: semantic dedup with the pre-round-6 fixed
     n_bits=4. Round 6 re-registered dd_semantic_prune to derive n_bits
@@ -354,8 +384,11 @@ def main() -> int:
     wave2 = "--wave2" in args
     wave3 = "--wave3" in args
     wave4 = "--wave4" in args
+    wave5 = "--wave5" in args
     scales = [
-        int(a) for a in args if a not in ("--wave2", "--wave3", "--wave4")
+        int(a)
+        for a in args
+        if a not in ("--wave2", "--wave3", "--wave4", "--wave5")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -363,7 +396,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave4:
+    if wave5:
+        all_names = WAVE5
+    elif wave4:
         all_names = WAVE4
     elif wave3:
         all_names = WAVE3
