@@ -513,6 +513,353 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------- peak session concurrency instants
+
+_CC_GAP_US = 30 * 60 * 1_000_000  # the events.py sessionization gap
+_CC_TOPK = 10
+
+
+@_staged(
+    "ev_peak_concurrency",
+    tags=("datapipe", "events", "session"),
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {_CC_GAP_US}
+                      OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_id,
+                 ts
+          FROM flagged
+        ), spans AS (
+          SELECT user_id, session_id,
+                 epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+          FROM sessions GROUP BY user_id, session_id
+        ), deltas AS (
+          SELECT s_us AS t_us, 1 AS delta, user_id, session_id FROM spans
+          UNION ALL
+          SELECT e_us + 1 AS t_us, -1 AS delta, user_id, session_id
+          FROM spans
+        ), run AS (
+          SELECT t_us, delta, user_id,
+                 CAST(sum(delta) OVER (
+                   ORDER BY t_us, delta DESC, user_id, session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS concurrency
+          FROM deltas
+        )
+        SELECT t_us AS peak_t_us, concurrency
+        FROM run WHERE delta = 1
+        ORDER BY concurrency DESC, t_us, user_id
+        LIMIT {_CC_TOPK}
+    """,
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 peak-concurrency instants: sessionize (the events.py
+    30-min-gap recipe), sweep +1/−1 deltas at session start/end+1µs,
+    and read the running level at every session-START instant — a step
+    function attains its maxima exactly at +1 points, so the top-k
+    start instants ARE the true global concurrency peaks (the
+    capacity-planning number behind serving-fleet sizing). Equal-time
+    ties count the overlap: +1 applies before −1 at the same
+    microsecond.
+
+    Determinism: pure integer arithmetic end to end (epoch micros,
+    ±1 sums, a total-order tiebreak on (t, delta, user, session)).
+    Scale shape: sessionization is the standard one-shuffle user
+    window; the sweep's running sum is the range-partitioned two-pass
+    ``global_cumsum`` over 2·|sessions| skinny delta rows — NEVER a
+    single-partition ORDER BY window; the top-k is a TakeOrdered."""
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > _CC_GAP_US), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id", F.sum("new_session").over(w_cum).cast("bigint")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    deltas = sess.select(
+        F.col("s_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        sess.select(
+            (F.col("e_us") + 1).alias("t_us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    run = global_cumsum(
+        deltas,
+        [
+            F.col("t_us"),
+            F.col("delta").desc(),
+            F.col("user_id"),
+            F.col("session_id"),
+        ],
+        "delta",
+        "concurrency",
+    )
+    return (
+        run.filter(F.col("delta") == 1)
+        .orderBy(F.desc("concurrency"), F.asc("t_us"), F.asc("user_id"))
+        .limit(_CC_TOPK)
+        .select(
+            F.col("t_us").alias("peak_t_us"),
+            F.col("concurrency").cast("bigint").alias("concurrency"),
+        )
+    )
+
+
+# -------------------------------- bipartite type-affinity projection
+
+
+@_staged(
+    "graph_type_affinity",
+    tags=("graph", "bipartite", "projection"),
+    oracle=f"""
+        WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+        deg AS (
+          SELECT event_type, count(*) AS n_users FROM e
+          GROUP BY event_type
+        ),
+        co AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS co_users
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b, CAST(co_users AS BIGINT) AS co_users,
+               {_SQL_Q6.format(
+                   x='''CAST(co_users AS DOUBLE)
+                   / sqrt(CAST(da.n_users AS DOUBLE)
+                          * CAST(db.n_users AS DOUBLE))''')}
+                 AS affinity
+        FROM co
+        JOIN deg da ON da.event_type = co.type_a
+        JOIN deg db ON db.event_type = co.type_b
+    """,
+)
+def graph_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user→event-type graph onto
+    type–type edges, cosine-weighted: affinity(t1, t2) =
+    |U(t1)∩U(t2)| / √(|U(t1)|·|U(t2)|) — the co-engagement structure
+    behind "users who do X also do Y" surfaces and feature
+    co-occurrence audits.
+
+    Scale shape: the projection self-join is keyed on user_id with
+    per-user fan-out (k choose 2), k ≤ |event_types| — bounded per
+    row, so the join output is O(|users|·|types|²/2) worst case and
+    the result table is ≤ |types|² rows; degree tables are broadcast.
+    Determinism: integer counts; one sqrt division 6-dp floor-
+    quantized."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type").distinct()
+    deg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a, b = e.alias("a"), e.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_users"))
+    )
+    da = F.broadcast(deg.select(F.col("event_type").alias("type_a"),
+                                F.col("n_users").alias("na")))
+    db = F.broadcast(deg.select(F.col("event_type").alias("type_b"),
+                                F.col("n_users").alias("nb")))
+    return (
+        co.join(da, "type_a")
+        .join(db, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("co_users").cast("bigint").alias("co_users"),
+            _q6(
+                F.col("co_users").cast("double")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                )
+            ).alias("affinity"),
+        )
+    )
+
+
+# ------------------------------------- vocabulary growth curve (Heaps)
+
+_VG_DECILES = 10
+
+
+@_staged(
+    "tx_vocab_growth_curve",
+    tags=("datapipe", "text", "vocabulary"),
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {SQL_NORM.format(c='text')} AS norm
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, i AS pos,
+                 string_split(norm, ' ')[CAST(i AS INT)] AS t
+          FROM d, UNNEST(range(1, len(string_split(norm, ' ')) + 1))
+                    AS u(i)
+          WHERE norm <> ''
+        ),
+        dc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+        offs AS (
+          SELECT doc_id,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok AS off
+          FROM dc
+        ),
+        pos AS (
+          SELECT t.t, o.off + t.pos AS gpos
+          FROM toks t JOIN offs o USING (doc_id)
+        ),
+        n AS (SELECT count(*) AS n FROM pos),
+        firsts AS (SELECT t, min(gpos) AS fpos FROM pos GROUP BY t),
+        fb AS (
+          SELECT CAST((fpos * {_VG_DECILES} + n - 1) // n AS BIGINT)
+                   AS decile, count(*) AS v
+          FROM firsts, n GROUP BY decile
+        ),
+        tb AS (
+          SELECT CAST((gpos * {_VG_DECILES} + n - 1) // n AS BIGINT)
+                   AS decile, count(*) AS c
+          FROM pos, n GROUP BY decile
+        ),
+        grid AS (
+          SELECT CAST(i AS BIGINT) AS decile
+          FROM UNNEST(range(1, {_VG_DECILES} + 1)) AS g(i)
+        )
+        SELECT g.decile,
+               CAST(sum(coalesce(tb.c, 0)) OVER (ORDER BY g.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(fb.v, 0)) OVER (ORDER BY g.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_vocab
+        FROM grid g
+        LEFT JOIN tb ON tb.decile = g.decile
+        LEFT JOIN fb ON fb.decile = g.decile
+    """,
+)
+def tx_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: distinct-vocabulary size
+    at each decile of the doc_id-ordered token stream — natural text
+    grows V(n) ≈ K·n^β with β ≈ 0.4–0.6; a flattening curve flags a
+    templated/crawl-stale corpus and a near-linear one flags noisy
+    OCR/spam vocabulary churn. One row per decile:
+    (decile, cum_tokens, cum_vocab).
+
+    Determinism: pure integer arithmetic end to end — global token
+    positions from per-doc offsets (a cumulative count over doc_id
+    order), first occurrence per token via min(gpos), decile buckets
+    by integer ceiling division, and two 10-row cumulative sums. Zero
+    float ops anywhere. Scale shape: the offsets come from the
+    range-partitioned ``global_cumsum`` over the per-doc count table
+    (doc-count rows, NOT tokens), joined back on doc_id; first
+    occurrences are one map-side-combined min-agg over (token);
+    bucket rollups are ≤ {_VG_DECILES} rows and their running sums
+    reuse ``global_cumsum``."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", normalize_ws(F.col("text")).alias("norm"))
+        .filter(F.col("norm") != "")
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("norm"))).alias("pos0", "t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    dc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    offs = global_cumsum(dc, [F.col("doc_id")], "n_tok", "cum").select(
+        "doc_id", (F.col("cum") - F.col("n_tok")).alias("off")
+    )
+    pos = toks.join(offs, "doc_id").select(
+        "t", (F.col("off") + F.col("pos")).alias("gpos")
+    )
+    n = F.broadcast(pos.agg(F.count(F.lit(1)).alias("n")))
+    firsts = pos.groupBy("t").agg(F.min("gpos").alias("fpos"))
+    # `div` is exact 64-bit integer division on BOTH sides (DuckDB
+    # `//`): floor of a DOUBLE quotient can sit 1 ulp under an exact
+    # integer boundary and mis-bucket the boundary position.
+    fb = (
+        firsts.crossJoin(n)
+        .select(
+            F.expr(f"(fpos * {_VG_DECILES} + n - 1) div n")
+            .cast("bigint")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    tb = (
+        pos.crossJoin(n)
+        .select(
+            F.expr(f"(gpos * {_VG_DECILES} + n - 1) div n")
+            .cast("bigint")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = spark.range(1, _VG_DECILES + 1).select(
+        F.col("id").alias("decile")
+    )
+    joined = (
+        grid.join(tb, "decile", "left")
+        .join(fb, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("v", F.lit(0)).alias("v"),
+        )
+    )
+    out = global_cumsum(
+        joined, [F.col("decile")], ["c", "v"], ["cum_tokens", "cum_vocab"]
+    )
+    return out.select(
+        "decile",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+    )
+
+
 # ------------------------- expected-count resampling (stochastic round)
 
 _RS_TARGET = 3.0  # expected copies for the longest document

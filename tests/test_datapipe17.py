@@ -48,7 +48,7 @@ def test_staged_not_published():
 
 
 def test_staged_batch_size():
-    assert len(STAGED) == 5
+    assert len(STAGED) == 8
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -75,6 +75,8 @@ _BNLJ_OK: dict[str, str] = {
     "ev_survival_km": "two 1-row scalars (corpus max ts for the "
     "censor cutoff, total user count for the at-risk complement) "
     "fanned onto the tiny duration table",
+    "tx_vocab_growth_curve": "single-row total-token-count scalar "
+    "broadcast into the decile bucketing",
 }
 
 
@@ -293,6 +295,98 @@ def test_hits_hand_structure(spark, tmp_path):
     con = _fixture_conn(d, ["events"])
     e = con.execute(STAGED["graph_hits_scores"].oracle).df()
     a = STAGED["graph_hits_scores"].fn(spark, d).toPandas()
+    assert canonical_rows(a) == canonical_rows(e)
+
+
+# --------------------------------------------- peak concurrency
+
+
+def test_peak_concurrency_hand_computed(spark, tmp_path):
+    """Three users: A active minutes 0-10, B minutes 5-15, C minute 8
+    (point session). Peak = 3 at minute 8; the overlap instant at
+    minute 5 reads 2; a session starting exactly when another ends
+    (D at A's last minute) still counts the overlap."""
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, minute):
+        return (i, base + dt.timedelta(minutes=minute), uid, "v", 1.0, "{}")
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 10),          # A: [0, 10]
+        ev(2, 2, 5), ev(3, 2, 15),          # B: [5, 15]
+        ev(4, 3, 8),                        # C: [8, 8]
+        ev(5, 4, 10), ev(6, 4, 20),         # D: [10, 20] (starts at A's end)
+    ]
+    events = spark.createDataFrame(rows, _EV_SCHEMA)
+    d = _fixture_dir(spark, tmp_path, events=events)
+    out = STAGED["ev_peak_concurrency"].fn(spark, d).collect()
+    lvl = {r.peak_t_us: r.concurrency for r in out}
+    us = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1e6)
+    assert lvl[us(8)] == 3       # A, B, C all active
+    assert lvl[us(5)] == 2       # A + B
+    # D starts at A's last minute: C's point session already closed
+    # (end+1us at minute 8), A's -1 applies AFTER D's +1 at the same
+    # instant -> A + B + D = 3.
+    assert lvl[us(10)] == 3
+    assert lvl[us(0)] == 1
+    con = _fixture_conn(d, ["events"])
+    e = con.execute(STAGED["ev_peak_concurrency"].oracle).df()
+    a = STAGED["ev_peak_concurrency"].fn(spark, d).toPandas()
+    assert canonical_rows(a) == canonical_rows(e)
+
+
+# ------------------------------------------- type affinity
+
+
+def test_type_affinity_hand_computed(spark, tmp_path):
+    """Users 1,2 both do {a,b}; user 3 does {a}. co(a,b)=2,
+    |U(a)|=3, |U(b)|=2 -> affinity = 2/sqrt(6)."""
+    base = dt.datetime(2024, 1, 1)
+    pairs = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")]
+    rows = [(i, base, u, t, 1.0, "{}") for i, (u, t) in enumerate(pairs)]
+    events = spark.createDataFrame(rows, _EV_SCHEMA)
+    d = _fixture_dir(spark, tmp_path, events=events)
+    out = STAGED["graph_type_affinity"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.co_users) == ("a", "b", 2)
+    assert abs(r.affinity - math.floor(2 / math.sqrt(6) * 1e6 + 0.5) / 1e6) < 1e-12
+    con = _fixture_conn(d, ["events"])
+    e = con.execute(STAGED["graph_type_affinity"].oracle).df()
+    a = STAGED["graph_type_affinity"].fn(spark, d).toPandas()
+    assert canonical_rows(a) == canonical_rows(e)
+
+
+# ------------------------------------------- vocabulary growth
+
+
+def test_vocab_growth_hand_computed(spark, tmp_path):
+    """Two docs, 10 tokens total (one per decile): doc 1 = 'a b a b a'
+    (vocab a,b both first-seen in deciles 1-2), doc 2 = 'c c c c d'
+    (c at position 6 -> decile 6, d at position 10 -> decile 10)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a", "en", "s", 9),
+            (2, "c c c c d", "en", "s", 9),
+        ],
+        _DOC_SCHEMA,
+    )
+    d = _fixture_dir(spark, tmp_path, documents=docs)
+    out = {r.decile: r for r in
+           STAGED["tx_vocab_growth_curve"].fn(spark, d).collect()}
+    assert sorted(out) == list(range(1, 11))
+    assert out[10].cum_tokens == 10 and out[10].cum_vocab == 4
+    assert out[1].cum_tokens == 1 and out[1].cum_vocab == 1   # 'a'
+    assert out[2].cum_vocab == 2                              # + 'b'
+    assert out[5].cum_vocab == 2 and out[6].cum_vocab == 3    # + 'c'
+    assert out[9].cum_vocab == 3 and out[10].cum_vocab == 4   # + 'd'
+    # monotone invariants
+    for i in range(2, 11):
+        assert out[i].cum_tokens >= out[i - 1].cum_tokens
+        assert out[i].cum_vocab >= out[i - 1].cum_vocab
+    con = _fixture_conn(d, ["documents"])
+    e = con.execute(STAGED["tx_vocab_growth_curve"].oracle).df()
+    a = STAGED["tx_vocab_growth_curve"].fn(spark, d).toPandas()
     assert canonical_rows(a) == canonical_rows(e)
 
 
