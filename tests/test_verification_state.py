@@ -218,3 +218,70 @@ def test_front_covers_mechanically_stale_names():
         f"verification debt overflows the 50-row window by "
         f"{len(overflow)} — staleness is outpacing the driver: {overflow}"
     )
+
+
+def test_rebase_guard_mechanics(monkeypatch, tmp_path):
+    """The rebase soundness precondition is ENFORCED (ADVICE r6 #1):
+    dirty tree -> refuse; clean tree without a promote stamp ->
+    refuse; stamp mismatch (package drifted since promote) -> refuse;
+    matching stamp -> rebases; --force overrides everything."""
+    import pytest
+
+    from tools import verification_state as vs
+
+    monkeypatch.setattr(vs, "STATE_PATH", tmp_path / "state.json")
+    vs._save_state(
+        {"verified": {"q": {"round": "r01", "hash": "old"}},
+         "legacy": {}, "pending": None}
+    )
+    monkeypatch.setattr(vs, "compute_hashes", lambda: {"q": "new"})
+
+    monkeypatch.setattr(vs, "_git_dirty_paths", lambda: [" M x.py"])
+    with pytest.raises(SystemExit, match="dirty"):
+        vs.cmd_rebase()
+
+    monkeypatch.setattr(vs, "_git_dirty_paths", lambda: [])
+    with pytest.raises(SystemExit, match="no promoted_tree"):
+        vs.cmd_rebase()
+
+    st = vs._load_state()
+    st["promoted_tree"] = "stampA"
+    vs._save_state(st)
+    monkeypatch.setattr(vs, "_pkg_tree_sha", lambda: "driftedB")
+    with pytest.raises(SystemExit, match="package tree changed"):
+        vs.cmd_rebase()
+    assert vs._load_state()["verified"]["q"]["hash"] == "old"
+
+    monkeypatch.setattr(vs, "_pkg_tree_sha", lambda: "stampA")
+    vs.cmd_rebase()
+    assert vs._load_state()["verified"]["q"]["hash"] == "new"
+
+    # --force bypasses both checks (dirty tree AND no stamp).
+    st = vs._load_state()
+    st["verified"]["q"]["hash"] = "old"
+    del st["promoted_tree"]
+    vs._save_state(st)
+    monkeypatch.setattr(vs, "_git_dirty_paths", lambda: [" M x.py"])
+    vs.cmd_rebase({"--force"})
+    assert vs._load_state()["verified"]["q"]["hash"] == "new"
+
+
+def test_rebase_keep_stale_respected_under_guard(monkeypatch, tmp_path):
+    """keep_stale names keep their old (stale) hash even when the
+    guard passes — they stay in the debt queue."""
+    from tools import verification_state as vs
+
+    monkeypatch.setattr(vs, "STATE_PATH", tmp_path / "state.json")
+    vs._save_state(
+        {"verified": {"a": {"round": "r01", "hash": "oldA"},
+                      "b": {"round": "r02", "hash": "oldB"}},
+         "legacy": {}, "pending": None,
+         "promoted_tree": "stampA"}
+    )
+    monkeypatch.setattr(vs, "compute_hashes", lambda: {"a": "newA", "b": "newB"})
+    monkeypatch.setattr(vs, "_git_dirty_paths", lambda: [])
+    monkeypatch.setattr(vs, "_pkg_tree_sha", lambda: "stampA")
+    vs.cmd_rebase({"b"})
+    state = vs._load_state()
+    assert state["verified"]["a"]["hash"] == "newA"
+    assert state["verified"]["b"]["hash"] == "oldB"
