@@ -24,14 +24,15 @@ _FRONT = [
     # roll-over — all 50 r6 rows verified), the datapipe15 publication,
     # and the round's bundled staling edits. Debt-prefix policy
     # (tests/test_verification_state.py): positions 1-12 the datapipe15
-    # publication (never driver-verified), 13-37 the 25 names staled by
-    # this round's bundle — the simhash128 re-registration
+    # publication (never driver-verified), 13-38 the 26 names staled by
+    # this round's edits — the simhash128 re-registration
     # (operators/dedup.py; whole dedup closure), the oracle-pin guards
-    # on the two derive-parameter queries (ADVICE r6 #3), and the
-    # raw-element floor-quantization fix (ADVICE r6 #4) — oldest
-    # verified round first. Positions 38-50 drain the r1 backlog
-    # oldest-first (13 slots: the 37-name debt left 13 of the 50-row
-    # window; COVERAGE.md round-7 delta shows the SLA arithmetic).
+    # on the two derive-parameter queries (ADVICE r6 #3), the
+    # raw-element floor-quantization fix (ADVICE r6 #4), and the
+    # ev_ewma_smoothed half-boundary fix the sf0.1 driver sim surfaced
+    # (COVERAGE r7 delta) — oldest verified round first. Positions
+    # 39-50 drain the r1 backlog oldest-first (12 slots; COVERAGE.md
+    # round-7 delta shows the SLA arithmetic).
     "dd_truncation_prefix_pairs",
     "tx_syllable_complexity",
     "tx_shingle_novelty",
@@ -69,6 +70,7 @@ _FRONT = [
     "emb_centroid_separation",
     "emb_topk_recall_eval",
     "dd_lsh_recall_eval",
+    "ev_ewma_smoothed",
     "j_semi_anti_customers",
     "a1_nest_orders_per_customer",
     "a2_collect_set_segments",
@@ -243,7 +245,6 @@ _FRONT = [
     "ds_length_buckets",
     "tx_langid_eval_confusion",
     "mm_mp4_demux_stats",
-    "ev_ewma_smoothed",
     "ds_waterfill_budget",
     "graph_kcore_peel",
     "sql_group_by_all_lateral",

@@ -555,8 +555,9 @@ _EWMA_SCHEMA = T.StructType([
         )
         SELECT user_id,
                count(*) AS n_events,
-               round(max(CASE WHEN rn = mx THEN s END), 6) AS final_ewma,
-               round(max(s), 6) AS max_ewma
+               floor(max(CASE WHEN rn = mx THEN s END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS final_ewma,
+               floor(max(s) * 1000000.0 + 0.5) / 1000000.0 AS max_ewma
         FROM (SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx FROM ew)
         GROUP BY user_id
     """,
@@ -570,6 +571,15 @@ def ev_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays in its recursive CTE — α=1/2 keeps every step an exact
     IEEE halving, so even the float state hash-matches across engines
     (same discipline as ev_cusum_drift).
+
+    The 6-dp output quantization is floor(x·1e6+0.5)/1e6, NOT
+    round(): α=1/2 states are 2-dp values over 2^k, whose decimal
+    expansions SYSTEMATICALLY graze 6th-dp half boundaries (sf0.1
+    surfaced 3 of 1500 rows where a state like 84.04718749999999…
+    split Spark's BigDecimal-HALF_UP from DuckDB's scaled rint by one
+    final ulp — green at sf0.01 purely by row-count luck). The floor
+    form is the same chain of IEEE double ops on both engines, so the
+    boundary cannot split them.
 
     Scale shape: one shuffle on user_id; per-group state is O(1); the
     output is one row per user."""
@@ -599,8 +609,10 @@ def ev_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("final_ewma", 6).alias("final_ewma"),
-            F.round("max_ewma", 6).alias("max_ewma"),
+            (F.floor(F.col("final_ewma") * F.lit(1000000.0) + F.lit(0.5))
+             / F.lit(1000000.0)).alias("final_ewma"),
+            (F.floor(F.col("max_ewma") * F.lit(1000000.0) + F.lit(0.5))
+             / F.lit(1000000.0)).alias("max_ewma"),
         )
     )
 
