@@ -860,6 +860,82 @@ def tx_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ DAU/WAU engagement stickiness
+
+
+@_staged(
+    "ev_dau_wau_stickiness",
+    tags=("datapipe", "events", "engagement"),
+    oracle=f"""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (
+          SELECT day, count(*) AS dau FROM du GROUP BY day
+        ),
+        contrib AS (
+          SELECT CAST(w AS DATE) AS wday, user_id
+          FROM du, UNNEST(generate_series(
+                 CAST(day AS TIMESTAMP),
+                 CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                 INTERVAL 1 DAY)) AS t(w)
+        ),
+        wau AS (
+          SELECT wday AS day, count(DISTINCT user_id) AS wau
+          FROM contrib GROUP BY wday
+        )
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+               CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+               {_SQL_Q6.format(
+                   x='CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)')}
+                 AS stickiness
+        FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active over trailing-7-day-active users (DAU/WAU
+    "stickiness", the engagement ratio product analytics tracks): one
+    row per active day with dau, wau (distinct users over the trailing
+    window ending that day, partial windows at the corpus head
+    included), and the quantized ratio.
+
+    Scale shape: the trailing-distinct is NOT a range-condition join
+    (which would plan a BroadcastNestedLoopJoin over the day grid) —
+    each (user, day) activity row is EXPLODED into the 7 window-end
+    days it contributes to (a fixed 7× fan-out projection), then one
+    count-distinct per day, which Spark rewrites to a two-phase
+    (day, user) hash aggregate with map-side partial dedup — an
+    equi-shuffle on day, no window function, no theta join. Output
+    days are restricted to observed-active days by the inner join with
+    the DAU table. Determinism: pure integer counts + one quantized
+    division; the day is a yyyy-MM-dd string on both engines."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            _q6(
+                F.col("dau").cast("double") / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
 # ------------------------- expected-count resampling (stochastic round)
 
 _RS_TARGET = 3.0  # expected copies for the longest document

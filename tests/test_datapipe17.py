@@ -48,7 +48,7 @@ def test_staged_not_published():
 
 
 def test_staged_batch_size():
-    assert len(STAGED) == 8
+    assert len(STAGED) == 9
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -387,6 +387,35 @@ def test_vocab_growth_hand_computed(spark, tmp_path):
     con = _fixture_conn(d, ["documents"])
     e = con.execute(STAGED["tx_vocab_growth_curve"].oracle).df()
     a = STAGED["tx_vocab_growth_curve"].fn(spark, d).toPandas()
+    assert canonical_rows(a) == canonical_rows(e)
+
+
+# --------------------------------------------- DAU/WAU stickiness
+
+
+def test_dau_wau_hand_computed(spark, tmp_path):
+    """Day 1: users {1,2}; day 2: {2}; day 9: {3}. WAU(1)=2, WAU(2)=2
+    (trailing window covers both days), WAU(9)=1 (days 1-2 fell out of
+    the 7-day window). Stickiness(2) = 1/2."""
+    base = dt.datetime(2024, 3, 1, 12, 0)
+
+    def ev(i, uid, day):
+        return (i, base + dt.timedelta(days=day - 1), uid, "v", 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [ev(0, 1, 1), ev(1, 2, 1), ev(2, 2, 2), ev(3, 3, 9)], _EV_SCHEMA
+    )
+    d = _fixture_dir(spark, tmp_path, events=events)
+    out = {r.day: r for r in
+           STAGED["ev_dau_wau_stickiness"].fn(spark, d).collect()}
+    assert sorted(out) == ["2024-03-01", "2024-03-02", "2024-03-09"]
+    assert (out["2024-03-01"].dau, out["2024-03-01"].wau) == (2, 2)
+    assert (out["2024-03-02"].dau, out["2024-03-02"].wau) == (1, 2)
+    assert out["2024-03-02"].stickiness == 0.5
+    assert (out["2024-03-09"].dau, out["2024-03-09"].wau) == (1, 1)
+    con = _fixture_conn(d, ["events"])
+    e = con.execute(STAGED["ev_dau_wau_stickiness"].oracle).df()
+    a = STAGED["ev_dau_wau_stickiness"].fn(spark, d).toPandas()
     assert canonical_rows(a) == canonical_rows(e)
 
 
