@@ -46,7 +46,32 @@ def _steal_pct(start: dict, end: dict) -> float | None:
         return None
 
 
-def _anchor_mins(sf: str, window: int = 3) -> dict[str, float]:
+def _committed(path: str) -> bool:
+    """True iff ``path`` is tracked AND unmodified in git. The anchor
+    contract is 'committed rounds' (ADVICE r7 #1): a bench re-run
+    within the same round writes SPARK_GRAFT_LOCAL_OUT into the repo
+    dir, and without this check the glob would ingest that in-flight
+    artifact, displacing an older committed round from the 3-round
+    window. Fail open (treat as committed) if git is unavailable —
+    the driver's own BENCH_r*.json wrappers are always committed."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", os.path.basename(path)],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return True
+    if out.returncode != 0:
+        return True
+    # Untracked ("??") or modified-since-commit entries are in-flight.
+    return out.stdout.strip() == ""
+
+
+def _anchor_mins(sf: str, window: int = 3,
+                 valid: set[str] | None = None) -> dict[str, float]:
     """Per-query minimum over the LAST ``window`` committed
     BENCH_r*.json rounds that recorded the query at this SF — the
     absolute anchor the internal-spread guard lacks (VERDICT r5 #3): a
@@ -69,7 +94,14 @@ def _anchor_mins(sf: str, window: int = 3) -> dict[str, float]:
     rounds: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         rounds[os.path.basename(path)[len("BENCH_"):-len(".json")]] = path
+    in_flight = os.environ.get("SPARK_GRAFT_LOCAL_OUT")
     for path in sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))):
+        # Skip the artifact THIS run is about to (re)write and any
+        # git-uncommitted local artifact: only committed rounds anchor.
+        if in_flight and os.path.basename(path) == in_flight:
+            continue
+        if not _committed(path):
+            continue
         rounds[os.path.basename(path)[len("BENCH_LOCAL_"):-len(".json")]] = path
     for _tag, path in sorted(rounds.items()):
         try:
@@ -88,10 +120,13 @@ def _anchor_mins(sf: str, window: int = 3) -> dict[str, float]:
             # fragment don't match (their values are lists).
             import re
 
+            # Whitelist scraped names against the CURRENT bench-query
+            # set (ADVICE r7 #4): a blacklist of known meta keys would
+            # mint anchor entries for any future scalar meta field
+            # (steal_pct, total, ...) appearing in a truncated tail.
             for m in re.finditer(r'"(\w+)":\s*([0-9.]+)', wrapper["tail"]):
-                queries.setdefault(m.group(1), float(m.group(2)))
-            for meta in ("sf", "value", "n", "rc", "cpus"):
-                queries.pop(meta, None)
+                if valid is None or m.group(1) in valid:
+                    queries.setdefault(m.group(1), float(m.group(2)))
         for name, t in queries.items():
             if isinstance(t, (int, float)) and t > 0:
                 per_round.setdefault(name, []).append(float(t))
@@ -100,6 +135,11 @@ def _anchor_mins(sf: str, window: int = 3) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # This is a timing harness, not an oracle gate: at corpus sizes
+    # beyond the pinned-oracle scale the derive-parameter queries
+    # (dd_embedding_cosine_pairs, dd_semantic_prune) raise unless told
+    # their caller accepts scale-derived configs (ADVICE r7 #2).
+    os.environ.setdefault("CQDG_SCALE_DERIVE", "1")
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
 
@@ -120,11 +160,12 @@ def main() -> None:
     spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    anchors = _anchor_mins(sf)
+    anchors = _anchor_mins(sf, valid=set(bench_queries))
     sys_start = _sys_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     contended: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for name, q in bench_queries.items():
         # Steady-state measurement: one untimed warmup run per query
         # absorbs one-time costs (Catalyst analysis cache, whole-stage
@@ -138,8 +179,15 @@ def main() -> None:
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # One guard trip (or any per-query failure) must not kill the
+        # whole artifact mid-loop (ADVICE r7 #2): record and move on.
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            spark.catalog.clearCache()
+            continue
         runs = []
         for _ in range(3):
             start = time.perf_counter()
@@ -204,6 +252,8 @@ def main() -> None:
         "contended": contended,
         "sf": float(sf) if sf else sf_dir,
     }
+    if errors:
+        line["errors"] = errors
     print(json.dumps(line))
     # Builder-side artifact (VERDICT r6 #4): the COMPLETE record — the
     # anchors every comparison used, all runs, and host-contention

@@ -50,10 +50,17 @@ from cqdg_etl_spark.queries import datapipe15 as _datapipe15  # noqa: E402
 
 _datapipe15.register()
 
+# Round-8 publication (staged in round 6, verified locally at
+# sf0.001/0.01 + fixtures by tests/test_datapipe16.py; the rerank
+# pipeline additionally shuffle-bound-confirmed at sf0.1 in round 7):
+from cqdg_etl_spark.queries import datapipe16 as _datapipe16  # noqa: E402
+
+_datapipe16.register()
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 216
+EXPECTED_REGISTRY_SIZE = 221
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

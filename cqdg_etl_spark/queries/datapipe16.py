@@ -1,14 +1,10 @@
-"""Round-8 staged queries — NOT yet in the driver registry.
+"""Round-8 publication (staged in round 6, published round 8).
 
 Same staging discipline as datapipe13→15: full Query objects with
 DuckDB value-hash oracles, locally verified by tests/test_datapipe16.py
-at sf0.001/sf0.01, kept out of ``cqdg_etl_spark.queries.REGISTRY`` so
-the published surface never carries a name without a driver row. The
-round-7 window is already spoken for (12 datapipe15 publications +
-backlog drain); these wait their turn by design.
-
-To publish (round 8): call ``register()`` from queries/__init__.py and
-bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``.
+at sf0.001/sf0.01 BEFORE publication; ``register()`` is called from
+``queries/__init__.py`` (round 8) and the five names are front-loaded
+in the driver window for their first correctness rows.
 
 Batch theme: closing the loop on the engine's approximate structures —
 the production ANN serving shape (IVF coarse pruning → PQ-ADC code

@@ -506,6 +506,12 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a_raw.unpersist()
         h_raw.unpersist()
+    # The final h is localCheckpointed (lineage cut), so the bipartite
+    # edge frame is no longer reachable from the returned plan — drop
+    # it here rather than leaking a cached frame into the session
+    # (ADVICE r7 #3; bench.py's clearCache masked it, other harnesses
+    # running many queries per session would not).
+    e.unpersist()
     return (
         h.orderBy(F.col("s").desc(), F.col("user_id"))
         .limit(_HITS_TOPK)

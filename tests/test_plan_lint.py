@@ -199,3 +199,42 @@ def test_no_antipattern_nodes(spark, sf_dir, name):
             f"physical plan — range-partition via operators/ranking "
             f"or whitelist with a bounded-frame justification\n{plan}"
         )
+
+
+def test_no_orphaned_staged_exceptions():
+    """Mechanical publication hand-off (VERDICT r7 #5): staged batches
+    carry their reviewed join-shape exceptions in the staged test
+    module's ``_BNLJ_OK`` dict; publication must copy those entries
+    into the fleet ``BNLJ_OK`` above. This test parses every staged
+    test module's ``_BNLJ_OK`` literal and fails if any name in one is
+    already PUBLISHED (present in REGISTRY) but missing from the fleet
+    list — the forgotten-copy failure mode that previously relied on a
+    human checklist. AST-based on purpose: importing staged test
+    modules here would couple collection order; the dicts are plain
+    literals by convention (implicit string concatenation is folded at
+    parse time, so ``ast.literal_eval`` sees one constant)."""
+    import ast
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    orphaned = []
+    for path in sorted(glob.glob(os.path.join(here, "test_datapipe*.py"))):
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [getattr(t, "id", None) for t in node.targets]
+            elif isinstance(node, ast.AnnAssign):
+                targets = [getattr(node.target, "id", None)]
+            if "_BNLJ_OK" not in targets or node.value is None:
+                continue
+            staged_ok = ast.literal_eval(node.value)
+            for name in staged_ok:
+                if name in REGISTRY and name not in BNLJ_OK:
+                    orphaned.append((os.path.basename(path), name))
+    assert not orphaned, (
+        "published queries whose reviewed BNLJ exception was left "
+        f"behind in a staged module: {orphaned} — copy the entries "
+        "into tests/test_plan_lint.py::BNLJ_OK"
+    )
