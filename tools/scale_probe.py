@@ -169,6 +169,31 @@ WAVE5 = [
 ]
 
 
+# Wave 6 (--wave6): the round-8 datapipe16 publications — first
+# curvature measurement for the batch (VERDICT r7 #4). Superlinearity
+# risks by shape: the rerank pipeline's shortlist-fetch join is the
+# one stage touching full vectors (ann_topk_ivf_pq_rerank — probe it
+# to x20: the shortlist is per-query bounded, so the fetch should stay
+# linear in corpus size with a constant shortlist factor); exact
+# Jaccard verification over the LSH candidate set inside the
+# calibration deciles (dd_minhash_calibration — candidates grow with
+# corpus, verification is per-candidate bounded); connected-component
+# rounds inside the cluster-size profile (dd_dup_cluster_size_profile
+# — iterative, log-diameter rounds); the global median/MAD two-pass
+# (pf_robust_zscore_event_value — rank passes are range-partitioned,
+# never a single-task window); and the |sources|² pair matrix over
+# per-source unigram distributions (tx_source_js_divergence — sources
+# are a bounded domain, so the quadratic is in a constant, but the
+# per-source distributions aggregate the full corpus).
+WAVE6 = [
+    "ann_topk_ivf_pq_rerank",
+    "dd_minhash_calibration",
+    "dd_dup_cluster_size_profile",
+    "pf_robust_zscore_event_value",
+    "tx_source_js_divergence",
+]
+
+
 def _semantic_prune_fixed_bits(spark, sf_dir: str, scale: int):
     """CONTRAST series: semantic dedup with the pre-round-6 fixed
     n_bits=4. Round 6 re-registered dd_semantic_prune to derive n_bits
@@ -385,10 +410,11 @@ def main() -> int:
     wave3 = "--wave3" in args
     wave4 = "--wave4" in args
     wave5 = "--wave5" in args
+    wave6 = "--wave6" in args
     scales = [
         int(a)
         for a in args
-        if a not in ("--wave2", "--wave3", "--wave4", "--wave5")
+        if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -396,7 +422,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave5:
+    if wave6:
+        all_names = WAVE6
+    elif wave5:
         all_names = WAVE5
     elif wave4:
         all_names = WAVE4
