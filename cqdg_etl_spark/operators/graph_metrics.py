@@ -1,0 +1,172 @@
+"""Graph EVALUATION metrics — modularity of a given labeling and
+multi-source BFS hop distances.
+
+Lives in a NEW module (not ``operators/graph.py``) on the hash-
+stability discipline: editing a published UDF-bearing module stales
+every closure-sharing query's verification hash, so staged batches
+put new kernels beside, not inside, the published ones (the
+``lsh_audit.py`` / ``ann_rerank.py`` precedent).
+
+Scale shapes (100-TB posture):
+- ``modularity`` is two equi-joins (edge ends → labels) + one
+  map-side-combinable groupBy over communities; the only non-equi
+  node is the 1-row (m, two_m) scalar broadcast — the reviewed
+  bounded-BNLJ class used fleet-wide for global scalars.
+- ``bfs_hops`` is the iterative frontier expansion: per round ONE
+  equi-join (frontier × adjacency) + one anti-join (drop visited) +
+  distinct, lineage truncated per round (graph.py discipline). Work
+  per round is O(edges touched by the frontier); rounds are bounded
+  by ``max_hops`` — never a transitive-closure blowup.
+
+No reference counterpart (Ferlab-Ste-Justine/cqdg-etl has no graph
+analytics); shapes chosen for Spark's execution model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators.graph import _truncate
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community Newman modularity terms for a GIVEN labeling.
+
+    ``edges``: undirected simple graph, one row per edge (src < dst
+    by convention; no self loops). ``labels``: (node, label) — edges
+    with an unlabeled endpoint are dropped (inner joins), and Q is
+    computed over the LABELED subgraph: m, degrees, and internal
+    counts all come from the surviving edges, so the metric stays
+    internally consistent when the labeling is partial.
+
+    Q = Σ_c [ e_c/m − (d_c/(2m))² ] over communities c, where m is
+    the total edge count, e_c the number of edges with BOTH ends in
+    c, and d_c the sum of degrees of c's nodes. Returns one row per
+    community: (label, n_nodes, internal_edges, degree_sum, q_term)
+    — Σ q_term is Q, but the per-community decomposition is the
+    useful audit (which communities are denser than chance).
+
+    Engine-exactness: e_c, d_c, m are exact integers; q_term is two
+    IEEE divisions + one multiply + one subtract on those integers,
+    quantized floor(x·1e6+0.5)/1e6 — bit-identical on any engine
+    that evaluates the same expression tree.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    la = labels.select(
+        F.col(node_col).alias("_s"), F.col(label_col).alias("_la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("_d"), F.col(label_col).alias("_lb")
+    )
+    labeled = e.join(la, "_s").join(lb, "_d")
+
+    # Degree sum per community: each edge contributes 1 to each end's
+    # degree — aggregate both endpoint labels in one pass (explode the
+    # two labels per edge, then count), map-side combinable.
+    deg_terms = labeled.select(
+        F.explode(F.array(F.col("_la"), F.col("_lb"))).alias("label")
+    )
+    d_c = deg_terms.groupBy("label").agg(F.count("*").alias("degree_sum"))
+
+    e_c = (
+        labeled.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+
+    n_c = (
+        labels.join(
+            e.select(F.col("_s").alias("n"))
+            .unionByName(e.select(F.col("_d").alias("n")))
+            .distinct(),
+            F.col(node_col) == F.col("n"),
+            "left_semi",
+        )
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+    # 1-row scalar, broadcast — the LABELED edge count (see docstring).
+    m_row = labeled.agg(F.count("*").alias("_m"))
+
+    out = (
+        n_c.join(d_c, "label", "left")
+        .join(e_c, "label", "left")
+        .join(F.broadcast(m_row))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("internal_edges"), F.lit(0).cast("long")).alias(
+                "internal_edges"
+            ),
+            F.coalesce(F.col("degree_sum"), F.lit(0).cast("long")).alias(
+                "degree_sum"
+            ),
+            F.col("_m"),
+        )
+    )
+    frac = F.col("internal_edges").cast("double") / F.col("_m").cast("double")
+    half = F.col("degree_sum").cast("double") / (
+        F.col("_m").cast("double") * F.lit(2.0)
+    )
+    q_term = frac - half * half
+    return out.select(
+        "label",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        (F.floor(q_term * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
+        .alias("q_term"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Multi-source BFS: min hop distance (≤ max_hops) from any source.
+
+    Returns (node, hop) for every node reachable within ``max_hops``
+    (sources themselves at hop 0). Classic Pregel frontier expansion:
+    per round the CURRENT frontier joins the symmetrized adjacency
+    (equi-join on node id), newly-seen nodes become the next frontier
+    (anti-join against the visited set), lineage truncated per round
+    so the plan doesn't grow with the hop count. Deterministic: hop
+    is the minimum distance regardless of visit order because a node
+    entering the visited set at round k can only be reached at ≥ k
+    by construction.
+    """
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    frontier = sources.select(F.col(source_col).alias("node")).distinct()
+    visited = frontier.withColumn("hop", F.lit(0).cast("int"))
+    visited = _truncate(visited, checkpoint)
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(k).cast("int"))
+        )
+        nxt = _truncate(nxt, checkpoint)
+        visited = _truncate(visited.unionByName(nxt), checkpoint)
+        frontier = nxt.select("node")
+    return visited

@@ -203,20 +203,23 @@ def test_no_antipattern_nodes(spark, sf_dir, name):
 
 def test_no_orphaned_staged_exceptions():
     """Mechanical publication hand-off (VERDICT r7 #5): staged batches
-    carry their reviewed join-shape exceptions in the staged test
-    module's ``_BNLJ_OK`` dict; publication must copy those entries
-    into the fleet ``BNLJ_OK`` above. This test parses every staged
-    test module's ``_BNLJ_OK`` literal and fails if any name in one is
-    already PUBLISHED (present in REGISTRY) but missing from the fleet
-    list — the forgotten-copy failure mode that previously relied on a
-    human checklist. AST-based on purpose: importing staged test
-    modules here would couple collection order; the dicts are plain
-    literals by convention (implicit string concatenation is folded at
-    parse time, so ``ast.literal_eval`` sees one constant)."""
+    carry their reviewed plan-shape exceptions in the staged test
+    module's ``_BNLJ_OK`` / ``_GLOBAL_WINDOW_OK`` dicts; publication
+    must copy those entries into the fleet ``BNLJ_OK`` /
+    ``GLOBAL_WINDOW_OK`` above. This test parses every staged test
+    module's literals and fails if any name in one is already
+    PUBLISHED (present in REGISTRY) but missing from the matching
+    fleet list — the forgotten-copy failure mode that previously
+    relied on a human checklist. AST-based on purpose: importing
+    staged test modules here would couple collection order; the dicts
+    are plain literals by convention (implicit string concatenation
+    is folded at parse time, so ``ast.literal_eval`` sees one
+    constant)."""
     import ast
     import glob
     import os
 
+    fleet = {"_BNLJ_OK": BNLJ_OK, "_GLOBAL_WINDOW_OK": GLOBAL_WINDOW_OK}
     here = os.path.dirname(os.path.abspath(__file__))
     orphaned = []
     for path in sorted(glob.glob(os.path.join(here, "test_datapipe*.py"))):
@@ -227,14 +230,18 @@ def test_no_orphaned_staged_exceptions():
                 targets = [getattr(t, "id", None) for t in node.targets]
             elif isinstance(node, ast.AnnAssign):
                 targets = [getattr(node.target, "id", None)]
-            if "_BNLJ_OK" not in targets or node.value is None:
+            staged_dicts = [t for t in targets if t in fleet]
+            if not staged_dicts or node.value is None:
                 continue
+            fleet_ok = fleet[staged_dicts[0]]
             staged_ok = ast.literal_eval(node.value)
             for name in staged_ok:
-                if name in REGISTRY and name not in BNLJ_OK:
-                    orphaned.append((os.path.basename(path), name))
+                if name in REGISTRY and name not in fleet_ok:
+                    orphaned.append(
+                        (os.path.basename(path), staged_dicts[0], name)
+                    )
     assert not orphaned, (
-        "published queries whose reviewed BNLJ exception was left "
-        f"behind in a staged module: {orphaned} — copy the entries "
-        "into tests/test_plan_lint.py::BNLJ_OK"
+        "published queries whose reviewed plan-shape exception was "
+        f"left behind in a staged module: {orphaned} — copy the "
+        "entries into the matching tests/test_plan_lint.py fleet dict"
     )
