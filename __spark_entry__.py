@@ -19,21 +19,35 @@ from cqdg_etl_spark.queries import REGISTRY
 # Driver correctness-row ordering. The driver caps a round at 50 rows,
 # so _FRONT position is the publication priority.
 _FRONT = [
-    # Mechanically derived at the round-8 window build: `python
-    # tools/verification_state.py front` after the r07 promote (zero
-    # roll-over — all 50 r7 rows verified) and the datapipe16
-    # publication. Debt-prefix policy (tests/test_verification_state.py):
-    # positions 1-5 the datapipe16 publication (never driver-verified —
-    # round 8 bundles NO closure edits, so the staleness debt is
-    # exactly the publication); positions 6-50 drain the r1/r2 backlog
-    # oldest-first (45 slots; COVERAGE.md round-7 delta SLA arithmetic:
-    # backlog 50 -> 5, round 9 clears the tail). Positions 51+ are the
-    # rest of the registry oldest-verified-round first.
+    # Mechanically derived at the round-8 window build (second
+    # session): `python tools/verification_state.py front` after the
+    # r07 promote (zero roll-over — all 50 r7 rows verified), the
+    # datapipe16 publication, and this round's bundled broadcast-hint
+    # audit. Debt-prefix policy (tests/test_verification_state.py):
+    # positions 1-5 the datapipe16 publication (never
+    # driver-verified); positions 6-14 the nine names staled by the
+    # corpus-sized-broadcast closure edits (retrieval.py dl,
+    # sparse_sim.py norms, quality.py component map — values
+    # re-oracle-checked, plans intentionally changed); positions
+    # 15-50 drain the r1/r2 backlog oldest-first (36 slots; COVERAGE
+    # round-8 delta restates the SLA arithmetic: backlog 50 -> 14,
+    # round 9 clears the tail alongside the datapipe17 publication).
+    # Positions 51+ are the rest of the registry
+    # oldest-verified-round first.
     "ann_topk_ivf_pq_rerank",
     "dd_minhash_calibration",
     "dd_dup_cluster_size_profile",
     "pf_robust_zscore_event_value",
     "tx_source_js_divergence",
+    "tx_repetition_metrics",
+    "tx_c4_rule_filter",
+    "tx_pii_redaction",
+    "dd_canonical_per_cluster",
+    "dd_tfidf_cosine_pairs",
+    "ret_bm25_topk",
+    "ret_hybrid_rrf",
+    "pipe_corpus_curation_e2e",
+    "emb_topk_recall_eval",
     "f9_truthy_conversion_flag",
     "p7_null_default_status",
     "f13_monthly_order_buckets",
@@ -83,15 +97,12 @@ _FRONT = [
     "tx_quality_calibrated_udf",
     "mm_png_header_roundtrip",
     "tx_sentences_udtf",
-    "tx_repetition_metrics",
     "q9_profit_by_nation_year",
     "ev_stream_left_outer_join",
     "sql_recursive_supplier_tree",
     "sql_scalar_udf_revenue",
     "mm_media_features",
     "pf_expect_orders",
-    "tx_c4_rule_filter",
-    "tx_pii_redaction",
     "tx_top_bigrams",
     "pf_histogram_totalprice",
     "ds_mixture_weighted_sample",
@@ -220,21 +231,15 @@ _FRONT = [
     "dd_duplicate_clusters",
     "tx_tfidf_term_stats",
     "dd_minhash_verified_pairs",
-    "dd_canonical_per_cluster",
     "dd_semantic_prune",
     "dd_span_dedup",
     "dd_fuzzy_name_pairs",
-    "dd_tfidf_cosine_pairs",
-    "ret_bm25_topk",
-    "ret_hybrid_rrf",
     "dd_ppjoin_pairs",
     "tx_novelty_score",
     "ds_softdedup_weights",
     "emb_centroid_separation",
     "dd_cross_source_leakage",
     "dd_containment_pairs",
-    "pipe_corpus_curation_e2e",
-    "emb_topk_recall_eval",
     "ds_cluster_safe_split",
     "dd_lsh_recall_eval",
     "ev_ewma_smoothed",

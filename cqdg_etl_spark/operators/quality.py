@@ -368,16 +368,20 @@ def canonical_per_cluster(
     The winner is the highest-``quality_col`` member (ties → lowest
     id). Returns (id, component, is_canonical).
 
-    Scale shape: the component map is #duplicate-docs rows (tiny vs the
-    corpus) → broadcast left join; the winner is a window rank
-    partitioned by component — the window input is only the clustered
-    docs plus singletons, and singleton partitions are size-1, so no
-    skew beyond the largest duplicate cluster.
+    Scale shape: the component map is #duplicate-docs rows — usually
+    smaller than the corpus but NOT boundedly so (web-crawl near-dup
+    rates run 30-80%, so at 100 TB the map can be billions of rows):
+    no broadcast hint — AQE broadcasts at runtime when the map is
+    actually small and falls back to a node-keyed shuffle join when
+    it isn't. The winner is a window rank partitioned by component —
+    the window input is only the clustered docs plus singletons, and
+    singleton partitions are size-1, so no skew beyond the largest
+    duplicate cluster.
     """
     from pyspark.sql import Window
 
     labeled = docs.join(
-        F.broadcast(components),
+        components,
         docs[id_col] == components["node"],
         "left",
     ).select(

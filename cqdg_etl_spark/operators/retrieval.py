@@ -67,9 +67,15 @@ def bm25_topk(
         F.count("*").alias("tf")
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # dl is CORPUS-sized (one row per document) — no broadcast hint:
+    # at fleet scale a hinted broadcast of billions of doc lengths
+    # would OOM the driver. It's a plain doc-keyed equi-join; AQE
+    # still broadcasts whichever side is actually small at runtime
+    # (here tf, already filtered to query-matching docs). dfreq
+    # (≤ |query| rows) and stats (1 row) stay hinted.
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(dl), "doc")
+        .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",

@@ -121,11 +121,17 @@ def tfidf_cosine_pairs(
             .alias("dot")
         )
     )
-    na = F.broadcast(
-        norms.select(F.col("doc").alias("doc_a"), F.col("norm").alias("norm_a"))
+    # norms is CORPUS-sized (one row per document) — no broadcast
+    # hint: at fleet scale a hinted broadcast of billions of norms
+    # would OOM the driver. Both are doc-keyed equi-joins; AQE still
+    # broadcasts at runtime when the frame is actually small (every
+    # harness SF), and at 100 TB the candidate-pair side shuffles on
+    # the same doc key it already carries.
+    na = norms.select(
+        F.col("doc").alias("doc_a"), F.col("norm").alias("norm_a")
     )
-    nb = F.broadcast(
-        norms.select(F.col("doc").alias("doc_b"), F.col("norm").alias("norm_b"))
+    nb = norms.select(
+        F.col("doc").alias("doc_b"), F.col("norm").alias("norm_b")
     )
     return (
         dots.join(na, "doc_a")
