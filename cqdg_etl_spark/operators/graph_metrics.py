@@ -128,6 +128,82 @@ def modularity(
     )
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 64,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over an undirected simple
+    graph given as canonical distinct pairs (src < dst): score every
+    NON-adjacent pair (u < v) sharing ≥ 1 neighbor by
+    |N(u)∩N(v)| / |N(u)∪N(v)|. The set-overlap complement of
+    Adamic–Adar (graph.py::adamic_adar — same wedge join, different
+    weighting): Jaccard normalizes by neighborhood size, so a pair of
+    low-degree nodes with one shared neighbor can outrank a hub pair.
+
+    Scale shape: the wedge enumeration is the degree-oriented
+    common-neighbor equi-join with the SAME ``max_center_degree`` hub
+    guard as adamic_adar — a center with degree d emits d² wedges, so
+    hot hubs are excluded from the CENTER role (documented, mirrored
+    in oracles; capped centers under-count `common` by the same
+    reviewed approximation). Degrees come from the FULL adjacency
+    (one map-side-combinable aggregate); existing edges anti-join
+    out; the division is one IEEE op over exact integers, quantized
+    at 6 dp.
+
+    Returns (a, b, common, deg_a, deg_b, jaccard) for pairs with
+    jaccard ≥ ``min_jaccard``.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    centers = deg.filter(F.col("deg") <= max_center_degree).select(
+        F.col("node").alias("u")
+    )
+    w = adj.select(F.col("a").alias("u"), F.col("b").alias("v")).join(
+        centers, "u"
+    )
+    w1 = w.select("u", F.col("v").alias("p"))
+    w2 = w.select("u", F.col("v").alias("q"))
+    wedges = w1.join(w2, "u").filter(F.col("p") < F.col("q"))
+    common = wedges.groupBy("p", "q").agg(F.count("*").alias("common"))
+    nonadj = common.join(
+        e.select(F.col("a").alias("p"), F.col("b").alias("q")),
+        ["p", "q"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("p"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("q"), F.col("deg").alias("deg_b"))
+    scored = (
+        nonadj.join(da, "p")
+        .join(db, "q")
+        .select(
+            F.col("p").alias("a"),
+            F.col("q").alias("b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.floor(
+                    F.col("common").cast("double")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+                    .cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= F.lit(min_jaccard))
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
