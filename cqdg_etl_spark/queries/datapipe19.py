@@ -269,14 +269,21 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         _q6(F.lit(1.0) / F.col("k").cast("double"))
         .cast("decimal(18,6)").alias("pi"),
-    )
+    ).localCheckpoint()
     for _ in range(_MKV_ITERS):
+        # Per-round lineage truncation (the graph.py iterative
+        # discipline): raw is referenced TWICE per round (z and the
+        # next pi), so without materialization the un-truncated plan
+        # doubles per level — 2^8 copies of the transition subtree
+        # and exponential Catalyst planning time (measured 75 s at
+        # x1 before this checkpoint, scale-independent). The frames
+        # are |types|-bounded, so the checkpoint is ~free.
         raw = (
             pi.join(p, pi["t"] == p["from_type"])
             .groupBy(F.col("to_type").alias("t"))
             .agg(F.sum(F.col("pi") * F.col("p")).cast("decimal(38,12)")
                  .alias("s"))
-        )
+        ).localCheckpoint()
         z = raw.agg(F.sum("s").cast("decimal(38,12)").alias("z"))
         pi = (
             types.join(raw, "t", "left")
@@ -288,7 +295,7 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double") / F.col("z").cast("double")
                 ).cast("decimal(18,6)").alias("pi"),
             )
-        )
+        ).localCheckpoint()
     emp = ev.groupBy(F.col("event_type").alias("t")).agg(
         F.count("*").alias("cnt")
     )
