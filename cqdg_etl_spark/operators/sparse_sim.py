@@ -67,12 +67,20 @@ def tfidf_cosine_pairs(
       posting list on one task; the [min_df, max_df] band filter then
       joins back on h — AQE can split a skewed join partition, and the
       hot rows are dropped at the probe, never carried further;
-    - the banded ``weighted`` index is persisted: four consumers (two
-      self-join sides, two norm broadcasts) read one materialization —
-      the same explicit-materialization point semantic_dedup uses —
-      instead of re-tokenizing the corpus per consumer;
-    - norms join back AFTER the pair aggregate as broadcasts of #docs
-      skinny rows.
+    - the banded ``weighted`` index is persisted (norms + the
+      norm-attach join read one materialization instead of
+      re-tokenizing the corpus), and the norm-carrying ``indexed``
+      frame is persisted for the two self-join sides — the same
+      explicit-materialization point semantic_dedup uses;
+    - each doc's norm is attached to its index rows ONCE (a doc-keyed
+      equi-join of the index with its own per-doc aggregate) and
+      rides THROUGH the token-keyed self-join into the pair rows: the
+      candidate-pair frame — the largest frame in this plan at fleet
+      scale — is never re-shuffled by doc_a/doc_b to fetch norms.
+      (Round-8 history: the original shape broadcast the corpus-sized
+      norm table — a driver OOM at fleet scale; the hint-removed
+      intermediate shape re-exchanged the pair aggregate twice and
+      measured 3× slower at sf0.1.)
     """
     from pyspark import StorageLevel
 
@@ -105,15 +113,23 @@ def tfidf_cosine_pairs(
             )
         ).alias("norm")
     )
-    a = weighted.alias("a").hint("shuffle_hash")
-    b = weighted.alias("b").hint("shuffle_hash")
+    # Norm rides the index rows (see docstring): one doc-keyed join of
+    # the index with its own aggregate, then the pair rows already
+    # carry norm_a/norm_b — the pair frame is never re-shuffled, and
+    # nothing corpus-sized is ever broadcast.
+    indexed = weighted.join(norms, "doc").persist(StorageLevel.MEMORY_AND_DISK)
+    a = indexed.alias("a").hint("shuffle_hash")
+    b = indexed.alias("b").hint("shuffle_hash")
     dots = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            # functionally dependent on the doc keys — added to the
+            # hash key instead of re-joined after the aggregate
+            F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"),
         )
         .agg(
             F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,18)"))
@@ -121,22 +137,10 @@ def tfidf_cosine_pairs(
             .alias("dot")
         )
     )
-    # norms is CORPUS-sized (one row per document) — no broadcast
-    # hint: at fleet scale a hinted broadcast of billions of norms
-    # would OOM the driver. Both are doc-keyed equi-joins; AQE still
-    # broadcasts at runtime when the frame is actually small (every
-    # harness SF), and at 100 TB the candidate-pair side shuffles on
-    # the same doc key it already carries.
-    na = norms.select(
-        F.col("doc").alias("doc_a"), F.col("norm").alias("norm_a")
-    )
-    nb = norms.select(
-        F.col("doc").alias("doc_b"), F.col("norm").alias("norm_b")
-    )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("cos", F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
+        dots.withColumn(
+            "cos", F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
     )
