@@ -56,6 +56,16 @@ def test_staged_oracle_match(spark, sf_dir, name):
     _compare_staged(spark, name, sf_dir)
 
 
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_match_sf_medium(spark, name):
+    """The driver gate compares at sf0.01 — run the same comparison at
+    that SF in CI instead of leaving it to ad-hoc sweeps (round-8
+    institutionalization of the two-SF staging claim)."""
+    from tests.conftest import SF_MEDIUM
+
+    _compare_staged(spark, name, SF_MEDIUM)
+
+
 # ---------------------------------------------------------- plan lint
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin",
