@@ -297,7 +297,13 @@ def ds_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected documents' shingles (not the corpus), so its anti-join
     build side stays small; lineage truncated per step (the graph.py
     iterative discipline). Fixed k keeps the whole trace
-    hash-matchable (the unrolled-oracle convention)."""
+    hash-matchable (the unrolled-oracle convention). Cost model:
+    exact greedy IS k corpus scans by construction (probe-measured
+    exponent ~1.1 in corpus size, constant ~1 scan/step) — for large
+    k at fleet scale, route to stochastic-greedy (Mirzasoleiman et
+    al. 2015): per step evaluate only an md5-deterministic
+    (n/k)·ln(1/ε) candidate sample for a 1−1/e−ε guarantee at a
+    k-independent total scan budget."""
     from cqdg_etl_spark.functions.text import normalize_ws, tokens
     from cqdg_etl_spark.operators.graph import _truncate
 
