@@ -43,9 +43,10 @@ def modularity(
     ``edges``: undirected simple graph, one row per edge (src < dst
     by convention; no self loops). ``labels``: (node, label) — edges
     with an unlabeled endpoint are dropped (inner joins), and Q is
-    computed over the LABELED subgraph: m, degrees, and internal
-    counts all come from the surviving edges, so the metric stays
-    internally consistent when the labeling is partial.
+    computed over the LABELED subgraph: m, degrees, internal counts,
+    AND node membership all come from the surviving edges (a node
+    whose every incident edge was dropped is not a member), so the
+    metric stays internally consistent when the labeling is partial.
 
     Q = Σ_c [ e_c/m − (d_c/(2m))² ] over communities c, where m is
     the total edge count, e_c the number of edges with BOTH ends in
@@ -82,15 +83,18 @@ def modularity(
         .agg(F.count("*").alias("internal_edges"))
     )
 
+    # Node membership comes from the LABELED edge frame (ADVICE r8) —
+    # the same frame m/degree_sum/internal_edges aggregate — so a node
+    # whose every incident edge was dropped (unlabeled neighbor) does
+    # not count toward n_nodes with a zero degree contribution. Each
+    # node has one label, so distinct (node, label) counts it once.
     n_c = (
-        labels.join(
-            e.select(F.col("_s").alias("n"))
-            .unionByName(e.select(F.col("_d").alias("n")))
-            .distinct(),
-            F.col(node_col) == F.col("n"),
-            "left_semi",
+        labeled.select(F.col("_s").alias("n"), F.col("_la").alias("label"))
+        .unionByName(
+            labeled.select(F.col("_d").alias("n"), F.col("_lb").alias("label"))
         )
-        .groupBy(F.col(label_col).alias("label"))
+        .distinct()
+        .groupBy("label")
         .agg(F.count("*").alias("n_nodes"))
     )
 

@@ -54,9 +54,19 @@ def nest_parent_as_array(
     how: str = "left",
 ) -> DataFrame:
     """Join a parent entity and embed it as a 1-element array of struct
-    (reference: DonorIndex.scala:82-89 ``array(struct("study.*"))``)."""
+    (reference: DonorIndex.scala:82-89 ``array(struct("study.*"))``).
+
+    No ``F.broadcast`` hint: this is a generic operator and the parent
+    is not guaranteed dimension-sized — an unconditional hint here is
+    the corpus-sized-broadcast class the round-8 audit purged from
+    retrieval.py / sparse_sim.py / quality.py (driver OOM at fleet
+    scale, invisible at harness SFs). The join is equi-keyed, so AQE
+    still picks a broadcast join at runtime whenever the wrapped parent
+    is actually small (every clinical-model use: the parent is the
+    study dimension) and degrades to a shuffle join when it is not.
+    """
     parent_cols = [c for c in parent.columns if c not in on]
     wrapped = parent.select(
         *on, F.array(F.struct(*parent_cols)).alias(parent_alias)
     )
-    return child.join(F.broadcast(wrapped), list(on), how)
+    return child.join(wrapped, list(on), how)

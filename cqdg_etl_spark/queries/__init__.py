@@ -57,10 +57,17 @@ from cqdg_etl_spark.queries import datapipe16 as _datapipe16  # noqa: E402
 
 _datapipe16.register()
 
+# Round-9 publication (staged in round 8, verified locally at
+# sf0.001/0.01 + fixtures by tests/test_datapipe17.py and
+# strict-exact at sf0.1 in the round-8 sweeps):
+from cqdg_etl_spark.queries import datapipe17 as _datapipe17  # noqa: E402
+
+_datapipe17.register()
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 221
+EXPECTED_REGISTRY_SIZE = 230
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

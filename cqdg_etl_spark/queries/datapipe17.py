@@ -75,6 +75,7 @@ _ENT_LOW = 3.5  # bits; English prose runs ~4.0-4.2, repeated junk <3
 
 @_staged(
     "tx_char_entropy_quality",
+    bench=True,
     tags=("datapipe", "text", "quality"),
     oracle=f"""
         WITH d AS (
@@ -439,6 +440,7 @@ def _sql_hits() -> str:
 
 @_staged(
     "graph_hits_scores",
+    bench=True,
     tags=("graph", "hits", "iterative"),
     oracle=_sql_hits(),
 )

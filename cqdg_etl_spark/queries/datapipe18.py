@@ -297,7 +297,7 @@ def _coparts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_SQL_COPARTS},
         lab AS (SELECT p_partkey AS node, p_brand AS label FROM part),
         led AS (
-          SELECT la.label AS la, lb.label AS lb
+          SELECT e.src, e.dst, la.label AS la, lb.label AS lb
           FROM pairs e
           JOIN lab la ON e.src = la.node
           JOIN lab lb ON e.dst = lb.node
@@ -313,15 +313,15 @@ def _coparts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT la AS label, count(*) AS internal_edges
           FROM led WHERE la = lb GROUP BY la
         ),
-        nodes AS (
-          SELECT DISTINCT node FROM (
-            SELECT src AS node FROM pairs
-            UNION ALL SELECT dst AS node FROM pairs
-          )
-        ),
         nc AS (
-          SELECT lab.label, count(*) AS n_nodes
-          FROM lab JOIN nodes USING (node) GROUP BY lab.label
+          -- labeled-subgraph membership (ADVICE r8): nodes are the
+          -- endpoints of LABELED edges, same frame as m/deg/ie
+          SELECT label, count(*) AS n_nodes FROM (
+            SELECT DISTINCT node, label FROM (
+              SELECT src AS node, la AS label FROM led
+              UNION ALL SELECT dst AS node, lb AS label FROM led
+            )
+          ) GROUP BY label
         )
         SELECT nc.label, nc.n_nodes,
                CAST(coalesce(ie.internal_edges, 0) AS BIGINT)

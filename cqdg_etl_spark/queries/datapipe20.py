@@ -107,22 +107,23 @@ _CDC_D = 8
           FROM chunked GROUP BY doc_id, source, chunk_id
         ),
         firsts AS (
-          SELECT fp, min(doc_id * 1000000 + chunk_id) AS first_key
+          SELECT fp, min(struct_pack(d := doc_id, c := chunk_id))
+                   AS first
           FROM chunks GROUP BY fp
         )
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_chunks,
-               CAST(sum(CASE WHEN doc_id * 1000000 + chunk_id
-                                  = first_key
+               CAST(sum(CASE WHEN doc_id = first.d
+                              AND chunk_id = first.c
                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
-               CAST(sum(CASE WHEN doc_id * 1000000 + chunk_id
-                                  = first_key
+               CAST(sum(CASE WHEN doc_id = first.d
+                              AND chunk_id = first.c
                         THEN 0 ELSE n_tokens END) AS BIGINT)
                  AS dup_tokens,
                {_SQL_Q6.format(
-                   x="CAST(sum(CASE WHEN doc_id * 1000000 + chunk_id"
-                     " = first_key THEN 0 ELSE 1 END) AS DOUBLE)"
-                     " / count(*)")} AS dup_chunk_frac
+                   x="CAST(sum(CASE WHEN doc_id = first.d"
+                     " AND chunk_id = first.c THEN 0 ELSE 1 END)"
+                     " AS DOUBLE) / count(*)")} AS dup_chunk_frac
         FROM chunks JOIN firsts USING (fp)
         GROUP BY source ORDER BY source
     """,
@@ -135,8 +136,9 @@ def dd_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dd_span_dedup's failure mode, by design) but leaves all chunks
     after the next boundary byte-identical (the rsync/LBFS argument).
     Emits per-source dedup stats: chunk count, duplicate chunks
-    (global first occurrence kept, keyed doc·10⁶+chunk — the span
-    dedup convention), duplicate token mass, duplicate fraction.
+    (global first occurrence kept, lexicographic (doc_id, chunk_id)
+    struct ordering — no packed-key overflow at any document
+    length), duplicate token mass, duplicate fraction.
 
     Scale shape: tokenize → one per-DOC running-sum window (partition
     = one document, bounded by doc length) → chunk fingerprints via a
@@ -183,21 +185,27 @@ def dd_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_tokens"),
         )
     )
-    key = F.col("doc_id") * F.lit(1000000) + F.col("chunk_id")
+    # First occurrence by lexicographic (doc_id, chunk_id) STRUCT
+    # ordering (ADVICE r8): the previous doc_id*1e6+chunk_id packed
+    # key loses ordering/uniqueness once a document has >=1e6 chunks
+    # (~8M tokens) — struct-min has no such cliff, stays a pure hash
+    # aggregate (no per-fp window), and orders identically in both
+    # engines.
     firsts = chunks.groupBy("fp").agg(
-        F.min(F.col("doc_id") * F.lit(1000000) + F.col("chunk_id"))
-        .alias("first_key")
+        F.min(F.struct(F.col("doc_id"), F.col("chunk_id"))).alias("first")
     )
     j = chunks.join(firsts, "fp")
-    is_dup = F.when(key == F.col("first_key"), 0).otherwise(1)
+    is_first = (F.col("doc_id") == F.col("first.doc_id")) & (
+        F.col("chunk_id") == F.col("first.chunk_id")
+    )
+    is_dup = F.when(is_first, 0).otherwise(1)
     return (
         j.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_chunks"),
             F.sum(is_dup).cast("long").alias("n_dup_chunks"),
             F.sum(
-                F.when(key == F.col("first_key"), 0)
-                .otherwise(F.col("n_tokens"))
+                F.when(is_first, 0).otherwise(F.col("n_tokens"))
             ).cast("long").alias("dup_tokens"),
             _q6(
                 F.sum(is_dup).cast("double") / F.count("*")
@@ -522,30 +530,37 @@ _TT_A, _TT_B = "purchase", "click"
         m AS (
           SELECT event_type, n,
                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-                 (CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                    / CAST(n AS DOUBLE))
-                 / (CAST(n AS DOUBLE) - 1.0) AS var
+                 CASE WHEN n >= 2 THEN
+                   (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)
+                 END AS var
           FROM s
         ),
         ab AS (
           SELECT
-            (SELECT mean FROM m WHERE event_type = '{_TT_A}') AS m1,
-            (SELECT mean FROM m WHERE event_type = '{_TT_B}') AS m2,
-            (SELECT var FROM m WHERE event_type = '{_TT_A}') AS v1,
-            (SELECT var FROM m WHERE event_type = '{_TT_B}') AS v2,
-            (SELECT n FROM m WHERE event_type = '{_TT_A}') AS n1,
-            (SELECT n FROM m WHERE event_type = '{_TT_B}') AS n2
+            max(CASE WHEN event_type = '{_TT_A}' THEN mean END) AS m1,
+            max(CASE WHEN event_type = '{_TT_B}' THEN mean END) AS m2,
+            max(CASE WHEN event_type = '{_TT_A}' THEN var END) AS v1,
+            max(CASE WHEN event_type = '{_TT_B}' THEN var END) AS v2,
+            max(CASE WHEN event_type = '{_TT_A}' THEN n END) AS n1,
+            max(CASE WHEN event_type = '{_TT_B}' THEN n END) AS n2
+          FROM m
         )
-        SELECT '{_TT_A} vs {_TT_B}' AS comparison, n1, n2,
+        SELECT '{_TT_A} vs {_TT_B}' AS comparison,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
                {_SQL_Q6.format(x="m1 - m2")} AS mean_diff,
-               {_SQL_Q6.format(
-                   x="(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
-               {_SQL_Q6.format(
-                   x='''(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
-                      / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
-                         + (v2 / n2) * (v2 / n2) / (n2 - 1.0))''')}
-                 AS df_welch
+               CASE WHEN v1 / n1 + v2 / n2 > 0 THEN
+                 {_SQL_Q6.format(
+                     x="(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")}
+               END AS t_stat,
+               CASE WHEN v1 / n1 + v2 / n2 > 0 THEN
+                 {_SQL_Q6.format(
+                     x='''(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                        / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                           + (v2 / n2) * (v2 / n2) / (n2 - 1.0))''')}
+               END AS df_welch
         FROM ab
     """,
 )
@@ -558,6 +573,14 @@ def pf_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook variance form has NO cancellation error across engines
     — every downstream op is a pinned chain of IEEE arithmetic
     (sqrt is correctly rounded by 754).
+
+    Degenerate inputs are guarded identically in BOTH engines
+    (ADVICE r8): a missing group yields one row with NULL stats (the
+    scalar assembly is a conditional aggregate, which emits exactly
+    one row even over an empty frame — matching the oracle's scalar
+    subqueries), n=1 yields NULL variance (no divide-by-zero
+    divergence: Spark nulls x/0, DuckDB returns Inf), and a zero
+    standard error (both samples constant) yields NULL t/df.
 
     Scale shape: ONE map-side-combinable aggregate over the filtered
     scan; everything after runs on a 2-row frame. Integer n up to
@@ -577,24 +600,25 @@ def pf_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         (F.col("sx").cast("double") / F.col("n").cast("double"))
         .alias("mean"),
-        (
+        F.when(
+            F.col("n") >= 2,
             (
                 F.col("sxx").cast("double")
                 - F.col("sx").cast("double") * F.col("sx").cast("double")
                 / F.col("n").cast("double")
             )
-            / (F.col("n").cast("double") - F.lit(1.0))
+            / (F.col("n").cast("double") - F.lit(1.0)),
         ).alias("var"),
     )
-    a = m.filter(F.col("event_type") == _TT_A).select(
-        F.col("mean").alias("m1"), F.col("var").alias("v1"),
-        F.col("n").alias("n1"),
+
+    def _side(t: str, col: str):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    ab = m.agg(
+        _side(_TT_A, "mean").alias("m1"), _side(_TT_B, "mean").alias("m2"),
+        _side(_TT_A, "var").alias("v1"), _side(_TT_B, "var").alias("v2"),
+        _side(_TT_A, "n").alias("n1"), _side(_TT_B, "n").alias("n2"),
     )
-    b = m.filter(F.col("event_type") == _TT_B).select(
-        F.col("mean").alias("m2"), F.col("var").alias("v2"),
-        F.col("n").alias("n2"),
-    )
-    ab = a.join(F.broadcast(b))
     se2_1 = F.col("v1") / F.col("n1")
     se2_2 = F.col("v2") / F.col("n2")
     se2 = se2_1 + se2_2
@@ -602,13 +626,18 @@ def pf_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(f"{_TT_A} vs {_TT_B}").alias("comparison"),
         "n1", "n2",
         _q6(F.col("m1") - F.col("m2")).alias("mean_diff"),
-        _q6((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
-        _q6(
-            se2 * se2
-            / (
-                se2_1 * se2_1 / (F.col("n1") - F.lit(1.0))
-                + se2_2 * se2_2 / (F.col("n2") - F.lit(1.0))
-            )
+        F.when(
+            se2 > 0, _q6((F.col("m1") - F.col("m2")) / F.sqrt(se2))
+        ).alias("t_stat"),
+        F.when(
+            se2 > 0,
+            _q6(
+                se2 * se2
+                / (
+                    se2_1 * se2_1 / (F.col("n1") - F.lit(1.0))
+                    + se2_2 * se2_2 / (F.col("n2") - F.lit(1.0))
+                )
+            ),
         ).alias("df_welch"),
     )
 
@@ -736,11 +765,11 @@ _SQL_COPARTS = """
         ),
         s AS (
           SELECT CAST(count(*) AS BIGINT) AS m,
-                 CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-                 CAST(sum(y) AS DECIMAL(38,0)) AS sy,
-                 CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
-                 CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
-                 CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+                 sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 sum(CAST(y * y AS DECIMAL(38,0))) AS syy
           FROM ends
         )
         SELECT m AS n_directed_ends,
@@ -795,13 +824,19 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("x"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("y"))
     ends = adj.join(da, "a").join(db, "b")
+    # Cast BEFORE aggregating (ADVICE r8): F.sum over LongType
+    # accumulates in LongType and silently wraps past 2^63 on
+    # hub-heavy graphs — the decimal cast must be on the addend, not
+    # the result, for the DECIMAL(38,0) accumulation the docstring
+    # promises (the ev_user_gini rank*count pattern). DuckDB sums
+    # BIGINT into HUGEINT, so only the Spark side ever wrapped.
     s = ends.agg(
         F.count("*").cast("long").alias("m"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
     md = F.col("m").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

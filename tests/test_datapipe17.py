@@ -38,13 +38,15 @@ def _compare_staged(spark, name: str, sf_dir: str, con=None) -> None:
 
 
 def test_staged_not_published():
-    """Staged names stay out of REGISTRY until the round-9 publication
-    flips them in (the datapipe13-16 staging discipline)."""
+    """Round-9 publication flipped: every datapipe17 name is now bound
+    in the published registry to the SAME Query object (the
+    datapipe13-16 publication discipline)."""
     from cqdg_etl_spark.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY)), (
-        "staged datapipe17 names leaked into the published registry"
-    )
+    for name, q in STAGED.items():
+        assert REGISTRY.get(name) is q, (
+            f"datapipe17 name {name!r} not published into REGISTRY"
+        )
 
 
 def test_staged_batch_size():

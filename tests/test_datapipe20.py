@@ -73,8 +73,9 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin",
 # move these into tests/test_plan_lint.py::BNLJ_OK (enforced by
 # test_no_orphaned_staged_exceptions).
 _BNLJ_OK: dict[str, str] = {
-    "pf_welch_ttest": "the two 1-row per-arm sufficient-statistic "
-    "frames joined for the final t expression",
+    # pf_welch_ttest no longer needs an entry: the ADVICE r8
+    # degenerate-input fix replaced its two-1-row-frame join with a
+    # single conditional aggregate (one row always, no join node).
     "ret_mrr_eval": "fixed 4-row threshold grid range-joined to the "
     "10-row ranking",
 }

@@ -122,6 +122,16 @@ BNLJ_OK: dict[str, str] = {
     "emb_topk_recall_eval": "inherits ann_topk_bruteforce's reviewed "
     "broadcast-query brute-force baseline (same exception as "
     "ret_hybrid_rrf)",
+    # -- datapipe17 batch (published round 9; reviewed while staged) --
+    "ds_curriculum_interleave": "single-row |sources| scalar joined "
+    "onto the ranked corpus for the interleave arithmetic",
+    "ds_stochastic_round_resample": "single-row max(n_chars) scalar "
+    "broadcast into the per-doc weight",
+    "ev_survival_km": "two 1-row scalars (corpus max ts for the "
+    "censor cutoff, total user count for the at-risk complement) "
+    "fanned onto the tiny duration table",
+    "tx_vocab_growth_curve": "single-row total-token-count scalar "
+    "broadcast into the decile bucketing",
 }
 
 # Reviewed exceptions for the global-window rule: every entry is an

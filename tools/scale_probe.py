@@ -242,12 +242,61 @@ def _simhash_pairs_64bit(spark, sf_dir: str, scale: int):
     return dedup.simhash_near_pairs64(docs, "text", "doc_id", max_hamming=3)
 
 
+# Wave 7 (--wave7): the round-9 datapipe17 publications — first
+# curvature measurement for the batch (VERDICT r8 #4).
+# Superlinearity risks by shape: the character-unigram explode
+# (tx_char_entropy_quality — output grows with total characters, the
+# per-doc aggregate is map-side combinable); the KM product over the
+# duration table (ev_survival_km — durations are a bounded domain of
+# whole days, the cumulative product runs on that tiny frame); the
+# per-source ranking + round-robin arithmetic (ds_curriculum_interleave
+# — two range-partitioned rank passes, no global window); 4 fixed
+# max-normalized iterations over the bipartite frame
+# (graph_hits_scores — each round is one groupBy per side, lineage
+# truncated); the sessionize + sweep-line level read
+# (ev_peak_concurrency — the running level is a per-replica-bounded
+# range-partitioned cumsum); the user-keyed bipartite projection
+# (graph_type_affinity — per-user fan-out is (k choose 2), k ≤
+# |event_types|, a constant); the decile-bucketed first-occurrence
+# vocabulary count (tx_vocab_growth_curve — global token positions
+# via range-partitioned cumsum, vocab firsts via hash aggregate);
+# the trailing-7-day distinct-user window (ev_dau_wau_stickiness —
+# day-keyed equi-join onto a 7-row offset frame, NOT a range
+# condition); and the md5-uniform stochastic rounding
+# (ds_stochastic_round_resample — one pass, the copy explode is
+# bounded by max expected count). graph_bfs_hops_staged rides along
+# (datapipe18, round-10 publication): the r8 probe read 25.4 s at
+# x10 — confirm the frontier expansion stays linear to x20 BEFORE
+# publishing (VERDICT r8 #4).
+WAVE7 = [
+    "tx_char_entropy_quality",
+    "ev_survival_km",
+    "ds_curriculum_interleave",
+    "graph_hits_scores",
+    "ev_peak_concurrency",
+    "graph_type_affinity",
+    "tx_vocab_growth_curve",
+    "ev_dau_wau_stickiness",
+    "ds_stochastic_round_resample",
+    "graph_bfs_hops_staged",
+]
+
+
+def _bfs_hops_staged(spark, sf_dir: str, scale: int):
+    """datapipe18's staged multi-source BFS, probed ahead of its
+    round-10 publication (it is not in REGISTRY yet)."""
+    from cqdg_etl_spark.queries.datapipe18 import STAGED
+
+    return STAGED["graph_bfs_hops"].fn(spark, sf_dir)
+
+
 # Programmatic series: operator variants that differ from a registered
 # query only by a scale-dependent parameter. fn(spark, sf_dir, scale).
 EXTRA = {
     "semantic_prune_fixed_bits": _semantic_prune_fixed_bits,
     "embedding_pairs_fixed_banding": _embedding_pairs_fixed_banding,
     "simhash_pairs_64bit": _simhash_pairs_64bit,
+    "graph_bfs_hops_staged": _bfs_hops_staged,
 }
 
 ALL_TABLES = [
@@ -411,10 +460,12 @@ def main() -> int:
     wave4 = "--wave4" in args
     wave5 = "--wave5" in args
     wave6 = "--wave6" in args
+    wave7 = "--wave7" in args
     scales = [
         int(a)
         for a in args
-        if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6")
+        if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
+                     "--wave7")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -422,7 +473,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave6:
+    if wave7:
+        all_names = WAVE7
+    elif wave6:
         all_names = WAVE6
     elif wave5:
         all_names = WAVE5
