@@ -1,0 +1,741 @@
+"""Round-15 staged queries — NOT yet in the driver registry.
+
+Same staging discipline as datapipe13→22: full Query objects with
+DuckDB value-hash oracles, locally verified by tests/test_datapipe23.py
+at sf0.001/sf0.01 + adversarial fixtures, kept out of
+``cqdg_etl_spark.queries.REGISTRY`` so the published surface never
+carries a name without a driver row. Rounds 10–14 belong to the
+datapipe18–22 publications; these wait their turn by design.
+
+To publish (round 15): call ``register()`` from queries/__init__.py,
+bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``, and copy the reviewed
+exception entries from tests/test_datapipe23.py::_BNLJ_OK /
+_GLOBAL_WINDOW_OK into the fleet lint (the orphan test enforces the
+copies).
+
+Batch theme: index health and selection geometry — what the vector
+index and the curation frontier actually look like. IVF cell profile
+(cell balance + quantization inertia of the ANN coarse quantizer —
+the skew that decides probe latency), k-center greedy coreset
+(farthest-point traversal, the classic coverage-radius selection),
+Theil inequality of user activity (the decomposable complement of the
+staged Gini), a 2-objective Pareto front over documents (the skyline
+of quality vs cost — which docs are not strictly worse than another),
+day-of-week seasonality indexes per event type (calendar-free epoch
+arithmetic, no locale), and a power-law tail fit of session lengths
+(Clauset-style continuous-MLE α with pinned decimal sums). No
+reference counterpart (Ferlab-Ste-Justine/cqdg-etl has no analytics
+of this kind); every shape is chosen for the 100-TB target and
+documented per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.operators.similarity import (
+    ivf_fit_centroids,
+    rademacher_planes,
+)
+from cqdg_etl_spark.queries.datapipe import SQL_TOKS
+from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, oracle: str | None = None, bench: bool = False,
+            tags: tuple[str, ...] = ()):
+    def deco(fn):
+        STAGED[name] = Query(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Publish the staged queries into the driver registry (round 15)."""
+    REGISTRY.update(STAGED)
+
+
+def _q6(col):
+    """floor(x·1e6+0.5)/1e6 — the engine-exact 6-dp quantization used
+    fleet-wide."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# Parenthesized template (README convention — the round-8 lesson).
+_SQL_Q6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+_DIM = 64
+
+
+def _sql_l2sq(a: str, b: str, dim: int = _DIM) -> str:
+    """Sequential left-to-right Σ(a−b)² fold — the proven l2 recipe
+    (bit-identical to np.add.accumulate over the same floats)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"k -> (CAST({a}[k] AS DOUBLE) - CAST({b}[k] AS DOUBLE)) "
+        f"* (CAST({a}[k] AS DOUBLE) - CAST({b}[k] AS DOUBLE))))"
+    )
+
+
+# ------------------------------------ IVF cell profile
+
+_IVF_BITS = 4
+_IVF_SEED = 42
+
+
+def _sql_ivf_profile(n_bits: int = _IVF_BITS, dim: int = _DIM,
+                     seed: int = _IVF_SEED) -> str:
+    """Mirrors ivf_fit_centroids end to end (the dd_semantic_prune /
+    ann_topk_ivf oracle recipe): SRP seed cells from shared ±1
+    literals, ONE exact-decimal Lloyd step, argmin re-assignment with
+    ties → lower cell id — then the per-cell profile."""
+    planes = rademacher_planes(dim, n_bits, seed)
+
+    def bit(plane: list[int], v: str) -> str:
+        lits = "[" + ",".join(f"CAST({x}.0 AS DOUBLE)" for x in plane) + "]"
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> CAST({v}[k] AS DOUBLE) * ({lits})[k])) > 0 "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    cell = bit(planes[0], "embedding")
+    for p in planes[1:]:
+        cell = f"({cell} * 2 + {bit(p, 'embedding')})"
+
+    def l2sq_cv(v: str, cv: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"k -> (CAST({v}[k] AS DOUBLE) - {cv}[k]) "
+            f"* (CAST({v}[k] AS DOUBLE) - {cv}[k])))"
+        )
+
+    return f"""
+        WITH c0 AS MATERIALIZED (
+          SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+        ),
+        comp AS (
+          SELECT cell, k AS d,
+                 CAST(SUM(CAST(CAST(embedding[k] AS DOUBLE)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM c0, range(1, {dim + 1}) t(k)
+          GROUP BY cell, k
+        ),
+        cent AS MATERIALIZED (
+          SELECT cell, list(m ORDER BY d) AS cv FROM comp GROUP BY cell
+        ),
+        cassign AS MATERIALIZED (
+          SELECT vec_id, cell, dist FROM (
+            SELECT c.vec_id, cent.cell,
+                   {l2sq_cv('c.embedding', 'cent.cv')} AS dist,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY {l2sq_cv('c.embedding', 'cent.cv')}, cent.cell
+                   ) AS rn
+            FROM c0 c CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cassign)
+        SELECT cell,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               {_SQL_Q6.format(
+                   x='''CAST(count(*) AS DOUBLE)
+                      / CAST(any_value(tot.n) AS DOUBLE)''')} AS cell_share,
+               CAST(sum(CAST({_SQL_Q6.format(x="dist")} AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS inertia_raw,
+               {_SQL_Q6.format(
+                   x="CAST(sum(CAST(" + _SQL_Q6.format(x="dist")
+                     + " AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
+                 AS mean_sq_dist
+        FROM cassign CROSS JOIN tot
+        GROUP BY cell ORDER BY cell
+    """
+
+
+@_staged(
+    "emb_ivf_cell_profile",
+    tags=("datapipe", "embedding", "ann", "profile"),
+    oracle=_sql_ivf_profile(),
+)
+def emb_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health profile of the IVF coarse quantizer behind the ANN
+    queries: per cell, the vector count, its share of the corpus, and
+    the quantization inertia (Σ and mean of squared distance to the
+    cell centroid) — cell skew IS probe latency (a hot cell makes
+    every nprobe touching it scan more), and inertia is the
+    quantization error the PQ/rerank stages must absorb. The audit to
+    read before raising n_bits or nprobe.
+
+    Determinism: the quantizer is the fleet IVF recipe
+    (operators/similarity.ivf_fit_centroids — SRP seed cells from
+    seeded ±1 planes, ONE exact-decimal Lloyd step), assignment is the
+    Arrow closure with the same left-to-right (a−b)² fold as the SQL,
+    ties → lower cell id; per-point distances are quantized at 6 dp
+    into decimal before the per-cell sums.
+
+    Scale shape: the fit is one skinny-row pass + a ≤2^n_bits·d
+    collect (the FAISS-style index-build action, documented in the
+    operator); assignment is one vectorized Arrow pass with centroids
+    as closure data (zero plan literals); the profile is one hash
+    aggregate over (cell). The 1-row corpus total joined for
+    cell_share is the reviewed bounded-BNLJ class."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    centers = ivf_fit_centroids(
+        emb, "vec_id", "embedding", n_bits=_IVF_BITS, seed=_IVF_SEED
+    )
+    cells = np.asarray([c for c, _ in centers], dtype=np.int32)
+    mat = np.asarray([v for _, v in centers], dtype=np.float64)
+
+    @F.pandas_udf("struct<cell:int, dist:double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "dist": []})
+        M = np.stack(v.values).astype(np.float64)
+        n = M.shape[0]
+        dists = np.empty((n, len(cells)), dtype=np.float64)
+        for j in range(len(cells)):
+            diff = M - mat[j][None, :]
+            dists[:, j] = np.add.accumulate(diff * diff, axis=1)[:, -1]
+        best = np.argmin(dists, axis=1)  # first (lowest cell) on ties
+        return pd.DataFrame(
+            {
+                "cell": cells[best].astype(np.int32),
+                "dist": dists[np.arange(n), best],
+            }
+        )
+
+    a = emb.select(assign(F.col("embedding")).alias("a")).select(
+        F.col("a.cell").alias("cell"), F.col("a.dist").alias("dist")
+    )
+    tot = a.agg(F.count("*").cast("long").alias("n"))
+    d6 = _q6(F.col("dist")).cast("decimal(18,6)")
+    return (
+        a.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(d6).cast("decimal(38,6)").alias("inertia_raw"),
+            _q6(F.sum(d6).cast("double") / F.count("*"))
+            .alias("mean_sq_dist"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            _q6(
+                F.col("n_vectors").cast("double") / F.col("n").cast("double")
+            ).alias("cell_share"),
+            "inertia_raw",
+            "mean_sq_dist",
+        )
+        .orderBy("cell")
+    )
+
+
+# ------------------------------------ k-center greedy coreset
+
+_KC_STEPS = 5
+
+
+def _sql_kcenter(steps: int = _KC_STEPS) -> str:
+    l2 = _sql_l2sq("p.embedding", "s.embedding")
+    ctes = ["""
+        s1 AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 1
+        ),
+        d1 AS MATERIALIZED (
+          SELECT p.vec_id, p.embedding, {l2} AS d
+          FROM embeddings p, s1 s
+        )""".format(l2=l2)]
+    picks = [
+        "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1"
+    ]
+    for k in range(2, steps + 1):
+        ctes.append(f"""
+        s{k} AS MATERIALIZED (
+          SELECT vec_id, embedding, d FROM d{k - 1}
+          ORDER BY d DESC, vec_id LIMIT 1
+        ),
+        d{k} AS MATERIALIZED (
+          SELECT p.vec_id, p.embedding, least(p.d, {l2}) AS d
+          FROM d{k - 1} p, s{k} s
+        )""")
+        picks.append(
+            f"SELECT {k} AS step, vec_id, "
+            f"{_SQL_Q6.format(x='d')} AS radius FROM s{k}"
+        )
+    return (
+        "WITH " + ",".join(ctes)
+        + "\n        SELECT CAST(step AS INT) AS step, vec_id, radius"
+        + "\n        FROM (" + "\n UNION ALL ".join(picks) + ")"
+        + "\n        ORDER BY step"
+    )
+
+
+@_staged(
+    "ds_kcenter_coreset",
+    tags=("datapipe", "sampling", "coreset", "iterative"),
+    oracle=_sql_kcenter(),
+)
+def ds_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (farthest-point traversal, the
+    2-approximation of the k-center cover): start from the lowest
+    vec_id, then repeatedly pick the point FARTHEST from the selected
+    set (ties → lower id) — the selection that maximizes geometric
+    coverage per example, used for diversity-first data curation and
+    eval-set construction. One row per step: (step, vec_id, radius) —
+    radius is the picked point's distance-to-set, i.e. the coverage
+    radius the selection guarantees after the previous step.
+
+    Determinism: distances are the sequential left-to-right (a−b)²
+    fold both engines share (the IVF/semantic-prune recipe); the min
+    over the selected set is order-independent; the argmax tie-break
+    is the id. Radius is quantized at 6 dp for the output only —
+    selection compares raw IEEE doubles, identical on both engines.
+
+    Scale shape: k bounded scans — each step is one vectorized Arrow
+    pass holding the ≤k selected vectors as closure data (k·d
+    doubles), one TakeOrdered argmax (1-row driver action, the
+    documented bounded-collect class), and a running min carried as a
+    column, never a join. The oracle's d-frames are MATERIALIZED
+    (the dp21 CTE-re-inlining lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    sel = [(int(first["vec_id"]), np.asarray(first["embedding"],
+                                             dtype=np.float64))]
+    out = [(1, sel[0][0], None)]
+    cur = emb  # carries a running min-dist column after step 1
+
+    def dist_to(vec: "np.ndarray"):
+        @F.pandas_udf("double")
+        def d(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="float64")
+            M = np.stack(v.values).astype(np.float64)
+            diff = M - vec[None, :]
+            return pd.Series(
+                np.add.accumulate(diff * diff, axis=1)[:, -1]
+            )
+
+        return d
+
+    cur = cur.withColumn("d", dist_to(sel[0][1])(F.col("embedding")))
+    for k in range(2, _KC_STEPS + 1):
+        # TakeOrdered argmax: 1-row bounded collect per step
+        far = cur.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
+        out.append((k, int(far["vec_id"]), float(far["d"])))
+        v = np.asarray(far["embedding"], dtype=np.float64)
+        if k < _KC_STEPS:
+            cur = cur.withColumn(
+                "d", F.least(F.col("d"), dist_to(v)(F.col("embedding")))
+            )
+    spark_out = load(spark, sf_dir, "embeddings").sparkSession.createDataFrame(
+        [(s, vid, r) for s, vid, r in out],
+        "step int, vec_id long, radius double",
+    )
+    return spark_out.select(
+        "step", "vec_id", _q6(F.col("radius")).alias("radius")
+    ).orderBy("step")
+
+
+# ------------------------------------ Theil inequality
+
+
+@_staged(
+    "pf_theil_user_activity",
+    tags=("datapipe", "profile", "inequality"),
+    oracle=f"""
+        WITH c AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY user_id
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS total,
+                 CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+          FROM c
+        ),
+        terms AS (
+          SELECT CAST({_SQL_Q6.format(
+              x='''(CAST(x AS DOUBLE) / mu)
+                 * ln(CAST(x AS DOUBLE) / mu)''')}
+                 AS DECIMAL(18,6)) AS t_term,
+                 CAST({_SQL_Q6.format(
+                     x="ln(mu / CAST(x AS DOUBLE))")}
+                 AS DECIMAL(18,6)) AS l_term
+          FROM c, m
+        )
+        SELECT m.n AS n_users, m.total AS total_events,
+               {_SQL_Q6.format(
+                   x='''CAST(sum(t_term) AS DOUBLE)
+                      / CAST(any_value(m.n) AS DOUBLE)''')} AS theil_t,
+               {_SQL_Q6.format(
+                   x='''CAST(sum(l_term) AS DOUBLE)
+                      / CAST(any_value(m.n) AS DOUBLE)''')} AS theil_l
+        FROM terms, m
+        GROUP BY m.n, m.total
+    """,
+)
+def pf_theil_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Theil L (mean log deviation) of per-user event
+    counts — the decomposable inequality pair next to the staged Gini
+    (dp19): T weights by activity share (sensitive to whales), L by
+    population (sensitive to the inactive tail); both are exactly
+    zero under perfect equality and additively decomposable across
+    subgroups, which Gini is not. Counts are ≥1 by construction
+    (a user exists because an event does), so every log is finite.
+
+    Determinism: per-user terms are one pinned IEEE chain quantized
+    at 6 dp into decimal; sums exact; two final divisions on the
+    1-row result. Scale shape: one user aggregate, a 1-row (n, μ)
+    scalar fan-out onto it (the reviewed bounded-BNLJ class), one
+    map-side-combinable term sum."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    m = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mu"),
+    )
+    xd = F.col("x").cast("double")
+    terms = c.join(F.broadcast(m)).select(
+        "n", "total",
+        _q6((xd / F.col("mu")) * F.log(xd / F.col("mu")))
+        .cast("decimal(18,6)").alias("t_term"),
+        _q6(F.log(F.col("mu") / xd)).cast("decimal(18,6)").alias("l_term"),
+    )
+    return terms.groupBy(
+        F.col("n").alias("n_users"), F.col("total").alias("total_events")
+    ).agg(
+        _q6(
+            F.sum("t_term").cast("double") / F.first("n").cast("double")
+        ).alias("theil_t"),
+        _q6(
+            F.sum("l_term").cast("double") / F.first("n").cast("double")
+        ).alias("theil_l"),
+    )
+
+
+# ------------------------------------ Pareto front (skyline)
+
+
+@_staged(
+    "ds_pareto_front_docs",
+    tags=("datapipe", "sampling", "skyline"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, unnest({SQL_TOKS.format(c="text")}) AS tok
+          FROM documents
+        ),
+        per AS (
+          SELECT doc_id,
+                 CAST({_SQL_Q6.format(
+                     x='''CAST(count(DISTINCT tok) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)''')}
+                      AS DECIMAL(18,6)) AS quality,
+                 CAST(count(*) AS BIGINT) AS cost
+          FROM t GROUP BY doc_id
+        ),
+        lvl AS (
+          SELECT quality, min(cost) AS minc FROM per GROUP BY quality
+        ),
+        sfx AS (
+          SELECT quality, minc,
+                 min(minc) OVER (
+                   ORDER BY quality DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS strict_min
+          FROM lvl
+        )
+        SELECT p.doc_id, CAST(p.quality AS DOUBLE) AS quality, p.cost
+        FROM per p JOIN sfx USING (quality)
+        WHERE p.cost = sfx.minc
+          AND (sfx.strict_min IS NULL OR p.cost < sfx.strict_min)
+        ORDER BY quality DESC, p.doc_id
+    """,
+)
+def ds_pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-objective Pareto front (skyline) over documents: quality =
+    distinct-token ratio (maximize — repetition-free text), cost =
+    token count (minimize — training budget). A document survives iff
+    no other document is at-least-as-good on both axes and strictly
+    better on one — the exact frontier a budget-constrained curation
+    pass picks from before any weighting heuristics. Empty documents
+    (no tokens) have no quality and are excluded on both engines.
+
+    Skyline without the quadratic dominance join: group docs into
+    6-dp quality LEVELS (≤10⁶+1 by construction — quality ∈ [0,1]
+    quantized), take each level's min cost, compute the running
+    strict-prefix min over levels sorted by quality DESC (a window
+    over the bounded level frame, whitelisted — never over docs), and
+    keep docs matching their level min and beating every strictly
+    better level's min. Exact: equal-(quality,cost) docs all survive
+    (neither dominates), a costlier same-quality doc never does.
+
+    Determinism: quality is one pinned ratio quantized at 6 dp into
+    decimal (exact group keys), costs are integers; the frontier test
+    is pure comparisons."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_ws(F.col("text")))).alias("tok"),
+    )
+    per = t.groupBy("doc_id").agg(
+        _q6(
+            F.countDistinct("tok").cast("double")
+            / F.count("*").cast("double")
+        ).cast("decimal(18,6)").alias("quality"),
+        F.count("*").cast("long").alias("cost"),
+    )
+    lvl = per.groupBy("quality").agg(F.min("cost").alias("minc"))
+    w = W.orderBy(F.desc("quality")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sfx = lvl.withColumn("strict_min", F.min("minc").over(w))
+    return (
+        per.join(sfx, "quality")
+        .filter(
+            (F.col("cost") == F.col("minc"))
+            & (
+                F.col("strict_min").isNull()
+                | (F.col("cost") < F.col("strict_min"))
+            )
+        )
+        .select(
+            "doc_id", F.col("quality").cast("double").alias("quality"),
+            "cost",
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+    )
+
+
+# ------------------------------------ day-of-week seasonality
+
+
+@_staged(
+    "ev_dow_seasonality",
+    tags=("datapipe", "events", "seasonality"),
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        bydow AS (
+          SELECT event_type, CAST(day % 7 AS INT) AS dow,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(cnt) AS BIGINT) AS total
+          FROM daily GROUP BY 1, 2
+        ),
+        overall AS (
+          SELECT event_type,
+                 CAST(sum(total) AS DOUBLE) / CAST(sum(n_days) AS DOUBLE)
+                   AS base
+          FROM bydow GROUP BY event_type
+        )
+        SELECT b.event_type, b.dow, b.n_days,
+               {_SQL_Q6.format(
+                   x='''CAST(b.total AS DOUBLE)
+                      / CAST(b.n_days AS DOUBLE)''')} AS avg_count,
+               {_SQL_Q6.format(
+                   x='''CAST(b.total AS DOUBLE) / CAST(b.n_days AS DOUBLE)
+                      / o.base''')} AS seasonal_index
+        FROM bydow b JOIN overall o USING (event_type)
+        ORDER BY b.event_type, b.dow
+    """,
+)
+def ev_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: for each weekday
+    slot, the average daily event count over that slot's OBSERVED days
+    divided by the type's overall average daily count — index > 1 is
+    a hot weekday, and the 7-point shape is the seasonal profile a
+    forecast or anomaly detector must remove first (the staged CUSUM
+    and Poisson-burst detectors both sharpen on deseasonalized
+    counts).
+
+    The weekday is (days since epoch) mod 7 — pure integer division on
+    epoch microseconds (`div`/`//` on both engines, never a float
+    quotient at a midnight boundary), calendar- and locale-free
+    (slot 4 = Thursday: 1970-01-01). Averaging per OBSERVED day means
+    a type absent on every Sunday simply has no dow=3 row rather than
+    a silently diluted index.
+
+    Scale shape: the corpus collapses to one (type, day) aggregate
+    (bounded by the time span, not the corpus), then two
+    tiny-frame aggregates and a type-keyed equi-join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    bydow = daily.groupBy(
+        "event_type", (F.col("day") % 7).cast("int").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    overall = bydow.groupBy("event_type").agg(
+        (
+            F.sum("total").cast("double") / F.sum("n_days").cast("double")
+        ).alias("base")
+    )
+    avg = F.col("total").cast("double") / F.col("n_days").cast("double")
+    return (
+        bydow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type", "dow", "n_days",
+            _q6(avg).alias("avg_count"),
+            _q6(avg / F.col("base")).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ------------------------------------ session-length power law
+
+_PL_XMIN = 2
+_PL_GAP_US = 30 * 60 * 1_000_000  # the fleet 30-min session gap
+
+
+@_staged(
+    "ev_session_powerlaw_alpha",
+    tags=("datapipe", "events", "session", "stats"),
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {_PL_GAP_US}
+                      OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS sid
+          FROM flagged
+        ),
+        lens AS (
+          SELECT CAST(count(*) AS BIGINT) AS x
+          FROM sess GROUP BY user_id, sid
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                 CAST(sum(x) AS BIGINT) AS total_events,
+                 CAST(sum(CASE WHEN x >= {_PL_XMIN} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tail,
+                 CAST(sum(CASE WHEN x >= {_PL_XMIN} THEN
+                   CAST({_SQL_Q6.format(
+                       x=f"ln(CAST(x AS DOUBLE) / {_PL_XMIN - 0.5})")}
+                        AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END)
+                      AS DECIMAL(38,6)) AS lsum,
+                 CAST(sum(CASE WHEN x >= 10 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ge10
+          FROM lens
+        )
+        SELECT n_sessions, total_events, n_tail,
+               {_SQL_Q6.format(
+                   x='''CAST(total_events AS DOUBLE)
+                      / CAST(n_sessions AS DOUBLE)''')} AS mean_len,
+               CASE WHEN n_tail > 0 AND CAST(lsum AS DOUBLE) > 0 THEN
+                 {_SQL_Q6.format(
+                     x='''1.0 + CAST(n_tail AS DOUBLE)
+                        / CAST(lsum AS DOUBLE)''')}
+               END AS alpha,
+               {_SQL_Q6.format(
+                   x='''CAST(n_ge10 AS DOUBLE)
+                      / CAST(n_sessions AS DOUBLE)''')} AS frac_ge10
+        FROM s
+    """,
+)
+def ev_session_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail fit of session lengths (events per 30-min-gap
+    session): the continuous-MLE exponent α = 1 + n·[Σ ln(x/(xmin−½))]⁻¹
+    over sessions of length ≥ xmin=2 (Clauset–Shalizi–Newman's
+    discrete approximation), next to the mean length and the heavy-
+    tail share (x ≥ 10) — the one-number answer to "are sessions
+    bursty power-law or tame exponential", which decides how session
+    state stores must be sized (α ≤ 2 means unbounded mean at the
+    tail; α ≤ 3 unbounded variance). Complements tx_zipf_fit (token
+    frequencies) with the behavioral-sequence analogue.
+
+    Determinism: session ids are the fleet sessionize recipe (per-user
+    lag window, ts+event_id total order); per-session log terms are
+    one pinned IEEE chain quantized at 6 dp into decimal; the α
+    division happens once on the 1-row result, NULL-guarded for
+    degenerate tails (no session ≥ xmin, or all tail sessions exactly
+    xmin after quantization).
+
+    Scale shape: per-user windows (bounded by a user's events), one
+    session aggregate, one 1-row rollup — no join anywhere."""
+    ev = load(spark, sf_dir, "events")
+    wi = W.partitionBy("user_id").orderBy("ts", "event_id")
+    mu = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            (mu - F.lag(mu).over(wi) > _PL_GAP_US)
+            | F.lag("ts").over(wi).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+        "ts", "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_session").over(
+            wi.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("sid"),
+    )
+    lens = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    xd = F.col("x").cast("double")
+    lterm = F.when(
+        F.col("x") >= _PL_XMIN,
+        _q6(F.log(xd / F.lit(_PL_XMIN - 0.5))).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    s = lens.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.when(F.col("x") >= _PL_XMIN, 1).otherwise(0))
+        .cast("long").alias("n_tail"),
+        F.sum(lterm).cast("decimal(38,6)").alias("lsum"),
+        F.sum(F.when(F.col("x") >= 10, 1).otherwise(0))
+        .cast("long").alias("n_ge10"),
+    )
+    return s.select(
+        "n_sessions", "total_events", "n_tail",
+        _q6(
+            F.col("total_events").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("mean_len"),
+        F.when(
+            (F.col("n_tail") > 0) & (F.col("lsum").cast("double") > 0),
+            _q6(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                / F.col("lsum").cast("double")
+            ),
+        ).alias("alpha"),
+        _q6(
+            F.col("n_ge10").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("frac_ge10"),
+    )
