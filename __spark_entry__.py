@@ -19,69 +19,26 @@ from cqdg_etl_spark.queries import REGISTRY
 # Driver correctness-row ordering. The driver caps a round at 50 rows,
 # so _FRONT position is the publication priority.
 _FRONT = [
-    # Mechanically derived at the round-9 window build: `python
-    # tools/verification_state.py front` after the r08 promote (zero
-    # roll-over — all 50 r8 rows verified) and the datapipe17
+    # Mechanically derived at the round-10 window build: `python
+    # tools/verification_state.py front` after the r09 promote (zero
+    # roll-over — all 50 r9 rows verified) and the datapipe18
     # publication. Debt-prefix policy (tests/test_verification_state
-    # .py): positions 1-9 the datapipe17 publication (never
-    # driver-verified); positions 10-22 the 13-name r2 currency tail
+    # .py): positions 1-8 the datapipe18 publication (never
+    # driver-verified); positions 9-14 the six r4-currency names
     # (hash-unchanged since their rows — currency debt, not
-    # correctness doubt; VERDICT r8 #2 lists them); positions 23-50
-    # drain the r3 backlog oldest-first. This round's closure edits
-    # (nest.py broadcast-hint removal, graph_metrics modularity
-    # membership, datapipe20 ADVICE fixes) staled ZERO published
-    # names — the tool confirmed no hash-stale entries. Positions
-    # 51+ are the rest of the registry oldest-verified-round first.
-    "tx_char_entropy_quality",
-    "ev_survival_km",
-    "ds_curriculum_interleave",
-    "graph_hits_scores",
-    "ev_peak_concurrency",
-    "graph_type_affinity",
-    "tx_vocab_growth_curve",
-    "ev_dau_wau_stickiness",
-    "ds_stochastic_round_resample",
-    "ev_range_error_near_signup",
-    "etl_scd2_customer_merge",
-    "tx_quality_features",
-    "tx_language_id",
-    "tx_token_counts_by_source",
-    "tx_winnowing_fingerprints",
-    "mm_media_meta",
-    "ds_train_val_split",
-    "ds_stratified_sample",
-    "tx_quality_quantile_filter",
-    "tx_quality_calibrated_udf",
-    "mm_png_header_roundtrip",
-    "tx_sentences_udtf",
-    "q9_profit_by_nation_year",
-    "ev_stream_left_outer_join",
-    "sql_recursive_supplier_tree",
-    "sql_scalar_udf_revenue",
-    "mm_media_features",
-    "pf_expect_orders",
-    "tx_top_bigrams",
-    "pf_histogram_totalprice",
-    "ds_mixture_weighted_sample",
-    "tx_bigram_lm_score",
-    "ev_json_props",
-    "graph_pagerank_coparts",
-    "graph_triangle_counts",
-    "agg_grouping_sets_mix",
-    "ev_range_frame_hourly_avg",
-    "ev_group_order_stats_pandas",
-    "fe_hashing_trick",
-    "etl_snapshot_diff",
-    "etl_incremental_rollup",
-    "etl_keep_latest_event",
-    "sk_linear_count_users",
-    "ev_variant_props",
-    "src_pysource_docs_stats",
-    "tx_pmi_bigrams",
-    "fe_zscore_by_lang",
-    "q15_top_supplier",
-    "q11_important_part_value",
-    "ev_rfm_segments",
+    # correctness doubt; VERDICT r9 lists them); positions 15-50
+    # drain the r5 tail oldest-first. This round's edits (datapipe23
+    # repair, datapipe21 chi2 guard) touched only staged modules —
+    # the tool confirmed zero hash-stale published names. Positions
+    # 51+ continue the r5/r6 tail for roll-over headroom.
+    "fe_woe_information_value",
+    "ev_changepoint_cusum",
+    "graph_modularity_brands",
+    "graph_bfs_hops",
+    "ret_ndcg_eval",
+    "pf_column_mutual_information",
+    "ev_attribution_linear",
+    "mm_image_dhash_index",
     "pipe_clinical_e2e",
     "graph_label_propagation",
     "fe_winsorize_totalprice",
@@ -107,6 +64,47 @@ _FRONT = [
     "tx_ccnet_buckets",
     "sk_hll_users_by_type",
     "ev_resample_ffill",
+    "ev_cusum_drift",
+    "sk_hll_union_intersection",
+    "pf_psi_totalprice_drift",
+    "tx_vocab_coverage",
+    "ev_trend_daily",
+    "ds_pps_systematic_sample",
+    "ds_quality_budget_select",
+    "ds_temperature_mixture",
+    "tx_inverted_index",
+    "tx_bpe_first_merges",
+    "tx_source_kl_divergence",
+    "ann_topk_gemm",
+    "emb_covariance_cells",
+    "pf_key_skew_profile",
+    "ev_conversion_latency_quantiles",
+    "fe_target_encoding_loo",
+    "ds_shard_assignment",
+    "sql_pipe_syntax_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_last_shipper",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_variety",
+    "q20_heavy_shippers",
+    "j2_left_join_order_counts",
+    "j5_full_outer_summary_merge",
+    "j6_cross_domain_zero_fill",
+    "ann_topk_bruteforce",
 ]
 
 

@@ -64,10 +64,17 @@ from cqdg_etl_spark.queries import datapipe17 as _datapipe17  # noqa: E402
 
 _datapipe17.register()
 
+# Round-10 publication (staged in round 9, verified locally at
+# sf0.001/sf0.01 + fixtures by tests/test_datapipe18.py; the BFS x20
+# scale gate cleared in SCALE_PROBE_r09 before publication):
+from cqdg_etl_spark.queries import datapipe18 as _datapipe18  # noqa: E402
+
+_datapipe18.register()
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 230
+EXPECTED_REGISTRY_SIZE = 238
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

@@ -1,19 +1,12 @@
-"""Round-10 staged queries — NOT yet in the driver registry.
+"""Round-10 published queries (staged in round 9).
 
 Same staging discipline as datapipe13→17: full Query objects with
 DuckDB value-hash oracles, locally verified by tests/test_datapipe18.py
-at sf0.001/sf0.01 + adversarial fixtures, kept out of
-``cqdg_etl_spark.queries.REGISTRY`` so the published surface never
-carries a name without a driver row. The round-9 window belongs to the
-datapipe17 publication + the backlog tail; these wait their turn by
-design.
-
-To publish (round 10): call ``register()`` from queries/__init__.py,
-bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``, and copy the reviewed
-exception entries from tests/test_datapipe18.py::_BNLJ_OK and
-::_GLOBAL_WINDOW_OK into the fleet lint (test_plan_lint.py enforces
-the _BNLJ_OK copy mechanically; the window copy is asserted by the
-same orphan test once extended).
+at sf0.001/sf0.01 + adversarial fixtures while staged, published into
+``cqdg_etl_spark.queries.REGISTRY`` in round 10 with the reviewed
+_BNLJ_OK / _GLOBAL_WINDOW_OK entries copied into the fleet lint
+(tests/test_plan_lint.py enforces the copy mechanically). The BFS x20
+scale gate was cleared in SCALE_PROBE_r09 before publication.
 
 Batch theme: the EVALUATION layer of a training-data pipeline — the
 metrics that judge what the dedup/sampling/retrieval passes produced.

@@ -37,7 +37,7 @@ def _compare_staged(spark, name: str, sf_dir: str, con=None) -> None:
         )
 
 
-def test_staged_not_published():
+def test_staged_published():
     """Round-9 publication flipped: every datapipe17 name is now bound
     in the published registry to the SAME Query object (the
     datapipe13-16 publication discipline)."""

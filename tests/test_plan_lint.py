@@ -132,6 +132,16 @@ BNLJ_OK: dict[str, str] = {
     "fanned onto the tiny duration table",
     "tx_vocab_growth_curve": "single-row total-token-count scalar "
     "broadcast into the decile bucketing",
+    # -- datapipe18 batch (published round 10; reviewed while staged) --
+    "fe_woe_information_value": "single-row (G, B) totals scalar "
+    "fanned onto the 5-row category frame",
+    "graph_modularity_brands": "single-row edge-count scalar fanned "
+    "onto the bounded community frame",
+    "pf_column_mutual_information": "single-row grand-total scalar "
+    "fanned onto the bounded joint-cell frame (one per column pair)",
+    "ret_ndcg_eval": "fixed 10-row rank grid range-joined to the "
+    "<=4-row relevance-level histogram (IDCG ideal assignment) plus "
+    "the histogram's own <=4x4 cumulative self-join",
 }
 
 # Reviewed exceptions for the global-window rule: every entry is an
@@ -149,6 +159,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "densified bin frame",
     "ds_temperature_mixture": "share/renormalization windows over the "
     "|sources|-row grouped frame (a handful of sources by construction)",
+    # -- datapipe18 batch (published round 10; reviewed while staged) --
+    "ret_ndcg_eval": "two cumulative sums over the fixed 10-row rank "
+    "grid (DCG and IDCG at each cutoff)",
 }
 
 
