@@ -271,11 +271,14 @@ _CHI_A, _CHI_B = "o_orderpriority", "o_orderstatus"
         SELECT tot.nn AS n_rows, tot.r AS n_a, tot.c AS n_b,
                CAST((tot.r - 1) * (tot.c - 1) AS INT) AS dof,
                CAST(s.t + tot.nn AS DOUBLE) AS chi2,
-               {_SQL_Q6.format(
-                   x='''sqrt(CAST(s.t + tot.nn AS DOUBLE)
-                           / (CAST(tot.nn AS DOUBLE)
-                              * CAST(least(tot.r - 1, tot.c - 1)
-                                     AS DOUBLE)))''')} AS cramers_v
+               CASE WHEN least(tot.r - 1, tot.c - 1) >= 1
+                     AND CAST(s.t + tot.nn AS DOUBLE) >= 0 THEN
+                 {_SQL_Q6.format(
+                     x='''sqrt(CAST(s.t + tot.nn AS DOUBLE)
+                             / (CAST(tot.nn AS DOUBLE)
+                                * CAST(least(tot.r - 1, tot.c - 1)
+                                       AS DOUBLE)))''')}
+               END AS cramers_v
         FROM s CROSS JOIN tot
     """,
 )
@@ -335,14 +338,24 @@ def pf_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_b"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
         chi2.alias("chi2"),
-        _q6(
-            F.sqrt(
-                chi2
-                / (
-                    F.col("nn").cast("double")
-                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        # Degenerate guard (ADVICE r9, the Welch/ANOVA discipline): a
+        # one-level column makes least(r-1, c-1) = 0 — Spark's sqrt of
+        # a /0 yields NULL while DuckDB yields Inf, an engine
+        # divergence; a near-zero quantized chi2 can also dip slightly
+        # negative under the sqrt. NULL on both engines instead.
+        F.when(
+            (F.least(F.col("r") - 1, F.col("c") - 1) >= 1)
+            & (chi2 >= 0),
+            _q6(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("nn").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                        .cast("double")
+                    )
                 )
-            )
+            ),
         ).alias("cramers_v"),
     )
 

@@ -108,6 +108,21 @@ def _fixture_dir(spark, tmp_path, **tables) -> str:
     return d
 
 
+def _fixture_conn(d: str, *tables: str):
+    """duckdb conn over a fixture dir: only the tables that exist
+    (Spark writes each as a directory of part files; the full
+    oracle_harness.duckdb_conn binds all ten sf tables eagerly)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
 _EV_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -178,6 +193,24 @@ def test_chi2_hand_table(spark, tmp_path):
     assert r["cramers_v"] == _q6(math.sqrt(chi2 / (100 * 1)))
     # sanity: close to the textbook value 4/12+4/18+4/28+4/42
     assert abs(chi2 - (4 / 12 + 4 / 18 + 4 / 28 + 4 / 42)) < 1e-4
+
+
+def test_chi2_degenerate_single_level(spark, tmp_path):
+    """One distinct status → least(r-1, c-1) = 0: V must be NULL on
+    both engines, never Spark-NULL-vs-DuckDB-Inf (ADVICE r9 guard,
+    the Welch/ANOVA discipline). chi2 itself stays well-defined (and
+    is ~0 — independence holds trivially)."""
+    orders = spark.createDataFrame(
+        [(0, "1-URGENT", "O"), (1, "1-URGENT", "O"), (2, "2-HIGH", "O")],
+        _ORD_SCHEMA,
+    )
+    d = _fixture_dir(spark, tmp_path, orders=orders)
+    r = STAGED["pf_chi2_independence"].fn(spark, d).collect()[0].asDict()
+    assert (r["n_a"], r["n_b"], r["dof"]) == (2, 1, 0)
+    assert r["cramers_v"] is None
+    assert abs(r["chi2"]) < 1e-6
+    _compare_staged(spark, "pf_chi2_independence", d,
+                    con=_fixture_conn(d, "orders"))
 
 
 # ------------------------------------------ bigram entropy rate

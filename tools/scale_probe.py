@@ -290,6 +290,55 @@ def _bfs_hops_staged(spark, sf_dir: str, scale: int):
     return STAGED["graph_bfs_hops"].fn(spark, sf_dir)
 
 
+# Wave 8 (--wave8): the round-10 datapipe18 publications — first
+# post-publication curvature (VERDICT r9 #4) — plus the repaired
+# datapipe23 batch's two Arrow-heavy staged queries, getting their
+# first curves now that they run at all. Superlinearity risks by
+# shape: the event-stream CUSUM argmax (ev_changepoint_cusum — one
+# range-partitioned cumsum + a 1-row argmax, linear by construction);
+# the labeled co-purchase modularity (graph_modularity_brands — the
+# pair enumeration is the bounded per-order (k choose 2), the
+# community rollup is |labels|-bounded); multi-source BFS
+# (graph_bfs_hops — frontier equi-join per hop, x20 gate 0.88 cleared
+# pre-publication in SCALE_PROBE_r09); nDCG@10 (ret_ndcg_eval — BM25
+# scoring dominates; the rank grid is fixed 10 rows); linear
+# attribution (ev_attribution_linear — per-user windows, conversion
+# fan-out bounded by the lookback); the dHash index
+# (mm_image_dhash_index — one mapInPandas decode pass + a 4×16-bit
+# band self-join, the SimHash pigeonhole shape); the IVF cell profile
+# (emb_ivf_cell_profile_staged — one skinny fit pass + one Arrow
+# assignment pass + a |cells|-bounded aggregate); and the k-center
+# coreset (ds_kcenter_coreset_staged — k bounded argmax scans, each a
+# full corpus pass: expect ~linear per step, k fixed at 5).
+# fe_woe_information_value and pf_column_mutual_information read
+# ORDERS, which build_scaled_dir copies as-is — they are probed on
+# the wave-3 TPC-H warehouse fixture instead (--wave8t).
+WAVE8 = [
+    "ev_changepoint_cusum",
+    "graph_modularity_brands",
+    "graph_bfs_hops",
+    "ret_ndcg_eval",
+    "ev_attribution_linear",
+    "mm_image_dhash_index",
+    "emb_ivf_cell_profile_staged",
+    "ds_kcenter_coreset_staged",
+]
+
+WAVE8T = [
+    "fe_woe_information_value",
+    "pf_column_mutual_information",
+]
+
+
+def _dp23_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe23 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
 # Programmatic series: operator variants that differ from a registered
 # query only by a scale-dependent parameter. fn(spark, sf_dir, scale).
 EXTRA = {
@@ -297,6 +346,8 @@ EXTRA = {
     "embedding_pairs_fixed_banding": _embedding_pairs_fixed_banding,
     "simhash_pairs_64bit": _simhash_pairs_64bit,
     "graph_bfs_hops_staged": _bfs_hops_staged,
+    "emb_ivf_cell_profile_staged": _dp23_staged("emb_ivf_cell_profile"),
+    "ds_kcenter_coreset_staged": _dp23_staged("ds_kcenter_coreset"),
 }
 
 ALL_TABLES = [
@@ -461,11 +512,13 @@ def main() -> int:
     wave5 = "--wave5" in args
     wave6 = "--wave6" in args
     wave7 = "--wave7" in args
+    wave8 = "--wave8" in args
+    wave8t = "--wave8t" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
-                     "--wave7")
+                     "--wave7", "--wave8", "--wave8t")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -473,7 +526,11 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave7:
+    if wave8t:
+        all_names = WAVE8T
+    elif wave8:
+        all_names = WAVE8
+    elif wave7:
         all_names = WAVE7
     elif wave6:
         all_names = WAVE6
@@ -494,7 +551,8 @@ def main() -> int:
     results: dict[str, list[tuple[int, float, int]]] = {q: [] for q in all_names}
     for scale in scales:
         sf_dir = (
-            build_tpch_scaled_dir(scale) if wave3 else build_scaled_dir(scale)
+            build_tpch_scaled_dir(scale) if (wave3 or wave8t)
+            else build_scaled_dir(scale)
         )
         for name in all_names:
             def build():
