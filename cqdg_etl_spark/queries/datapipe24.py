@@ -290,7 +290,10 @@ def ev_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     burst detector conditions on exactly this. Days with no events
     count as 0 (the spine is densified from min to max day), so a
     silent outage reads as real negative correlation, not a missing
-    row.
+    row. Complements pf_autocorr_daily (datapipe19), which reads
+    PER-TYPE lag-1/lag-7 predictability over observed days only —
+    this one is the full 7-lag ACF of the aggregate stream with the
+    zero-filled calendar the textbook estimator assumes.
 
     ACF convention: r_k = Σ_t (x_t−m)(x_{{t+k}}−m) / Σ_t (x_t−m)²
     with the FULL-series mean and denominator (the standard sample

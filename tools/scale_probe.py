@@ -339,6 +339,35 @@ def _dp23_staged(name: str):
     return run
 
 
+def _dp24_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe24 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
+# Wave 8s (--wave8s): the datapipe24 batch, probed at STAGING time
+# (the clustering-coefficient lesson — staged queries get their
+# curves before their publication round). Superlinearity risks by
+# shape: the Heaps fit rides tx_vocab_growth_curve's whole token
+# explode + two range-partitioned cumsums (honest slope ~0.55 in
+# SCALE_PROBE_r09); Mahalanobis explodes 64 dims per vector but both
+# aggregates are hash-keyed and the stats frame is |labels|·d; the
+# Mann-Whitney value frame is bounded by distinct lengths; ACF/Fano/
+# entropy-rate collapse to day- or type-bounded frames immediately.
+# pf_mann_whitney_u reads documents (replicated fixture: fine).
+WAVE8S = [
+    "mw_u_staged",
+    "acf_daily_staged",
+    "fano_staged",
+    "heaps_fit_staged",
+    "mahalanobis_staged",
+    "entropy_rate_staged",
+]
+
+
 # Programmatic series: operator variants that differ from a registered
 # query only by a scale-dependent parameter. fn(spark, sf_dir, scale).
 EXTRA = {
@@ -348,6 +377,12 @@ EXTRA = {
     "graph_bfs_hops_staged": _bfs_hops_staged,
     "emb_ivf_cell_profile_staged": _dp23_staged("emb_ivf_cell_profile"),
     "ds_kcenter_coreset_staged": _dp23_staged("ds_kcenter_coreset"),
+    "mw_u_staged": _dp24_staged("pf_mann_whitney_u"),
+    "acf_daily_staged": _dp24_staged("ev_acf_daily_counts"),
+    "fano_staged": _dp24_staged("ev_fano_burstiness"),
+    "heaps_fit_staged": _dp24_staged("tx_heaps_law_fit"),
+    "mahalanobis_staged": _dp24_staged("emb_mahalanobis_outliers"),
+    "entropy_rate_staged": _dp24_staged("ev_entropy_rate_markov"),
 }
 
 ALL_TABLES = [
@@ -514,11 +549,12 @@ def main() -> int:
     wave7 = "--wave7" in args
     wave8 = "--wave8" in args
     wave8t = "--wave8t" in args
+    wave8s = "--wave8s" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
-                     "--wave7", "--wave8", "--wave8t")
+                     "--wave7", "--wave8", "--wave8t", "--wave8s")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -526,7 +562,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave8t:
+    if wave8s:
+        all_names = WAVE8S
+    elif wave8t:
         all_names = WAVE8T
     elif wave8:
         all_names = WAVE8
