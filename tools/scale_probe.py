@@ -329,10 +329,40 @@ WAVE8T = [
     "pf_column_mutual_information",
 ]
 
+# Wave 9s (--wave9s): the datapipe25 batch at STAGING time.
+# Superlinearity risks by shape: the stylometric delta makes two
+# corpus token passes (top-k count + source-token count) but every
+# downstream frame is the |sources|x20 grid; CUPED is one per-user
+# aggregate; KMV is a distinct + two bounded windows (the bucketed
+# min-k); retention is distinct (user, week) + bounded-age rollups;
+# Simpson is one (source, token) aggregate. pf_spearman_rho reads
+# ORDERS and probes under the TPC-H warehouse fixture (--wave9t) —
+# its two value-frame cumsums are the only rank machinery.
+WAVE9S = [
+    "cuped_staged",
+    "kmv_staged",
+    "retention_hl_staged",
+    "simpson_staged",
+    "stylo_delta_staged",
+]
+
+WAVE9T = [
+    "spearman_staged",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
         from cqdg_etl_spark.queries.datapipe23 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
+def _dp25_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe25 import STAGED
 
         return STAGED[name].fn(spark, sf_dir)
 
@@ -383,6 +413,12 @@ EXTRA = {
     "heaps_fit_staged": _dp24_staged("tx_heaps_law_fit"),
     "mahalanobis_staged": _dp24_staged("emb_mahalanobis_outliers"),
     "entropy_rate_staged": _dp24_staged("ev_entropy_rate_markov"),
+    "cuped_staged": _dp25_staged("ev_cuped_adjustment"),
+    "kmv_staged": _dp25_staged("sk_kmv_distinct_users"),
+    "retention_hl_staged": _dp25_staged("ev_retention_halflife"),
+    "simpson_staged": _dp25_staged("tx_simpson_diversity"),
+    "stylo_delta_staged": _dp25_staged("tx_stylometric_delta"),
+    "spearman_staged": _dp25_staged("pf_spearman_rho"),
 }
 
 ALL_TABLES = [
@@ -550,11 +586,14 @@ def main() -> int:
     wave8 = "--wave8" in args
     wave8t = "--wave8t" in args
     wave8s = "--wave8s" in args
+    wave9s = "--wave9s" in args
+    wave9t = "--wave9t" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
-                     "--wave7", "--wave8", "--wave8t", "--wave8s")
+                     "--wave7", "--wave8", "--wave8t", "--wave8s",
+                     "--wave9s", "--wave9t")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -562,7 +601,11 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave8s:
+    if wave9s:
+        all_names = WAVE9S
+    elif wave9t:
+        all_names = WAVE9T
+    elif wave8s:
         all_names = WAVE8S
     elif wave8t:
         all_names = WAVE8T
@@ -589,7 +632,7 @@ def main() -> int:
     results: dict[str, list[tuple[int, float, int]]] = {q: [] for q in all_names}
     for scale in scales:
         sf_dir = (
-            build_tpch_scaled_dir(scale) if (wave3 or wave8t)
+            build_tpch_scaled_dir(scale) if (wave3 or wave8t or wave9t)
             else build_scaled_dir(scale)
         )
         for name in all_names:
