@@ -294,14 +294,25 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge frame; isolated parts have no path mass and no row.
 
     Scale shape: each round is one edge-keyed equi-join + one
-    map-side-combinable hash aggregate (the pagerank shape); the
-    round count is fixed at 3, so no lineage truncation is needed —
-    the plan depth is a constant."""
+    map-side-combinable hash aggregate (the pagerank shape). The edge
+    frame is PERSISTED and each round's scores are eagerly
+    localCheckpointed (the HITS discipline): without that, round i's
+    lazy plan re-derives every earlier round AND the order-pair
+    self-join — the final union would execute the candidate
+    generation ~k² times over. The checkpoint cost is 3 small jobs
+    inside fn(); the edge cache is dropped before returning so no
+    frame leaks into the session (ADVICE r7 #3). On a real cluster
+    swap localCheckpoint for .checkpoint() on durable storage
+    (operators/graph._truncate note)."""
+    from pyspark import StorageLevel
+
     from cqdg_etl_spark.queries.datapipe18 import _coparts_edges
 
     e = _coparts_edges(spark, sf_dir)
-    sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
-        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    sym = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     x = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "x", F.lit(1).cast("decimal(18,6)")
@@ -315,8 +326,10 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _q6(F.lit(_KATZ_ALPHA) * F.sum("x").cast("double"))
                 .cast("decimal(18,6)").alias("x")
             )
+            .localCheckpoint()  # eager: cut lineage, reuse in union
         )
         rounds.append(x)
+    sym.unpersist()
     allr = rounds[0]
     for r in rounds[1:]:
         allr = allr.unionAll(r)

@@ -350,6 +350,27 @@ WAVE9T = [
     "spearman_staged",
 ]
 
+# Wave 10s (--wave10s): the datapipe26 batch at STAGING time.
+# Superlinearity risks by shape: silhouette is one posexplode
+# aggregate + one Arrow pass against |labels| closure centroids;
+# Katz is 3 fixed edge-join rounds (the pagerank shape — risk is the
+# edge count, linear in replicas); MDE/Holt/Lorenz collapse to
+# user-/calendar-bounded frames. pf_qq_deciles reads ORDERS and
+# probes under the TPC-H warehouse fixture (--wave10t); its exact
+# percentile sorts within the two era groups — the documented exact
+# trade (approx_percentile at 100 TB).
+WAVE10S = [
+    "silhouette_staged",
+    "katz_staged",
+    "mde_staged",
+    "holt_staged",
+    "lorenz_staged",
+]
+
+WAVE10T = [
+    "qq_staged",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
@@ -363,6 +384,15 @@ def _dp23_staged(name: str):
 def _dp25_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
         from cqdg_etl_spark.queries.datapipe25 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
+def _dp26_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe26 import STAGED
 
         return STAGED[name].fn(spark, sf_dir)
 
@@ -419,6 +449,12 @@ EXTRA = {
     "simpson_staged": _dp25_staged("tx_simpson_diversity"),
     "stylo_delta_staged": _dp25_staged("tx_stylometric_delta"),
     "spearman_staged": _dp25_staged("pf_spearman_rho"),
+    "silhouette_staged": _dp26_staged("emb_silhouette_simplified"),
+    "katz_staged": _dp26_staged("graph_katz_centrality"),
+    "mde_staged": _dp26_staged("ev_ab_power_mde"),
+    "holt_staged": _dp26_staged("ev_holt_forecast"),
+    "lorenz_staged": _dp26_staged("ev_lorenz_curve_deciles"),
+    "qq_staged": _dp26_staged("pf_qq_deciles"),
 }
 
 ALL_TABLES = [
@@ -588,12 +624,14 @@ def main() -> int:
     wave8s = "--wave8s" in args
     wave9s = "--wave9s" in args
     wave9t = "--wave9t" in args
+    wave10s = "--wave10s" in args
+    wave10t = "--wave10t" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
                      "--wave7", "--wave8", "--wave8t", "--wave8s",
-                     "--wave9s", "--wave9t")
+                     "--wave9s", "--wave9t", "--wave10s", "--wave10t")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -601,7 +639,11 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave9s:
+    if wave10s:
+        all_names = WAVE10S
+    elif wave10t:
+        all_names = WAVE10T
+    elif wave9s:
         all_names = WAVE9S
     elif wave9t:
         all_names = WAVE9T
@@ -632,7 +674,8 @@ def main() -> int:
     results: dict[str, list[tuple[int, float, int]]] = {q: [] for q in all_names}
     for scale in scales:
         sf_dir = (
-            build_tpch_scaled_dir(scale) if (wave3 or wave8t or wave9t)
+            build_tpch_scaled_dir(scale)
+            if (wave3 or wave8t or wave9t or wave10t)
             else build_scaled_dir(scale)
         )
         for name in all_names:
