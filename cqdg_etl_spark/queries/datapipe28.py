@@ -1,0 +1,859 @@
+"""Round-20 staged queries — NOT yet in the driver registry.
+
+Same staging discipline as datapipe13→27: full Query objects with
+DuckDB value-hash oracles, locally verified by tests/test_datapipe28.py
+at sf0.001/sf0.01 + adversarial fixtures, kept out of
+``cqdg_etl_spark.queries.REGISTRY`` so the published surface never
+carries a name without a driver row. Rounds 11–19 belong to the
+datapipe19–27 publications; this batch completes the staged pipeline
+through round 20.
+
+To publish (round 20): call ``register()`` from queries/__init__.py,
+bump EXPECTED_REGISTRY_SIZE by ``len(STAGED)``, and copy the reviewed
+exception entries from tests/test_datapipe28.py::_BNLJ_OK /
+_GLOBAL_WINDOW_OK into the fleet lint (the orphan test enforces the
+copies).
+
+Batch theme: resampling and self-audit — estimating the estimator.
+A Poisson bootstrap CI on the mean event value (THE scalable
+bootstrap: per-replicate Poisson(1) weights need no resample
+materialization and merge map-side), Good-Turing unseen-vocabulary
+mass per source (how much of each source's vocabulary we have NOT
+seen yet — the crawl-more signal), leave-one-source-out jackknife of
+the corpus mean document length (which source moves the global
+statistic, with the jackknife SE), Gries' DP dispersion of the top
+corpus words (is a word's mass spread like the corpus or clumped in
+a few documents), a birthday-bound audit of the fleet's 32-bit md5
+bucket space (observed vs expected collisions — the hash-width
+check behind every ds_* split), and a Little's-law discretization
+audit (hourly-sampled concurrency vs λ·W from the sessionizer — the
+sanity identity capacity models assume). No reference counterpart
+(Ferlab-Ste-Justine/cqdg-etl has no analytics of this kind); every
+shape is chosen for the 100-TB target and documented per query.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cqdg_etl_spark.queries.registry import REGISTRY, Query, load
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, oracle: str | None = None, bench: bool = False,
+            tags: tuple[str, ...] = ()):
+    def deco(fn):
+        STAGED[name] = Query(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Publish the staged queries into the driver registry (round 20)."""
+    REGISTRY.update(STAGED)
+
+
+def _q6(col):
+    """floor(x·1e6+0.5)/1e6 — the engine-exact 6-dp quantization used
+    fleet-wide."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# Parenthesized template (README convention).
+_SQL_Q6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# ------------------------------------ Poisson bootstrap CI
+
+_BOOT_B = 100
+# Poisson(1) CDF quantized to the 32-bit md5 bucket space:
+# T[k] = floor(P(X <= k) * 2^32); a uniform 32-bit hash h draws
+# weight w = #{k : h >= T[k]} (equivalently the inverse-CDF step).
+# Identical integer literals on both engines; the tail is capped at
+# w = 9 (P ≈ 1.1e-6).
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777, 4294923276, 4294962463]
+
+
+def _sql_bootstrap() -> str:
+    h = ("CAST(('0x' || substring(md5(concat(b, ':', event_id)), 1, 8)) "
+         "AS BIGINT)")
+    w = "CASE " + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    ) + " ELSE 9 END"
+    return f"""
+        WITH reps AS (
+          SELECT CAST(unnest(range(0, {_BOOT_B})) AS BIGINT) AS b
+        ),
+        hw AS (
+          SELECT b, CAST(value AS DECIMAL(18,6)) AS v,
+                 {h} AS h
+          FROM events CROSS JOIN reps
+        ),
+        wts AS (SELECT b, v, {w} AS w FROM hw),
+        means AS (
+          SELECT b,
+                 CAST(sum(w * v) AS DECIMAL(38,6)) AS sv,
+                 CAST(sum(w) AS BIGINT) AS sw
+          FROM wts GROUP BY b
+        ),
+        bm AS (
+          SELECT b, CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+          FROM means WHERE sw > 0
+        ),
+        pt AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6)))
+                      AS DECIMAL(38,6)) AS sv
+          FROM events
+        )
+        SELECT pt.n AS n_events,
+               CAST(count(bm.b) AS BIGINT) AS n_replicates,
+               {_SQL_Q6.format(
+                   x="CAST(any_value(pt.sv) AS DOUBLE)"
+                     " / CAST(any_value(pt.n) AS DOUBLE)")} AS point_mean,
+               {_SQL_Q6.format(x="quantile_cont(bm.m, 0.025)")} AS ci_low,
+               {_SQL_Q6.format(x="quantile_cont(bm.m, 0.975)")} AS ci_high
+        FROM bm CROSS JOIN pt
+        GROUP BY pt.n
+    """
+
+
+@_staged(
+    "ev_poisson_bootstrap_ci",
+    tags=("datapipe", "events", "resampling"),
+    oracle=_sql_bootstrap(),
+)
+def ev_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI on the mean event value, B = 100
+    replicates: each (row, replicate) draws an independent Poisson(1)
+    weight, so a replicate's weighted mean is a bootstrap resample
+    WITHOUT materializing one — the only bootstrap that survives
+    100 TB (weights are computed inline from a hash, partial
+    aggregates merge map-side, nothing is ever resampled or
+    shuffled per replicate). The CI every mean on a dashboard should
+    carry but never does.
+
+    Determinism: weights come from the fleet md5 recipe (32-bit
+    bucket of 'b:event_id') stepped through integer Poisson-CDF
+    thresholds (shared literals — exact inverse-CDF, no float RNG);
+    value sums accumulate DECIMAL(18,6) (the fleet money recipe) and
+    w·v stays decimal-exact; each replicate mean is one pinned
+    division; the CI bounds are exact interpolated quantiles over
+    the B-row replicate frame (Spark `percentile` == DuckDB
+    `quantile_cont`, the agg_exact_percentiles precedent). Replicates
+    whose total weight is 0 are dropped on both engines (impossible
+    beyond toy corpora; exercised by a fixture).
+
+    Scale shape: one explode of the B-row replicate grid onto the
+    scan (output B× the corpus but immediately map-side-combined to
+    B partial rows per partition), one B-row aggregate, one 1-row
+    point-estimate scalar fan-out (the reviewed bounded-BNLJ
+    class)."""
+    ev = load(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("b"), F.col("event_id"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < _POIS_T[k], k).otherwise(w)
+    means = (
+        reps.select("b", "v", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).cast("decimal(38,6)").alias("sv"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+    )
+    bm = means.filter(F.col("sw") > 0).select(
+        "b", (F.col("sv").cast("double") / F.col("sw").cast("double"))
+        .alias("m"),
+    )
+    pt = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").alias("sv"),
+    )
+    return (
+        bm.join(F.broadcast(pt))
+        .groupBy("n")
+        .agg(
+            F.count("b").cast("long").alias("n_replicates"),
+            _q6(
+                F.first("sv").cast("double") / F.first("n").cast("double")
+            ).alias("point_mean"),
+            _q6(F.expr("percentile(m, 0.025)")).alias("ci_low"),
+            _q6(F.expr("percentile(m, 0.975)")).alias("ci_high"),
+        )
+        .select(
+            F.col("n").alias("n_events"), "n_replicates", "point_mean",
+            "ci_low", "ci_high",
+        )
+    )
+
+
+# ------------------------------------ Good-Turing unseen mass
+
+
+@_staged(
+    "tx_unseen_mass_good_turing",
+    tags=("datapipe", "text", "coverage"),
+    oracle=f"""
+        WITH t AS (
+          SELECT source, unnest(string_split(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents
+          WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+        ),
+        c AS (
+          SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT source,
+                 CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+          FROM c GROUP BY source
+        )
+        SELECT source, n_tokens, n_types, n1, n2,
+               {_SQL_Q6.format(
+                   x='''CAST(n1 AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)''')} AS unseen_mass,
+               CASE WHEN n1 > 0 THEN
+                 {_SQL_Q6.format(
+                     x='''2.0 * CAST(n2 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE)''')}
+               END AS r1_adjusted
+        FROM s ORDER BY source
+    """,
+)
+def tx_unseen_mass_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-vocabulary mass per source: p₀ = N₁/N (the
+    singleton share — Turing's estimate of the probability the NEXT
+    token is a never-seen type) plus the adjusted count r₁* = 2N₂/N₁
+    for singletons. High unseen mass = the crawl has not converged on
+    that source's vocabulary (keep crawling); near-zero = saturated.
+    The coverage complement of tx_vocab_growth_curve's trajectory and
+    tx_heaps_law_fit's exponent — this is the one-number "how much is
+    left" read.
+
+    Determinism: pure integer counts until two pinned ratios
+    quantized at 6 dp; r₁* is NULL-guarded when a source has no
+    singletons (fully saturated — the honest answer).
+
+    Scale shape: one (source, token) hash aggregate, one
+    |sources|-bounded rollup — no join anywhere."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", normalize_ws(F.col("text")).alias("norm")
+    ).filter(F.col("norm") != "").select(
+        "source", F.explode(tokens(F.col("norm"))).alias("tok")
+    )
+    c = t.groupBy("source", "tok").agg(F.count("*").cast("long").alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("long").alias("n2"),
+    )
+    return s.select(
+        "source", "n_tokens", "n_types", "n1", "n2",
+        _q6(F.col("n1").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("unseen_mass"),
+        F.when(
+            F.col("n1") > 0,
+            _q6(2.0 * F.col("n2").cast("double")
+                / F.col("n1").cast("double")),
+        ).alias("r1_adjusted"),
+    ).orderBy("source")
+
+
+# ------------------------------------ jackknife source sensitivity
+
+
+@_staged(
+    "pf_jackknife_source_sensitivity",
+    tags=("datapipe", "profile", "resampling"),
+    oracle=f"""
+        WITH s AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS nh,
+                 CAST(sum(CAST(n_chars AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS th
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(sum(nh) AS BIGINT) AS n,
+                 CAST(sum(th) AS DECIMAL(38,0)) AS t,
+                 CAST(count(*) AS BIGINT) AS g
+          FROM s
+        ),
+        loo AS (
+          SELECT source, nh,
+                 CAST((CAST(t AS DOUBLE) - CAST(th AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - CAST(nh AS DOUBLE))
+                      AS DOUBLE) AS m_loo,
+                 CAST(t AS DOUBLE) / CAST(n AS DOUBLE) AS m_all,
+                 g
+          FROM s CROSS JOIN tot
+          WHERE n > nh
+        ),
+        jk AS (
+          SELECT CAST(sum(CAST({_SQL_Q6.format(x="m_loo")}
+                              AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sm,
+                 CAST(sum(CAST({_SQL_Q6.format(x="m_loo")}
+                              AS DECIMAL(18,6))
+                          * CAST({_SQL_Q6.format(x="m_loo")}
+                                AS DECIMAL(18,6)))
+                      AS DECIMAL(38,12)) AS qm,
+                 CAST(count(*) AS BIGINT) AS g2
+          FROM loo
+        )
+        SELECT loo.source, loo.nh AS n_docs,
+               {_SQL_Q6.format(x="loo.m_loo")} AS mean_loo,
+               {_SQL_Q6.format(x="loo.m_loo - loo.m_all")} AS influence,
+               CASE WHEN jk.g2 >= 2 THEN
+                 {_SQL_Q6.format(
+                     x='''sqrt((CAST(jk.g2 - 1 AS DOUBLE)
+                                / CAST(jk.g2 AS DOUBLE))
+                               * (CAST(jk.qm AS DOUBLE)
+                                  - CAST(jk.sm AS DOUBLE)
+                                    * CAST(jk.sm AS DOUBLE)
+                                    / CAST(jk.g2 AS DOUBLE)))''')}
+               END AS jackknife_se
+        FROM loo CROSS JOIN jk
+        ORDER BY loo.source
+    """,
+)
+def pf_jackknife_source_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-SOURCE-out jackknife of the corpus mean document
+    length: per source, the mean without it (m₋ₕ), its influence
+    m₋ₕ − m (a big |influence| = that source is dragging the global
+    statistic), and the delete-one-group jackknife SE
+    √((G−1)/G · Σ(m₋ₕ − m̄)²) replicated on every row. The
+    sensitivity audit behind "is the corpus mean a property of the
+    corpus or of one scraper" — the grouped-resampling complement of
+    ev_poisson_bootstrap_ci (which resamples rows, not groups).
+
+    Determinism: stratum counts and length totals are exact integers
+    / DECIMAL(38,0); each leave-out mean is one pinned division
+    quantized at 6 dp into decimal before the SE sums (exact);
+    sources covering the WHOLE corpus (n = n_h) are excluded on both
+    engines (their leave-out mean is undefined); SE is NULL-guarded
+    below 2 usable replicates.
+
+    Scale shape: one per-source aggregate, one 1-row (N, T, G) total
+    and one 1-row SE rollup fanned onto the |sources| frame (the
+    reviewed bounded-BNLJ class)."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("th"),
+    )
+    tot = s.agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.sum("th").cast("decimal(38,0)").alias("t"),
+        F.count("*").cast("long").alias("g"),
+    )
+    loo = (
+        s.join(F.broadcast(tot))
+        .filter(F.col("n") > F.col("nh"))
+        .select(
+            "source", "nh", "g",
+            (
+                (F.col("t").cast("double") - F.col("th").cast("double"))
+                / (F.col("n").cast("double") - F.col("nh").cast("double"))
+            ).alias("m_loo"),
+            (F.col("t").cast("double") / F.col("n").cast("double"))
+            .alias("m_all"),
+        )
+    )
+    m6 = _q6(F.col("m_loo")).cast("decimal(18,6)")
+    jk = loo.agg(
+        F.sum(m6).cast("decimal(38,6)").alias("sm"),
+        F.sum(m6 * m6).cast("decimal(38,12)").alias("qm"),
+        F.count("*").cast("long").alias("g2"),
+    )
+    g2d = F.col("g2").cast("double")
+    return (
+        loo.join(F.broadcast(jk))
+        .select(
+            "source",
+            F.col("nh").alias("n_docs"),
+            _q6(F.col("m_loo")).alias("mean_loo"),
+            _q6(F.col("m_loo") - F.col("m_all")).alias("influence"),
+            F.when(
+                F.col("g2") >= 2,
+                _q6(
+                    F.sqrt(
+                        ((F.col("g2") - 1).cast("double") / g2d)
+                        * (
+                            F.col("qm").cast("double")
+                            - F.col("sm").cast("double")
+                            * F.col("sm").cast("double") / g2d
+                        )
+                    )
+                ),
+            ).alias("jackknife_se"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------ Gries DP word dispersion
+
+_DP_TOPK = 20
+
+
+@_staged(
+    "tx_word_dispersion_dp",
+    tags=("datapipe", "text", "dispersion"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents
+          WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+        ),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+          FROM t GROUP BY doc_id
+        ),
+        nn AS (SELECT CAST(sum(len) AS BIGINT) AS n FROM dl),
+        top AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cw FROM t
+          GROUP BY tok ORDER BY cw DESC, tok LIMIT {_DP_TOPK}
+        ),
+        post AS (
+          SELECT t.tok, t.doc_id, CAST(count(*) AS BIGINT) AS c
+          FROM t JOIN top USING (tok) GROUP BY 1, 2
+        ),
+        terms AS (
+          SELECT p.tok,
+                 CAST({_SQL_Q6.format(
+                     x='''abs(CAST(p.c AS DOUBLE)
+                              / CAST(top.cw AS DOUBLE)
+                            - CAST(dl.len AS DOUBLE)
+                              / CAST(nn.n AS DOUBLE))''')}
+                   AS DECIMAL(18,6)) AS d,
+                 CAST({_SQL_Q6.format(
+                     x='''CAST(dl.len AS DOUBLE)
+                        / CAST(nn.n AS DOUBLE)''')}
+                   AS DECIMAL(18,6)) AS share
+          FROM post p
+          JOIN dl USING (doc_id) JOIN top USING (tok) CROSS JOIN nn
+        )
+        SELECT terms.tok AS token, any_value(top.cw) AS n_occurrences,
+               CAST(count(*) AS BIGINT) AS n_docs_with,
+               {_SQL_Q6.format(
+                   x='''(CAST(sum(terms.d) AS DOUBLE)
+                         + (1.0 - CAST(sum(terms.share) AS DOUBLE)))
+                        / 2.0''')} AS dp
+        FROM terms JOIN top ON top.tok = terms.tok
+        GROUP BY terms.tok ORDER BY token
+    """,
+)
+def tx_word_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP (deviation of proportions) for the top-{k} corpus
+    tokens: DP_w = ½·Σ_docs |share-of-w-in-doc − doc's-share-of-
+    corpus| ∈ [0, 1) — 0 when the word is spread exactly like the
+    corpus (a true function word), → 1 when its mass clumps in a few
+    documents (a topic word, a template artifact, or boilerplate
+    wearing a high raw frequency). The corpus-linguistics dispersion
+    read that separates "frequent because ubiquitous" from "frequent
+    because duplicated" — the complement of dd_* (which finds the
+    duplicate docs) and tx_stylometric_delta (which profiles
+    sources).
+
+    Zero-occurrence documents never enumerate: a doc without w
+    contributes doc_share/2, and Σ over them = (1 − Σ_{{docs with w}}
+    doc_share)/2 — so the computation lives on the POSTINGS of the
+    top-k words, not the dense doc×word grid.
+
+    Determinism: the top-k vocabulary is (count DESC, token) — a
+    total order; each |Δ| term and each doc share is one pinned chain
+    quantized at 6 dp into decimal, summed exactly; one final pinned
+    combination per word.
+
+    Scale shape: one token count + TakeOrderedAndProject for the
+    top-k, postings via a broadcast top-k semi-join, doc lengths via
+    one aggregate, a 1-row corpus-total scalar fan-out (the reviewed
+    bounded-BNLJ class), one per-word rollup."""
+    from cqdg_etl_spark.functions.text import normalize_ws, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", normalize_ws(F.col("text")).alias("norm")
+    ).filter(F.col("norm") != "").select(
+        "doc_id", F.explode(tokens(F.col("norm"))).alias("tok")
+    )
+    dl = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
+    nn = dl.agg(F.sum("len").cast("long").alias("n"))
+    top = (
+        t.groupBy("tok").agg(F.count("*").cast("long").alias("cw"))
+        .orderBy(F.desc("cw"), "tok")
+        .limit(_DP_TOPK)
+    )
+    post = (
+        t.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    terms = (
+        post.join(dl, "doc_id")
+        .join(F.broadcast(top), "tok")
+        .join(F.broadcast(nn))
+        .select(
+            "tok",
+            _q6(
+                F.abs(
+                    F.col("c").cast("double") / F.col("cw").cast("double")
+                    - F.col("len").cast("double") / F.col("n").cast("double")
+                )
+            ).cast("decimal(18,6)").alias("d"),
+            _q6(F.col("len").cast("double") / F.col("n").cast("double"))
+            .cast("decimal(18,6)").alias("share"),
+            "cw",
+        )
+    )
+    return (
+        terms.groupBy(F.col("tok").alias("token"))
+        .agg(
+            F.first("cw").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs_with"),
+            _q6(
+                (
+                    F.sum("d").cast("double")
+                    + (1.0 - F.sum("share").cast("double"))
+                )
+                / 2.0
+            ).alias("dp"),
+        )
+        .orderBy("token")
+    )
+
+
+tx_word_dispersion_dp.__doc__ = tx_word_dispersion_dp.__doc__.replace(
+    "{k}", str(_DP_TOPK)
+)
+
+
+# ------------------------------------ hash collision audit
+
+
+@_staged(
+    "sk_hash_collision_audit",
+    tags=("datapipe", "sketch", "infra"),
+    oracle=f"""
+        WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        h AS (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS b
+          FROM ids
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT b) AS BIGINT) AS n_buckets
+          FROM h
+        )
+        SELECT n AS n_ids,
+               CAST(n - n_buckets AS BIGINT) AS n_collisions,
+               {_SQL_Q6.format(
+                   x='''CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                      / 2.0 / 4294967296.0''')} AS expected_collisions,
+               CASE WHEN n >= 2 THEN
+                 {_SQL_Q6.format(
+                     x='''CAST(n - n_buckets AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                           / 2.0 / 4294967296.0)''')}
+               END AS observed_over_expected
+        FROM s
+    """,
+)
+def sk_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-bound audit of the fleet's 32-bit md5 bucket space
+    (operators/sampling.hash_bucket — the hash behind every ds_*
+    split/shuffle/shard): observed collisions among distinct doc_ids
+    vs the birthday expectation n(n−1)/2·2⁻³², and their ratio — a
+    ratio ≫ 1 means the hash is NOT behaving uniformly on this id
+    domain and every downstream split ratio silently skews. The audit
+    to re-run when ids change shape (e.g. a new upstream exporter);
+    at 100 TB (n ~ 10⁹ docs) the expected count is ~10⁸ — this audit
+    is exactly how one decides the fleet must widen to 64-bit
+    buckets.
+
+    Determinism: collision count = n − distinct(bucket), exact
+    integers; the expectation and ratio are pinned chains quantized
+    at 6 dp, the ratio NULL-guarded at n < 2.
+
+    Scale shape: one distinct-id pass, one (count, countDistinct)
+    aggregate — no join anywhere."""
+    from cqdg_etl_spark.operators.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("doc_id").distinct().select(
+        hash_bucket(F.col("doc_id")).alias("b")
+    )
+    s = h.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("b").cast("long").alias("n_buckets"),
+    )
+    nd = F.col("n").cast("double")
+    expected = nd * (F.col("n") - 1).cast("double") / 2.0 / 4294967296.0
+    return s.select(
+        F.col("n").alias("n_ids"),
+        (F.col("n") - F.col("n_buckets")).cast("long").alias("n_collisions"),
+        _q6(expected).alias("expected_collisions"),
+        F.when(
+            F.col("n") >= 2,
+            _q6(
+                (F.col("n") - F.col("n_buckets")).cast("double") / expected
+            ),
+        ).alias("observed_over_expected"),
+    )
+
+
+# ------------------------------------ Little's law audit
+
+_LL_GAP_US = 30 * 60 * 1_000_000
+_LL_HOUR_US = 3_600_000_000
+
+
+@_staged(
+    "ev_littles_law_audit",
+    tags=("datapipe", "events", "capacity"),
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {_LL_GAP_US}
+                      OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS sid,
+                 epoch_us(ts) AS mu
+          FROM flagged
+        ),
+        spans AS (
+          SELECT user_id, sid,
+                 CAST(min(mu) AS BIGINT) AS t0,
+                 CAST(max(mu) AS BIGINT) AS t1
+          FROM sess GROUP BY user_id, sid
+        ),
+        b AS (
+          SELECT CAST(min(t0) AS BIGINT) AS lo,
+                 CAST(max(t1) AS BIGINT) AS hi,
+                 CAST(count(*) AS BIGINT) AS n_sessions,
+                 CAST(sum(t1 - t0) AS BIGINT) AS total_dur
+          FROM spans
+        ),
+        marks AS (
+          SELECT CAST(unnest(range(
+                   (lo // {_LL_HOUR_US}) + 1,
+                   (hi // {_LL_HOUR_US}) + 1)) AS BIGINT)
+                   * {_LL_HOUR_US} AS m
+          FROM b
+        ),
+        sh AS (
+          SELECT (t0 // {_LL_HOUR_US}) AS hb, count(*) AS c
+          FROM spans GROUP BY 1
+        ),
+        eh AS (
+          SELECT (t1 // {_LL_HOUR_US}) AS hb, count(*) AS c
+          FROM spans GROUP BY 1
+        ),
+        lvl AS (
+          SELECT m.m,
+                 CAST(coalesce((SELECT sum(sh.c) FROM sh
+                                WHERE sh.hb < m.m // {_LL_HOUR_US}), 0)
+                      AS BIGINT)
+                 - CAST(coalesce((SELECT sum(eh.c) FROM eh
+                                  WHERE eh.hb < m.m // {_LL_HOUR_US}), 0)
+                      AS BIGINT) AS level
+          FROM marks m
+        )
+        SELECT b.n_sessions,
+               CAST(count(lvl.m) AS BIGINT) AS n_marks,
+               {_SQL_Q6.format(
+                   x='''CAST(any_value(b.total_dur) AS DOUBLE)
+                      / CAST(any_value(b.hi - b.lo) AS DOUBLE)''')}
+                 AS l_exact,
+               {_SQL_Q6.format(
+                   x='''CAST(sum(lvl.level) AS DOUBLE)
+                      / CAST(count(lvl.m) AS DOUBLE)''')} AS l_sampled,
+               CASE WHEN any_value(b.total_dur) > 0 THEN
+                 {_SQL_Q6.format(
+                     x='''CAST(sum(lvl.level) AS DOUBLE)
+                        / CAST(count(lvl.m) AS DOUBLE)
+                        / (CAST(any_value(b.total_dur) AS DOUBLE)
+                           / CAST(any_value(b.hi - b.lo) AS DOUBLE))''')}
+               END AS sampling_ratio
+        FROM lvl CROSS JOIN b
+        GROUP BY b.n_sessions
+    """,
+)
+def ev_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law discretization audit: L = λW says time-average
+    concurrency equals arrival rate × mean sojourn — an IDENTITY when
+    L is integrated exactly (l_exact = Σ durations / span, by
+    construction), but every real dashboard SAMPLES concurrency on a
+    grid. This query computes both: the exact time-average and the
+    hourly-sampled average (sessions spanning each hour mark,
+    half-open [t0, t1) convention), and their ratio — how much the
+    sampling grid lies for this workload's session-length
+    distribution. A ratio far from 1 means hourly snapshots
+    under/over-state load and capacity models inherit the bias.
+
+    Sessions are the fleet 30-min-gap recipe over (ts, event_id);
+    single-event sessions have zero duration and can never span a
+    mark — counted in n_sessions, invisible to both L measures
+    (documented, symmetric). The level at each mark comes from
+    bucket-cumsum arithmetic (starts-before minus ends-before), never
+    a per-session × per-mark join.
+
+    Determinism: all epoch-microsecond integers; the two averages
+    and their ratio are pinned chains quantized at 6 dp; the ratio
+    is NULL-guarded for the all-instantaneous corpus (total duration
+    0).
+
+    Scale shape: per-user sessionize windows, one session-span
+    aggregate, hour-bucketed start/end histograms (bounded by the
+    time span), a broadcast cumulative lookup onto the hour-mark
+    spine (time-span-bounded), one 1-row rollup."""
+    ev = load(spark, sf_dir, "events")
+    wi = W.partitionBy("user_id").orderBy("ts", "event_id")
+    mu = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            (mu - F.lag(mu).over(wi) > _LL_GAP_US)
+            | F.lag("ts").over(wi).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+        mu.alias("mu"), "ts", "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_session").over(
+            wi.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("sid"),
+        "mu",
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("mu").cast("long").alias("t0"),
+        F.max("mu").cast("long").alias("t1"),
+    )
+    b = spans.agg(
+        F.min("t0").cast("long").alias("lo"),
+        F.max("t1").cast("long").alias("hi"),
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.col("t1") - F.col("t0")).cast("long").alias("total_dur"),
+    )
+    # Guarded spine: Spark's sequence(a, b) with a > b generates a
+    # DESCENDING sequence (DuckDB's range is empty) — a markless span
+    # must yield zero marks on both engines.
+    k_lo = F.expr(f"(lo div {_LL_HOUR_US}) + 1")
+    k_hi = F.expr(f"hi div {_LL_HOUR_US}")
+    marks = b.select(
+        "lo", "hi", "n_sessions", "total_dur",
+        F.explode(
+            F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi))
+            .otherwise(F.array().cast("array<bigint>"))
+        ).alias("k0"),
+    ).select(
+        "lo", "hi", "n_sessions", "total_dur",
+        (F.col("k0") * F.lit(_LL_HOUR_US)).alias("m"),
+    )
+    sh = spans.groupBy(
+        F.expr(f"t0 div {_LL_HOUR_US}").alias("hb")
+    ).agg(F.count("*").cast("long").alias("c"))
+    eh = spans.groupBy(
+        F.expr(f"t1 div {_LL_HOUR_US}").alias("hb")
+    ).agg(F.count("*").cast("long").alias("c"))
+    # cumulative starts/ends strictly BEFORE each mark's hour index:
+    # bucket h contains times in [h*H, (h+1)*H), so "time < m = k*H"
+    # <=> bucket < k. The histograms are time-span-bounded — collect
+    # them through a broadcast join per mark via a running total
+    # computed with a bounded self-aggregation.
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+
+    shc = global_cumsum(sh, [F.col("hb")], "c", "cum_s").select(
+        F.col("hb").alias("s_hb"), F.col("cum_s").alias("cum_s")
+    )
+    ehc = global_cumsum(eh, [F.col("hb")], "c", "cum_e").select(
+        F.col("hb").alias("e_hb"), F.col("cum_e").alias("cum_e")
+    )
+    mk = marks.withColumn("k", F.expr(f"m div {_LL_HOUR_US}"))
+    # greatest cum strictly below k: join on equality of the LAST
+    # bucket < k requires an as-of lookup; the histograms are bounded,
+    # so broadcast them sorted and take the floor entry via a range
+    # aggregation: join hb < k then max(cum) — bounded × bounded.
+    lvl = (
+        mk.join(F.broadcast(shc), F.col("s_hb") < F.col("k"), "left")
+        .groupBy("m", "k", "n_sessions", "total_dur", "lo", "hi")
+        .agg(F.coalesce(F.max("cum_s"), F.lit(0)).alias("starts"))
+        .join(F.broadcast(ehc), F.col("e_hb") < F.col("k"), "left")
+        .groupBy("m", "n_sessions", "total_dur", "lo", "hi", "starts")
+        .agg(F.coalesce(F.max("cum_e"), F.lit(0)).alias("ends"))
+        .select(
+            "m", "n_sessions", "total_dur", "lo", "hi",
+            (F.col("starts") - F.col("ends")).cast("long").alias("level"),
+        )
+    )
+    return (
+        lvl.groupBy("n_sessions")
+        .agg(
+            F.count("m").cast("long").alias("n_marks"),
+            _q6(
+                F.first("total_dur").cast("double")
+                / (F.first("hi") - F.first("lo")).cast("double")
+            ).alias("l_exact"),
+            _q6(
+                F.sum("level").cast("double") / F.count("m").cast("double")
+            ).alias("l_sampled"),
+            F.when(
+                F.first("total_dur") > 0,
+                _q6(
+                    F.sum("level").cast("double")
+                    / F.count("m").cast("double")
+                    / (
+                        F.first("total_dur").cast("double")
+                        / (F.first("hi") - F.first("lo")).cast("double")
+                    )
+                ),
+            ).alias("sampling_ratio"),
+        )
+        .select("n_sessions", "n_marks", "l_exact", "l_sampled",
+                "sampling_ratio")
+    )

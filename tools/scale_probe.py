@@ -371,6 +371,20 @@ WAVE10T = [
     "qq_staged",
 ]
 
+# Wave 11s (--wave11s): the datapipe27 batch at STAGING time. All six
+# read replica-fixture tables. Superlinearity risks by shape: the CMS
+# audit's exact side is a full token aggregate (linear) + a
+# depth*width-bounded sketch; everything else collapses to a
+# types/sources/dims-bounded frame after one scan.
+WAVE11S = [
+    "wilson_staged",
+    "effdim_staged",
+    "cms_audit_staged",
+    "neyman_staged",
+    "tukey_staged",
+    "absorption_staged",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
@@ -393,6 +407,15 @@ def _dp25_staged(name: str):
 def _dp26_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
         from cqdg_etl_spark.queries.datapipe26 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
+def _dp27_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe27 import STAGED
 
         return STAGED[name].fn(spark, sf_dir)
 
@@ -455,6 +478,12 @@ EXTRA = {
     "holt_staged": _dp26_staged("ev_holt_forecast"),
     "lorenz_staged": _dp26_staged("ev_lorenz_curve_deciles"),
     "qq_staged": _dp26_staged("pf_qq_deciles"),
+    "wilson_staged": _dp27_staged("ev_reach_wilson_ci"),
+    "effdim_staged": _dp27_staged("emb_effective_dim_diag"),
+    "cms_audit_staged": _dp27_staged("sk_cms_error_audit"),
+    "neyman_staged": _dp27_staged("ds_neyman_allocation"),
+    "tukey_staged": _dp27_staged("pf_tukey_outlier_rates"),
+    "absorption_staged": _dp27_staged("ev_absorption_3step"),
 }
 
 ALL_TABLES = [
@@ -626,12 +655,14 @@ def main() -> int:
     wave9t = "--wave9t" in args
     wave10s = "--wave10s" in args
     wave10t = "--wave10t" in args
+    wave11s = "--wave11s" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
                      "--wave7", "--wave8", "--wave8t", "--wave8s",
-                     "--wave9s", "--wave9t", "--wave10s", "--wave10t")
+                     "--wave9s", "--wave9t", "--wave10s", "--wave10t",
+                     "--wave11s")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -639,7 +670,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave10s:
+    if wave11s:
+        all_names = WAVE11S
+    elif wave10s:
         all_names = WAVE10S
     elif wave10t:
         all_names = WAVE10T
