@@ -385,6 +385,22 @@ WAVE11S = [
     "absorption_staged",
 ]
 
+# Wave 12s (--wave12s): the datapipe28 batch at STAGING time. All six
+# read replica-fixture tables. Superlinearity risks by shape: the
+# Poisson bootstrap explodes B=100 replicates per event but combines
+# map-side to B partials per partition (expect ~linear with a B
+# constant); DP dispersion and Good-Turing are token aggregates
+# (linear); jackknife/collision/Little's-law collapse to bounded
+# frames after one scan.
+WAVE12S = [
+    "bootstrap_staged",
+    "goodturing_staged",
+    "jackknife_staged",
+    "dp_dispersion_staged",
+    "hash_audit_staged",
+    "littles_staged",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
@@ -416,6 +432,15 @@ def _dp26_staged(name: str):
 def _dp27_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
         from cqdg_etl_spark.queries.datapipe27 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
+def _dp28_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe28 import STAGED
 
         return STAGED[name].fn(spark, sf_dir)
 
@@ -484,6 +509,12 @@ EXTRA = {
     "neyman_staged": _dp27_staged("ds_neyman_allocation"),
     "tukey_staged": _dp27_staged("pf_tukey_outlier_rates"),
     "absorption_staged": _dp27_staged("ev_absorption_3step"),
+    "bootstrap_staged": _dp28_staged("ev_poisson_bootstrap_ci"),
+    "goodturing_staged": _dp28_staged("tx_unseen_mass_good_turing"),
+    "jackknife_staged": _dp28_staged("pf_jackknife_source_sensitivity"),
+    "dp_dispersion_staged": _dp28_staged("tx_word_dispersion_dp"),
+    "hash_audit_staged": _dp28_staged("sk_hash_collision_audit"),
+    "littles_staged": _dp28_staged("ev_littles_law_audit"),
 }
 
 ALL_TABLES = [
@@ -656,13 +687,14 @@ def main() -> int:
     wave10s = "--wave10s" in args
     wave10t = "--wave10t" in args
     wave11s = "--wave11s" in args
+    wave12s = "--wave12s" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
                      "--wave7", "--wave8", "--wave8t", "--wave8s",
                      "--wave9s", "--wave9t", "--wave10s", "--wave10t",
-                     "--wave11s")
+                     "--wave11s", "--wave12s")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -670,7 +702,9 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave11s:
+    if wave12s:
+        all_names = WAVE12S
+    elif wave11s:
         all_names = WAVE11S
     elif wave10s:
         all_names = WAVE10S
