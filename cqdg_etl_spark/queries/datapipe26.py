@@ -38,7 +38,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqdg_etl_spark.queries.registry import REGISTRY, Query, load

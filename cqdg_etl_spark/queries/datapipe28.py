@@ -34,8 +34,6 @@ shape is chosen for the 100-TB target and documented per query.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
