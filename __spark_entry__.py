@@ -19,68 +19,26 @@ from cqdg_etl_spark.queries import REGISTRY
 # Driver correctness-row ordering. The driver caps a round at 50 rows,
 # so _FRONT position is the publication priority.
 _FRONT = [
-    # Mechanically derived at the round-10 window build: `python
-    # tools/verification_state.py front` after the r09 promote (zero
-    # roll-over — all 50 r9 rows verified) and the datapipe18
-    # publication. Debt-prefix policy (tests/test_verification_state
-    # .py): positions 1-8 the datapipe18 publication (never
-    # driver-verified); positions 9-14 the six r4-currency names
-    # (hash-unchanged since their rows — currency debt, not
-    # correctness doubt; VERDICT r9 lists them); positions 15-50
-    # drain the r5 tail oldest-first. This round's edits (datapipe23
-    # repair, datapipe21 chi2 guard) touched only staged modules —
-    # the tool confirmed zero hash-stale published names. Positions
-    # 51+ continue the r5/r6 tail for roll-over headroom.
-    "fe_woe_information_value",
-    "ev_changepoint_cusum",
-    "graph_modularity_brands",
-    "graph_bfs_hops",
-    "ret_ndcg_eval",
-    "pf_column_mutual_information",
-    "ev_attribution_linear",
-    "mm_image_dhash_index",
-    "pipe_clinical_e2e",
-    "graph_label_propagation",
-    "fe_winsorize_totalprice",
-    "mb_association_rules",
-    "pf_ks_totalprice_drift",
-    "pf_benford_totalprice",
-    "tx_fingerprints",
-    "ds_decontaminate_vs_benchmark",
-    "ds_pack_sequences",
-    "tx_cms_heavy_hitters",
-    "ds_chunk_documents",
-    "pf_profile_orders",
-    "ds_deterministic_shuffle",
-    "ds_interleave_sources",
-    "ds_per_group_sample",
-    "pf_equidepth_nchars_by_lang",
-    "agg_modern_functions",
-    "ev_markov_transitions",
-    "etl_merge_upsert",
-    "ds_dsir_logweights",
-    "sk_hll_users",
-    "graph_adamic_adar",
-    "tx_ccnet_buckets",
-    "sk_hll_users_by_type",
-    "ev_resample_ffill",
-    "ev_cusum_drift",
-    "sk_hll_union_intersection",
-    "pf_psi_totalprice_drift",
-    "tx_vocab_coverage",
-    "ev_trend_daily",
-    "ds_pps_systematic_sample",
-    "ds_quality_budget_select",
-    "ds_temperature_mixture",
-    "tx_inverted_index",
-    "tx_bpe_first_merges",
-    "tx_source_kl_divergence",
-    "ann_topk_gemm",
-    "emb_covariance_cells",
-    "pf_key_skew_profile",
-    "ev_conversion_latency_quantiles",
-    "fe_target_encoding_loo",
-    "ds_shard_assignment",
+    # Mechanically derived at the round-11 window build: `python
+    # tools/verification_state.py front` after the r10 promote (zero
+    # roll-over -- all 50 r10 rows verified; fifth consecutive clean
+    # window) and the datapipe19 publication (registry 238 -> 246).
+    # Debt-prefix policy (tests/test_verification_state.py):
+    # positions 1-8 the datapipe19 publication (never driver-verified);
+    # position 9 sql_pipe_syntax_orders (the last r5-currency name);
+    # positions 10-50 drain the r6 tail oldest-first (41 of 43 -- the
+    # remaining 2 r6 names lead positions 51+ for roll-over headroom).
+    # This round's ADVICE edits touched only staged modules
+    # (datapipe24-27) -- the tool confirmed zero hash-stale published
+    # names. Positions 51+ continue the r6/r7 tail.
+    "emb_matryoshka_recall",
+    "ev_markov_stationary",
+    "ev_user_gini",
+    "pf_autocorr_daily",
+    "tx_rake_keywords",
+    "graph_neighbor_jaccard",
+    "pf_fk_candidate_audit",
+    "ev_poisson_burst_days",
     "sql_pipe_syntax_orders",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -105,6 +63,66 @@ _FRONT = [
     "j5_full_outer_summary_merge",
     "j6_cross_domain_zero_fill",
     "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "ann_topk_ivf",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "emb_pq_codes",
+    "ann_topk_pq_adc",
+    "emb_hard_negatives",
+    "emb_hard_negatives_banded",
+    "emb_label_noise_scores",
+    "tx_source_vocab_overlap",
+    "tx_zipf_fit",
+    "dd_paragraph_dedup",
+    "ds_length_buckets",
+    "tx_langid_eval_confusion",
+    "mm_mp4_demux_stats",
+    "ds_waterfill_budget",
+    "graph_kcore_peel",
+    "sql_group_by_all_lateral",
+    "emb_dim_variance_topk",
+    "j_semi_anti_customers",
+    "a1_nest_orders_per_customer",
+    "a2_collect_set_segments",
+    "a3_count_distinct_customers",
+    "a7_array_normalize_months",
+    "a6_distinct_union_nations",
+    "agg_rollup_status_priority",
+    "agg_pivot_status",
+    "f1_business_key_hash",
+    "f3_split_explode_tokens",
+    "f5_regexp_extract_priority",
+    "f6_rlike_part_filter",
+    "dd_exact_fingerprint_groups",
+    "dd_ngram_jaccard_pairs",
+    "dd_minhash_lsh_candidates",
+    "dd_simhash_near_pairs",
+    "dd_embedding_cosine_pairs",
+    "dd_duplicate_clusters",
+    "tx_tfidf_term_stats",
+    "dd_minhash_verified_pairs",
+    "dd_semantic_prune",
+    "dd_span_dedup",
+    "dd_fuzzy_name_pairs",
+    "dd_ppjoin_pairs",
+    "tx_novelty_score",
+    "ds_softdedup_weights",
+    "emb_centroid_separation",
+    "dd_cross_source_leakage",
+    "dd_containment_pairs",
+    "ds_cluster_safe_split",
+    "dd_lsh_recall_eval",
+    "ev_ewma_smoothed",
+    "dd_truncation_prefix_pairs",
+    "tx_syllable_complexity",
+    "tx_shingle_novelty",
+    "ev_seasonal_outliers",
+    "ds_stratified_kfold",
+    "ds_weighted_sample_wor",
+    "ds_rendezvous_rebalance",
+    "graph_personalized_pagerank",
 ]
 
 

@@ -71,10 +71,18 @@ from cqdg_etl_spark.queries import datapipe18 as _datapipe18  # noqa: E402
 
 _datapipe18.register()
 
+# Round-11 publication (staged in round 9, verified locally at
+# sf0.001/sf0.01 + fixtures by tests/test_datapipe19.py; the
+# graph_neighbor_jaccard x20 scale gate cleared in SCALE_PROBE_r09
+# before publication):
+from cqdg_etl_spark.queries import datapipe19 as _datapipe19  # noqa: E402
+
+_datapipe19.register()
+
 # Silent-shrink guard: every module above registers a fixed number of
 # queries; pin the total so a partial registration (e.g. an exception
 # swallowed during module init) fails the import, not just a test.
-EXPECTED_REGISTRY_SIZE = 238
+EXPECTED_REGISTRY_SIZE = 246
 if len(REGISTRY) < EXPECTED_REGISTRY_SIZE:
     raise ImportError(
         f"query registry shrank: {len(REGISTRY)} < {EXPECTED_REGISTRY_SIZE} expected"

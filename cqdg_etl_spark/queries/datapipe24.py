@@ -272,7 +272,7 @@ _ACF_MAX_LAG = 7
                CAST(count(*) AS BIGINT) AS n_pairs,
                CASE WHEN any_value(den) > 0 THEN
                  {_SQL_Q6.format(
-                     x='''CAST(sum(CAST({t} AS DECIMAL(18,6)))
+                     x='''CAST(sum(CAST({t} AS DECIMAL(38,6)))
                                AS DOUBLE) / any_value(den)'''.format(
                          t=_SQL_Q6.format(
                              x="(CAST(xa AS DOUBLE) - m)"
@@ -347,10 +347,14 @@ def ev_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(md))
     )
+    # DECIMAL(38,6), not (18,6): the per-pair product is unbounded
+    # (daily counts at the 100-TB target overflow ±1e12 capacity) and
+    # Spark's non-ANSI overflow cast silently NULLs the term while
+    # DuckDB raises — an engine divergence (ADVICE r10).
     term = _q6(
         (F.col("xa").cast("double") - F.col("m"))
         * (F.col("xb").cast("double") - F.col("m"))
-    ).cast("decimal(18,6)")
+    ).cast("decimal(38,6)")
     return (
         pairs.groupBy(F.col("lag").cast("int").alias("lag"))
         .agg(

@@ -299,10 +299,15 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reviewed bounded-BNLJ class), one per-user hash aggregate,
     one 1-row moment rollup."""
     ev = load(spark, sf_dir, "events")
+    # Integer floor division (div), NOT double /2 cast long: the cast
+    # truncates toward zero while the oracle's // floors — for
+    # pre-1970 (negative epoch) timestamps with an odd sum the two
+    # mids differ by 1 microsecond, flipping boundary events between
+    # the pre/post periods (ADVICE r10).
     b = ev.agg(
-        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
-         / F.lit(2)).cast("long").alias("mid")
-    )
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).select(F.expr("(mn + mx) div 2").cast("long").alias("mid"))
     dec0 = F.lit(0).cast("decimal(18,6)")
     per_user = (
         ev.join(F.broadcast(b))

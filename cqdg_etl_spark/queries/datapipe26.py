@@ -199,7 +199,12 @@ def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
             masked[np.arange(n), own_idx] = np.inf
             b = masked.min(axis=1)
         else:
-            b = np.full(n, np.nan)
+            # None (object dtype), NOT np.nan: Spark's isNotNull() is
+            # TRUE for NaN, so a NaN here would reach the decimal cast
+            # and only become the intended NULL silhouette through the
+            # non-ANSI NaN->decimal coercion — which throws under
+            # spark.sql.ansi.enabled=true (ADVICE r10).
+            b = np.full(n, None, dtype=object)
         return pd.DataFrame({"a": a, "b": b})
 
     sil = emb.select(

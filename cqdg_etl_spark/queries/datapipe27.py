@@ -406,16 +406,17 @@ _NEYMAN_BUDGET = 1000
           FROM s
         ),
         w AS (
-          SELECT source, nh, nh * s6 AS m FROM sig
+          -- HUGEINT (int128), not BIGINT: 1000*nh*s6 wraps int64 for
+          -- moderately large strata (~1e7 docs at sigma~5e3 chars);
+          -- mirrors Spark's DECIMAL(38,0) carry (ADVICE r10).
+          SELECT source, nh, CAST(nh AS HUGEINT) * s6 AS m FROM sig
         ),
-        t AS (SELECT CAST(sum(m) AS DECIMAL(38,0)) AS tot FROM w),
+        t AS (SELECT CAST(sum(m) AS HUGEINT) AS tot FROM w),
         quota AS (
           SELECT source, nh, m,
-                 CAST(({_NEYMAN_BUDGET} * m) // CAST(tot AS BIGINT)
-                      AS BIGINT) AS base,
-                 CAST(({_NEYMAN_BUDGET} * m) % CAST(tot AS BIGINT)
-                      AS BIGINT) AS rem
-          FROM w CROSS JOIN t WHERE CAST(tot AS BIGINT) > 0
+                 CAST(({_NEYMAN_BUDGET} * m) // tot AS BIGINT) AS base,
+                 ({_NEYMAN_BUDGET} * m) % tot AS rem
+          FROM w CROSS JOIN t WHERE tot > 0
         ),
         lo AS (
           SELECT CAST({_NEYMAN_BUDGET} - sum(base) AS BIGINT) AS leftover
@@ -480,8 +481,16 @@ def ds_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sqrt(var) * 1000000.0 + 0.5).cast("long"),
         ).otherwise(F.lit(0)).alias("s6"),
     )
-    w = sig.select("source", "nh", (F.col("nh") * F.col("s6")).alias("m"))
-    t = w.agg(F.sum("m").cast("long").alias("tot"))
+    # DECIMAL(38,0), not BIGINT: 1000*nh*s6 wraps int64 for moderately
+    # large strata (~1e7 docs at sigma~5e3 chars) and Spark's non-ANSI
+    # long multiply wraps SILENTLY while DuckDB errors loudly —
+    # breaking the exact-integer contract (ADVICE r10). The quotient
+    # base <= B fits long; the remainder stays decimal (sort key only).
+    w = sig.select(
+        "source", "nh",
+        (F.col("nh").cast("decimal(38,0)") * F.col("s6")).alias("m"),
+    )
+    t = w.agg(F.sum("m").cast("decimal(38,0)").alias("tot"))
     quota = (
         w.join(F.broadcast(t))
         .filter(F.col("tot") > 0)
@@ -490,7 +499,7 @@ def ds_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({_NEYMAN_BUDGET} * m) div tot")
             .cast("long").alias("base"),
             (F.lit(_NEYMAN_BUDGET) * F.col("m") % F.col("tot"))
-            .cast("long").alias("rem"),
+            .alias("rem"),
         )
     )
     lo = quota.agg(

@@ -35,14 +35,16 @@ def _compare_staged(spark, name: str, sf_dir: str, con=None) -> None:
         )
 
 
-def test_staged_not_published():
-    """Staged names stay out of REGISTRY until the round-11 publication
-    flips them in (the datapipe13-18 staging discipline)."""
+def test_staged_published():
+    """Round-11 publication flipped: every datapipe19 name is now bound
+    in the published registry to the SAME Query object (the
+    datapipe13-18 publication discipline)."""
     from cqdg_etl_spark.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY)), (
-        "staged datapipe19 names leaked into the published registry"
-    )
+    for name, q in STAGED.items():
+        assert REGISTRY.get(name) is q, (
+            f"datapipe19 name {name!r} not published into REGISTRY"
+        )
 
 
 def test_staged_batch_size():

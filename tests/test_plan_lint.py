@@ -142,6 +142,15 @@ BNLJ_OK: dict[str, str] = {
     "ret_ndcg_eval": "fixed 10-row rank grid range-joined to the "
     "<=4-row relevance-level histogram (IDCG ideal assignment) plus "
     "the histogram's own <=4x4 cumulative self-join",
+    # -- datapipe19 batch (published round 11; reviewed while staged) --
+    "emb_matryoshka_recall": "the two exact arms are the documented "
+    "brute-force baseline (10-query broadcast side crossJoin — the "
+    "ann_topk_bruteforce whitelist rationale)",
+    "ev_markov_stationary": "1-row renormalization scalar per power "
+    "iteration plus the 1-row type-count scalar, fanned onto the "
+    "|types|-bounded frame",
+    "tx_rake_keywords": "single-row corpus doc-count scalar fanned "
+    "onto the vocabulary frame for the stopword threshold",
 }
 
 # Reviewed exceptions for the global-window rule: every entry is an
