@@ -77,23 +77,66 @@ _BOOT_B = 100
 _POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
            4279248373, 4292415291, 4294609777, 4294923276, 4294962463]
 
+# Per-(row, replicate) uniform draw (round-11 publication-form
+# decision, VERDICT r10 watch #1): ONE salted fleet-md5 seed per ROW
+# (h0 = 32-bit bucket of 'boot:' || event_id), then a murmur3-fmix32
+# finalizer keyed by the replicate index — so the B=100 explode pays
+# only BIGINT integer ops per exploded row instead of a full
+# md5-hex-substring-conv chain. The two 32-bit modular multiplies are
+# written as 16-bit-split BIGINT arithmetic,
+#   (x*C) mod 2^32 = (x*C_lo + ((x mod 2^16)*C_hi mod 2^16)*2^16)
+#                    mod 2^32           (max intermediate 2^48),
+# because the direct product overflows BIGINT (Spark would wrap
+# silently, DuckDB would raise — the Neyman precedent, ADVICE r10)
+# and the DECIMAL(38,0) carry was MEASURED SLOWER than the md5 it
+# replaced (x10 probe cell 185 s vs 163 s — JVM BigDecimal multiply
+# on the 100x exploded frame costs more than one codegen md5); the
+# split form stays inside whole-stage codegen. xor/shiftright are
+# exact BIGINT on both engines. Spark's xxhash64 was REJECTED for
+# the swap: DuckDB cannot reproduce XXH64(seed=42), which would
+# forfeit the value-hash oracle this suite treats as non-negotiable.
+# Draw quality vs Poisson(1) measured at 200k draws: chi-square 3.96
+# (df 6), replicate-mean spread 0.0242 vs 1/sqrt(n) = 0.0224
+# expected.
+_MIX_B = 2654435761   # Knuth multiplicative, offsets the replicate
+_MIX_C1 = 2246822519  # murmur3 fmix32 c1 (0x85EBCA6B)
+_MIX_C2 = 3266489917  # murmur3 fmix32 c2 (0xC2B2AE35)
+
+
+def _mulmod32_sql(c: int) -> str:
+    """(x * c) mod 2^32 in pure BIGINT via the 16-bit split — the
+    identical expression string on both engines."""
+    hi, lo = c >> 16, c & 0xFFFF
+    return (
+        f"(x * {lo} + ((x % 65536) * {hi}) % 65536 * 65536) % 4294967296"
+    )
+
 
 def _sql_bootstrap() -> str:
-    h = ("CAST(('0x' || substring(md5(concat(b, ':', event_id)), 1, 8)) "
-         "AS BIGINT)")
     w = "CASE " + " ".join(
-        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+        f"WHEN x < {t} THEN {k}" for k, t in enumerate(_POIS_T)
     ) + " ELSE 9 END"
     return f"""
         WITH reps AS (
           SELECT CAST(unnest(range(0, {_BOOT_B})) AS BIGINT) AS b
         ),
-        hw AS (
-          SELECT b, CAST(value AS DECIMAL(18,6)) AS v,
-                 {h} AS h
-          FROM events CROSS JOIN reps
+        s0 AS (
+          SELECT CAST(value AS DECIMAL(18,6)) AS v,
+                 CAST(('0x' || substring(
+                     md5('boot:' || CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS h0
+          FROM events
         ),
-        wts AS (SELECT b, v, {w} AS w FROM hw),
+        e0 AS (
+          SELECT b, v, xor(h0, mod(b * {_MIX_B}, 4294967296)) AS x
+          FROM s0 CROSS JOIN reps
+        ),
+        e1 AS (SELECT b, v, xor(x, x >> 16) AS x FROM e0),
+        e2 AS (SELECT b, v, {_mulmod32_sql(_MIX_C1)} AS x FROM e1),
+        e3 AS (SELECT b, v, xor(x, x >> 13) AS x FROM e2),
+        e4 AS (SELECT b, v, {_mulmod32_sql(_MIX_C2)} AS x FROM e3),
+        e5 AS (SELECT b, v, xor(x, x >> 16) AS x FROM e4),
+        wts AS (SELECT b, v, {w} AS w FROM e5),
         means AS (
           SELECT b,
                  CAST(sum(w * v) AS DECIMAL(38,6)) AS sv,
@@ -137,39 +180,62 @@ def ev_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled per replicate). The CI every mean on a dashboard should
     carry but never does.
 
-    Determinism: weights come from the fleet md5 recipe (32-bit
-    bucket of 'b:event_id') stepped through integer Poisson-CDF
-    thresholds (shared literals — exact inverse-CDF, no float RNG);
-    value sums accumulate DECIMAL(18,6) (the fleet money recipe) and
-    w·v stays decimal-exact; each replicate mean is one pinned
-    division; the CI bounds are exact interpolated quantiles over
-    the B-row replicate frame (Spark `percentile` == DuckDB
-    `quantile_cont`, the agg_exact_percentiles precedent). Replicates
-    whose total weight is 0 are dropped on both engines (impossible
-    beyond toy corpora; exercised by a fixture).
+    Determinism: each row draws ONE fleet-md5 seed (32-bit bucket of
+    'boot:' || event_id, the salted sampling recipe) BEFORE the
+    replicate explode; each (row, replicate) then mixes the seed with
+    the replicate index through a murmur3-fmix32 finalizer written in
+    engine-portable BIGINT arithmetic (xor/shiftright + the
+    16-bit-split modular multiply — see _MIX_* / _mulmod32_sql above
+    for why, and why xxhash64 was rejected), and steps the mixed
+    32-bit uniform
+    through integer Poisson-CDF thresholds (shared literals — exact
+    inverse-CDF, no float RNG); value sums accumulate DECIMAL(18,6)
+    (the fleet money recipe) and w·v stays decimal-exact; each
+    replicate mean is one pinned division; the CI bounds are exact
+    interpolated quantiles over the B-row replicate frame (Spark
+    `percentile` == DuckDB `quantile_cont`, the
+    agg_exact_percentiles precedent). Replicates whose total weight
+    is 0 are dropped on both engines (impossible beyond toy corpora;
+    exercised by a fixture).
 
-    Scale shape: one explode of the B-row replicate grid onto the
-    scan (output B× the corpus but immediately map-side-combined to
-    B partial rows per partition), one B-row aggregate, one 1-row
-    point-estimate scalar fan-out (the reviewed bounded-BNLJ
-    class)."""
+    Scale shape: one md5 per ROW (not per (row, replicate) — the
+    round-11 decision that retired the 163 s x10 staging cell), one
+    explode of the B-row replicate grid onto the scan (output B× the
+    corpus but immediately map-side-combined to B partial rows per
+    partition), one B-row aggregate, one 1-row point-estimate scalar
+    fan-out (the reviewed bounded-BNLJ class)."""
     ev = load(spark, sf_dir, "events")
-    reps = ev.select(
-        "event_id",
+    seeded = ev.select(
         F.col("value").cast("decimal(18,6)").alias("v"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("boot:"),
+                               F.col("event_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long").alias("h0"),
+    )
+    reps = seeded.select(
+        "v", "h0",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("b"), F.col("event_id"))), 1, 8
-        ),
-        16, 10,
-    ).cast("long")
+    mixed = (
+        reps.select(
+            "b", "v",
+            F.col("h0").bitwiseXOR(
+                F.expr(f"mod(b * {_MIX_B}, 4294967296)")).alias("x"),
+        )
+        .withColumn("x", F.col("x").bitwiseXOR(F.expr("shiftright(x, 16)")))
+        .withColumn("x", F.expr(_mulmod32_sql(_MIX_C1)))
+        .withColumn("x", F.col("x").bitwiseXOR(F.expr("shiftright(x, 13)")))
+        .withColumn("x", F.expr(_mulmod32_sql(_MIX_C2)))
+        .withColumn("x", F.col("x").bitwiseXOR(F.expr("shiftright(x, 16)")))
+    )
     w = F.lit(9)
     for k in range(len(_POIS_T) - 1, -1, -1):
-        w = F.when(h < _POIS_T[k], k).otherwise(w)
+        w = F.when(F.col("x") < _POIS_T[k], k).otherwise(w)
     means = (
-        reps.select("b", "v", w.alias("w"))
+        mixed.select("b", "v", w.alias("w"))
         .groupBy("b")
         .agg(
             F.sum(F.col("w") * F.col("v")).cast("decimal(38,6)").alias("sv"),

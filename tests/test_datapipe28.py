@@ -155,9 +155,21 @@ def _q6(x: float) -> float:
 # ------------------------------------------------- Poisson bootstrap
 
 
+def _fmix(h0: int, b: int) -> int:
+    """The engine-portable murmur3-fmix32 replicate mix
+    (datapipe28._MIX_*), replicated bit-for-bit in Python."""
+    x = h0 ^ ((b * 2654435761) % 2**32)
+    x ^= x >> 16
+    x = (x * 2246822519) % 2**32
+    x ^= x >> 13
+    x = (x * 3266489917) % 2**32
+    x ^= x >> 16
+    return x
+
+
 def _pois_w(b: int, eid: int) -> int:
-    h = int(hashlib.md5(f"{b}:{eid}".encode()).hexdigest()[:8], 16)
-    return bisect.bisect_right(_POIS_T, h)
+    h0 = int(hashlib.md5(f"boot:{eid}".encode()).hexdigest()[:8], 16)
+    return bisect.bisect_right(_POIS_T, _fmix(h0, b))
 
 
 def _type7(sorted_xs, p):

@@ -401,6 +401,35 @@ WAVE12S = [
     "littles_staged",
 ]
 
+# Wave 13 (--wave13): the round-11 datapipe19 publications — first
+# post-publication curvature (VERDICT r10 #5). Superlinearity risks
+# by shape: matryoshka recall pairs each query against its own IVF
+# cell only (bounded candidate fetch); the Markov stationary solve is
+# |event_type|² per iteration after ONE linear transition aggregate;
+# user Gini is a per-user aggregate + one range-partitioned rank
+# cumsum; daily autocorrelation collapses to a |days|-frame after one
+# scan; RAKE explodes phrase n-grams (linear with a phrase-length
+# constant); neighbor Jaccard is the bounded per-order pair
+# enumeration (x20 gate 0.65 cleared pre-publication in
+# SCALE_PROBE_r09); Poisson burst days is one |days|-bounded frame.
+# pf_fk_candidate_audit reads the TPC-H warehouse tables, so it is
+# probed on the wave-3 fixture instead (--wave13t; note events is
+# copied unreplicated there, so only the parent-side growth is
+# exercised — the child distinct sets of the TPC-H pairs all scale).
+WAVE13 = [
+    "emb_matryoshka_recall",
+    "ev_markov_stationary",
+    "ev_user_gini",
+    "pf_autocorr_daily",
+    "tx_rake_keywords",
+    "graph_neighbor_jaccard",
+    "ev_poisson_burst_days",
+]
+
+WAVE13T = [
+    "pf_fk_candidate_audit",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
@@ -688,13 +717,15 @@ def main() -> int:
     wave10t = "--wave10t" in args
     wave11s = "--wave11s" in args
     wave12s = "--wave12s" in args
+    wave13 = "--wave13" in args
+    wave13t = "--wave13t" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
                      "--wave7", "--wave8", "--wave8t", "--wave8s",
                      "--wave9s", "--wave9t", "--wave10s", "--wave10t",
-                     "--wave11s", "--wave12s")
+                     "--wave11s", "--wave12s", "--wave13", "--wave13t")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -702,7 +733,11 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave12s:
+    if wave13t:
+        all_names = WAVE13T
+    elif wave13:
+        all_names = WAVE13
+    elif wave12s:
         all_names = WAVE12S
     elif wave11s:
         all_names = WAVE11S
@@ -742,7 +777,7 @@ def main() -> int:
     for scale in scales:
         sf_dir = (
             build_tpch_scaled_dir(scale)
-            if (wave3 or wave8t or wave9t or wave10t)
+            if (wave3 or wave8t or wave9t or wave10t or wave13t)
             else build_scaled_dir(scale)
         )
         for name in all_names:
