@@ -430,6 +430,28 @@ WAVE13T = [
     "pf_fk_candidate_audit",
 ]
 
+# Wave 14s (--wave14s): the datapipe29 bonus batch at STAGING time.
+# Superlinearity risks by shape: all three collapse the events scan
+# to a |days|-bounded daily frame immediately (the periodogram's trig
+# spine joins broadcast on the (period, phase) equi-key; Gumbel is
+# two bounded aggregates; BH is one per-(type, era) rollup + bounded
+# windows). The three orders/lineitem-based names probe under the
+# TPC-H warehouse fixture instead (--wave14t): the Theil-Sen pair
+# frame is |days|² bounded; the histogram audit is one map-side
+# 256-bin histogram + one exact percentile sort (the documented exact
+# trade); the FD audit is six distinct-aggregates, no joins.
+WAVE14S = [
+    "periodogram_staged",
+    "gumbel_staged",
+    "bh_fdr_staged",
+]
+
+WAVE14T = [
+    "theil_sen_staged",
+    "hist_quantile_staged",
+    "fd_audit_staged",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
@@ -485,6 +507,24 @@ def _dp24_staged(name: str):
     return run
 
 
+def _dp20_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe20 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
+def _dp29_staged(name: str):
+    def run(spark, sf_dir: str, scale: int):
+        from cqdg_etl_spark.queries.datapipe29 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return run
+
+
 # Wave 8s (--wave8s): the datapipe24 batch, probed at STAGING time
 # (the clustering-coefficient lesson — staged queries get their
 # curves before their publication round). Superlinearity risks by
@@ -528,6 +568,13 @@ EXTRA = {
     "spearman_staged": _dp25_staged("pf_spearman_rho"),
     "silhouette_staged": _dp26_staged("emb_silhouette_simplified"),
     "katz_staged": _dp26_staged("graph_katz_centrality"),
+    "greedy_coverage_staged": _dp20_staged("ds_greedy_coverage"),
+    "periodogram_staged": _dp29_staged("ev_periodogram_daily"),
+    "gumbel_staged": _dp29_staged("ev_gumbel_block_maxima"),
+    "bh_fdr_staged": _dp29_staged("ev_bh_fdr_event_types"),
+    "theil_sen_staged": _dp29_staged("pf_theil_sen_daily_revenue"),
+    "hist_quantile_staged": _dp29_staged("sk_histogram_quantile_audit"),
+    "fd_audit_staged": _dp29_staged("pf_fd_violation_audit"),
     "mde_staged": _dp26_staged("ev_ab_power_mde"),
     "holt_staged": _dp26_staged("ev_holt_forecast"),
     "lorenz_staged": _dp26_staged("ev_lorenz_curve_deciles"),
@@ -719,13 +766,16 @@ def main() -> int:
     wave12s = "--wave12s" in args
     wave13 = "--wave13" in args
     wave13t = "--wave13t" in args
+    wave14s = "--wave14s" in args
+    wave14t = "--wave14t" in args
     scales = [
         int(a)
         for a in args
         if a not in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6",
                      "--wave7", "--wave8", "--wave8t", "--wave8s",
                      "--wave9s", "--wave9t", "--wave10s", "--wave10t",
-                     "--wave11s", "--wave12s", "--wave13", "--wave13t")
+                     "--wave11s", "--wave12s", "--wave13", "--wave13t",
+                     "--wave14s", "--wave14t")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -733,7 +783,11 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave13t:
+    if wave14t:
+        all_names = WAVE14T
+    elif wave14s:
+        all_names = WAVE14S
+    elif wave13t:
         all_names = WAVE13T
     elif wave13:
         all_names = WAVE13
@@ -777,7 +831,7 @@ def main() -> int:
     for scale in scales:
         sf_dir = (
             build_tpch_scaled_dir(scale)
-            if (wave3 or wave8t or wave9t or wave10t or wave13t)
+            if (wave3 or wave8t or wave9t or wave10t or wave13t or wave14t)
             else build_scaled_dir(scale)
         )
         for name in all_names:
