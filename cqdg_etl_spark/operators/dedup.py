@@ -314,21 +314,32 @@ def minhash_lsh_candidates(
         sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
     else:
         sig = signatures_from_sets(sets, num_perm, seed)
+    # Static expression tree, not transform() lambdas: bands and
+    # rows_per_band are plan-time constants, and higher-order functions
+    # run as interpreted per-element lambdas outside whole-stage
+    # codegen (same finding as signatures_from_sets' docstring). The
+    # literal array of per-band structs keeps the explode in codegen —
+    # measured 2-3x faster banding at sf0.1 (r11 probe), identical
+    # band keys.
     banded = sig.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band_idx"),
-                    F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("signature")
+                                .getItem(i * rows_per_band + j)
+                                .cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_key")
@@ -837,12 +848,18 @@ def ppjoin_pairs(
     sets = shingle_hash_sets(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    idx = sets.select("doc", F.explode("hs").alias("h"))
-    dfreq = idx.groupBy("h").agg(F.count("*").alias("df"))
-    okey = (F.col("df") * F.lit(1 << 32) + F.col("h")).alias("okey")
+    # Document frequency via a count window over ONE exchange on h —
+    # not a groupBy(h) aggregate joined back, which costs a second
+    # h-keyed exchange plus the join itself (the _shingle_overlap_stats
+    # window finding, r11: measured ~25% off the order+prefix stage at
+    # sf0.1). (doc, h) is distinct by construction (hs is
+    # array_distinct), so the partition row count IS df.
+    idx = sets.select("doc", F.explode("hs").alias("h")).repartition("h")
+    okey = (
+        F.count("*").over(W.partitionBy("h")) * F.lit(1 << 32) + F.col("h")
+    ).alias("okey")
     ordd = (
-        idx.join(dfreq, "h")
-        .select("doc", okey)
+        idx.select("doc", okey)
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list("okey")).alias("ks"))
         .withColumn("sz", F.size("ks"))

@@ -86,9 +86,19 @@ def bigram_lm_scores(
         df.select(F.explode(tokens(normalize_ws(F.col(text_col)))).alias("tok"))
         .agg(F.countDistinct("tok").alias("vocab"))
     )
+    # Attach the prefix marginal to the COUNT table, not the stream:
+    # when the count tables outgrow the broadcast threshold (any real
+    # corpus), joining the corpus-sized bigram stream to prefix_counts
+    # on w1 re-shuffles the whole enriched stream by w1 — a third
+    # full-stream exchange. bigram_counts ⋈ prefix_counts is
+    # vocabulary-sized on both sides; the stream then pays exactly two
+    # exchanges total — the (w1, w2) repartition it shares with the
+    # count aggregate, and the final per-doc rollup. At sf0.1 both
+    # joins are broadcasts so this is timing-neutral (measured: equal
+    # within noise); the win is the at-scale plan shape.
+    rates = bigram_counts.join(prefix_counts, ["w1"])
     scored = (
-        big.join(bigram_counts, ["w1", "w2"])
-        .join(prefix_counts, ["w1"])
+        big.join(rates, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc",

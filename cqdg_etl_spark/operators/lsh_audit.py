@@ -32,25 +32,31 @@ def band_layout(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     frame (``doc``, ``signature`` array<bigint>). Same '-'-joined key
     construction as operators/dedup.minhash_lsh_candidates, reproduced
     here (not imported) so dedup.py stays out of this closure."""
+    # Static expression tree, not transform() lambdas: bands and
+    # rows_per_band are plan-time constants, and higher-order functions
+    # run as interpreted per-element lambdas outside whole-stage
+    # codegen — the nested transform/slice/concat_ws form measured
+    # 2-3x slower per arm at sf0.1 (r11 probe). getItem/concat_ws/cast
+    # over a literal-built array keep the whole explode in codegen.
     return sig.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band_idx"),
-                    F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                i * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("signature")
+                                .getItem(i * rows_per_band + j)
+                                .cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_key")

@@ -111,12 +111,23 @@ def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(clean_text), not the text, so result size is O(docs) not
     O(corpus bytes)."""
     docs = load(spark, sf_dir, "documents")
-    tk = F.split(
-        F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\x0b\f\r]+", " ")),
-        " ",
+    # Materialize the token array as a COLUMN before the paragraph
+    # transform touches it (the operators/lm.py _bigrams finding):
+    # inlining the regexp_replace+split expression makes Catalyst
+    # re-evaluate it inside the per-paragraph lambda — measured 3x
+    # slower for the explode stage at sf0.1 (guide §1.2 per-task work).
+    toked = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower("text"), r"[ \t\n\x0b\f\r]+", " ")
+            ),
+            " ",
+        ).alias("tk"),
     )
+    tk = F.col("tk")
     paras = (
-        docs.select(
+        toked.select(
             "doc_id",
             F.posexplode(
                 F.transform(

@@ -125,9 +125,12 @@ def tx_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-entropy doc count are the first quality numbers a curation
     pass reads.
 
-    Determinism at scale: characters come from substr(norm, i, 1) over
-    an UNNESTed index range — mechanically identical on both engines
-    (no reliance on empty-separator split edge cases); every
+    Determinism at scale: the oracle draws characters from
+    substr(norm, i, 1) over an UNNESTed index range; the Spark side
+    explodes split(norm, '') — the same per-code-point segmentation
+    (probed: no empty elements, '' → []) without the O(len) UTF8String
+    walk per extracted index that made the substr form quadratic per
+    document; every
     probability is an integer ratio; ln is the sole libm call and each
     per-char term is 6-dp floor-quantized INTO DECIMAL(18,6) before
     the order-free exact sum (the KL/DSIR accumulation pattern); the
@@ -142,21 +145,33 @@ def tx_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", normalize_ws(F.col("text")).alias("norm"))
         .filter(F.length("norm") > 0)
     )
+    # split(norm, '') yields exactly the per-code-point characters (no
+    # empty elements — probed on this Spark build), identical to the
+    # previous explode(sequence) + substr(norm, i, 1) form but LINEAR in
+    # document length: substr on a UTF8String walks from the start to
+    # find code point i, so per-index extraction cost O(len²) per doc —
+    # measured 4.4x slower at sf0.1 (guide §1.2: fix the per-task
+    # algorithm first). The oracle keeps the substr form; equivalence is
+    # per-code-point segmentation, which both forms share.
+    # n (total chars per doc) ≡ length(norm): split('') emits exactly
+    # one element per code point, so the oracle's n = sum(k) per doc is
+    # the normalized length. Carrying it as a grouping column (constant
+    # within a doc, so group sets are unchanged) deletes the per-doc
+    # count aggregate AND the doc-keyed join the oracle spells out —
+    # one less Exchange, no join (guide §2.4).
     ch = d.select(
         "doc_id",
         "source",
-        F.explode(F.sequence(F.lit(1), F.length("norm"))).alias("i"),
-        F.col("norm"),
-    ).select(
-        "doc_id", "source", F.expr("substr(norm, i, 1)").alias("c")
+        F.length("norm").cast("bigint").alias("n"),
+        F.explode(F.split("norm", "")).alias("c"),
     )
-    cc = ch.groupBy("doc_id", "source", "c").agg(F.count(F.lit(1)).alias("k"))
-    n = cc.groupBy("doc_id").agg(F.sum("k").cast("bigint").alias("n"))
+    cc = ch.groupBy("doc_id", "source", "n", "c").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     p = F.col("k").cast("double") / F.col("n").cast("double")
     term = _q6(-p * F.log(p) / F.lit(float(_LN2))).cast("decimal(18,6)")
     ent = (
-        cc.join(n, "doc_id")
-        .select("doc_id", "source", term.alias("term"))
+        cc.select("doc_id", "source", term.alias("term"))
         .groupBy("doc_id", "source")
         .agg(F.sum("term").cast("decimal(18,6)").alias("h"))
     )
