@@ -107,6 +107,12 @@ def brute_force_topk_gemm(
                 }
             )
 
+    # NOT spread (r11 probe): repartitioning the corpus before the
+    # GEMM pass measured a LOSS at sf0.1 (0.36 vs 0.26 best-of) — the
+    # vector-payload exchange + worker spin-up exceeds the batched
+    # matmul — and at scale it would add a full-corpus shuffle to a
+    # design whose point is zero shuffle before the candidate
+    # aggregate.
     cand = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

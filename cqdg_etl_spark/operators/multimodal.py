@@ -37,6 +37,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Heavy per-row Python decode over a small parquet input otherwise runs
+# on ONE core (single unsplittable scan partition) — spread each
+# mapInPandas input across the session parallelism (r11; guide §2.5).
+from cqdg_etl_spark.operators.spread import spread_to_parallelism as _spread
+
 MEDIA_META_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, width int, height int"
 )
@@ -125,7 +130,9 @@ def extract_media_features(
                 }
             )
 
-    return df.select("doc_id", "media_bytes").mapInPandas(batches, FEATURE_SCHEMA)
+    return _spread(df.select("doc_id", "media_bytes")).mapInPandas(
+        batches, FEATURE_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = "doc_id bigint, width int, height int, media_bytes binary"
@@ -179,7 +186,9 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", "media_bytes").mapInPandas(batches, AUDIO_SCHEMA)
+    return _spread(df.select("doc_id", "media_bytes")).mapInPandas(
+        batches, AUDIO_SCHEMA
+    )
 
 
 def resize_media(
@@ -221,7 +230,9 @@ def resize_media(
                 }
             )
 
-    return df.select("doc_id", "media_bytes").mapInPandas(batches, RESIZED_SCHEMA)
+    return _spread(df.select("doc_id", "media_bytes")).mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
 
 
 def split_mjpeg_frames(data: bytes) -> list[bytes]:
@@ -327,7 +338,9 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames}
             )
 
-    return df.select("doc_id", "media_bytes").mapInPandas(batches, FRAME_SCHEMA)
+    return _spread(df.select("doc_id", "media_bytes")).mapInPandas(
+        batches, FRAME_SCHEMA
+    )
 
 
 # --- real header parsing (no decode library required) -----------------
@@ -409,7 +422,9 @@ def jpeg_dimensions(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, JPEG_DIMS_SCHEMA)
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
+        batches, JPEG_DIMS_SCHEMA
+    )
 
 
 def synth_jpeg_header(width: int, height: int) -> bytes:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cqdg_etl_spark.functions.text import normalize_ws, tokens, word_shingles
+from cqdg_etl_spark.operators.spread import spread_to_parallelism as _spread
 
 # Java + RE2 compatible patterns (must behave identically in DuckDB).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -133,7 +134,9 @@ def _repetition_metrics_pandas(
             stats.insert(0, id_col, pdf[id_col].reset_index(drop=True))
             yield stats
 
-    counted = df.select(id_col, text_col).mapInPandas(
+    # Spread before the Python pass (r11): the per-doc Counter work is
+    # the cost; a 1-partition scan runs it serially (guide §2.5).
+    counted = _spread(df.select(id_col, text_col)).mapInPandas(
         count_batches, counts_schema
     )
     # try_divide: an empty doc has n_tokens = 0, and under ANSI mode

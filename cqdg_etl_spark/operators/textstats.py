@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cqdg_etl_spark.functions.text import normalize_ws, tokens
+from cqdg_etl_spark.operators.spread import spread_to_parallelism as _spread
 
 # Minimal per-language stopword marker sets for the n-gram/stopword
 # language heuristic. Order below is the deterministic tiebreak order.
@@ -240,7 +241,9 @@ def _winnowing_pandas(
             stats.insert(0, id_col, pdf[id_col].reset_index(drop=True))
             yield stats
 
-    return df.select(id_col, text_col).mapInPandas(batches, schema)
+    # Spread before the Python pass (r11): the O(L·w) rolling-hash
+    # scan is per-row pure; a 1-partition scan serializes it (§2.5).
+    return _spread(df.select(id_col, text_col)).mapInPandas(batches, schema)
 
 
 def winnowing_fingerprints_expr(

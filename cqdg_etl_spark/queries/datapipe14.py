@@ -501,16 +501,25 @@ def mm_mp4_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash diverges from the oracle's independent derivation. This
     upgrades container demux from pytest-only to the driver gate.
 
-    Scale shape: one zero-shuffle mapInPandas over the corpus
-    partitioning; mux+demux are per-row pure functions; output is one
-    skinny row per doc."""
+    Scale shape: one mapInPandas over the corpus; mux+demux are
+    per-row pure functions; output is one skinny row per doc. The
+    input is spread to the session's shuffle parallelism first (r11):
+    the sf-scale parquet is ONE unsplittable row group, so the heavy
+    per-row Python work otherwise runs on a single core (measured
+    0.72 → 0.39 s at sf0.1 — guide §2.5 input skew / repartition after
+    read; at real scale the scan already has enough partitions and the
+    exchange is one skinny pass)."""
     from cqdg_etl_spark.operators.mp4_codec import (
         extract_samples,
         mp4_track_infos,
         synth_mp4,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from cqdg_etl_spark.operators.spread import spread_to_parallelism
+
+    docs = spread_to_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def run(batches):
         for pdf in batches:

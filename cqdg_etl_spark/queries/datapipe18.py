@@ -921,8 +921,9 @@ def mm_image_dhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and AQE may fold this); (2) materialize the chain hex as a COLUMN
     # so the ~128 byte-extraction references read an attribute instead
     # of re-inlining the 5-deep md5 chain per reference.
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    hx = docs.select("doc_id", "text").repartition(target).select(
+    from cqdg_etl_spark.operators.spread import spread_to_parallelism
+
+    hx = spread_to_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", fake_grid_hex(F.col("text")).alias("hex")
     )
     c0, c1, c2, c3 = dhash_chunks_from_hex(F.col("hex"))
