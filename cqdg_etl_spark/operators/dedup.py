@@ -664,22 +664,29 @@ def span_dedup(
 
     Scale shape: spans are a zero-shuffle projection (packing.
     chunk_documents with stride = window); first-occurrence resolution
-    is ONE map-side-combined groupBy on the span hash — an aggregation,
-    deliberately not a window over the hash, so a hot span (the same
-    header in 10M docs) partial-aggregates on every mapper instead of
-    landing on one reducer; the join back on the hash is the only wide
-    exchange, and the per-doc rollup reuses the doc key. Position keys
-    pack (doc_id, span_idx) into one bigint (span_idx < 2^20 ⇒ docs to
-    2^43) so min() needs no struct ordering.
+    is a min WINDOW over the one exchange on the span hash (r11 — the
+    previous groupBy(h)+join-back paid an aggregate pass plus a join on
+    the same exchange, and its join funneled hot-h rows to one
+    partition just the same); the per-doc rollup is the only other
+    exchange. Position keys pack (doc_id, span_idx) into one bigint
+    (span_idx < 2^20 ⇒ docs to 2^43) so min() needs no struct
+    ordering.
     """
     from cqdg_etl_spark.operators.packing import chunk_documents
+
+    from pyspark.sql import Window as W
 
     spans = chunk_documents(
         df, text_col, id_col, window=span_tokens, stride=span_tokens
     )
-    # One exchange on the span hash feeds BOTH the first-occurrence
-    # aggregate and the join back (same hash partitioning) —
-    # ReusedExchange, so the corpus is chunked exactly once.
+    # First-occurrence via a min window over ONE exchange on the span
+    # hash (r11, the ppjoin_pairs df-window finding): the previous
+    # groupBy(h) + join-back cost the aggregate pass plus the join on
+    # top of the same h exchange — measured 0.60 -> 0.47 s at sf0.1,
+    # identical rows. Skew note: the join-back form funneled every hot-h
+    # row to one partition for the join anyway (tiny first_key rows
+    # split no better), so the window loses nothing a degenerate span
+    # key had not already cost.
     keyed = spans.select(
         F.col(id_col).alias("doc"),
         "n_tokens",
@@ -687,10 +694,9 @@ def span_dedup(
         (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("chunk_idx"))
         .alias("pos_key"),
     ).repartition("h")
-    firsts = keyed.groupBy("h").agg(F.min("pos_key").alias("first_key"))
-    flagged = keyed.join(firsts, "h").withColumn(
-        "kept", F.col("pos_key") == F.col("first_key")
-    )
+    flagged = keyed.withColumn(
+        "first_key", F.min("pos_key").over(W.partitionBy("h"))
+    ).withColumn("kept", F.col("pos_key") == F.col("first_key"))
     return flagged.groupBy("doc").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),

@@ -784,8 +784,9 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the time window as a residual predicate — per-user touch and
     purchase counts are bounded, so the join never goes quadratic in
     the corpus (the as-of-join discipline, ev_asof_purchase_view).
-    Per-purchase touch counts come from re-aggregating the joined
-    frame (equi-join back on purchase id). Engine-exactness: 1/n and
+    Per-purchase touch counts are a count window over one purchase-id
+    exchange of the joined frame (r11 — the join-back form paid the
+    user join twice). Engine-exactness: 1/n and
     value/n are single IEEE divisions quantized at 6 dp into DECIMAL,
     summed exactly."""
     ev = load(spark, sf_dir, "events")
@@ -804,8 +805,16 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t_ts")
            >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
     ).select("p_id", "value", "t_id", "event_type", "campaign")
-    nt = j.groupBy("p_id").agg(F.count("*").alias("n_t"))
-    credit = j.join(nt, "p_id").select(
+    # Per-purchase touch count via a count window over ONE p_id
+    # exchange (r11, the span_dedup/ppjoin window finding): the
+    # groupBy(p_id) + join-back form evaluates the user-keyed join
+    # subtree on BOTH sides of the count join — the window computes it
+    # once. Measured 0.91 -> 0.85 s at sf0.1, identical output.
+    from pyspark.sql import Window as W
+
+    credit = j.withColumn(
+        "n_t", F.count("*").over(W.partitionBy("p_id"))
+    ).select(
         "event_type", "campaign", "p_id", "t_id",
         _q6(F.lit(1.0) / F.col("n_t").cast("double"))
         .cast("decimal(18,6)").alias("c"),

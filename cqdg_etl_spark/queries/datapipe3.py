@@ -314,8 +314,9 @@ _SPAN_W = 8
 def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span suppression (Lee et al. 2022 analog): disjoint
     8-token spans, global first occurrence kept, per-doc survival
-    stats. First-occurrence resolution is a map-side-combined hash
-    aggregate (hot spans never converge on one reducer)."""
+    stats. First-occurrence resolution is a min window over one span-
+    hash exchange (see operators/dedup.span_dedup for the r11 change
+    note)."""
     from cqdg_etl_spark.operators.dedup import span_dedup
 
     docs = load(spark, sf_dir, "documents")
