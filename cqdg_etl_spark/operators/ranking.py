@@ -170,6 +170,7 @@ def global_cumsum(
     order_cols: list[Column],
     value_col: str | list[str],
     out_col: str | list[str] = "cum",
+    total_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Global cumulative sum of one OR SEVERAL value columns in
     ``order_cols`` order without a single-partition sort — same
@@ -181,6 +182,15 @@ def global_cumsum(
     window pass (e.g. the two ECDF counts of a KS statistic) — N
     running sums cost ONE pass, not N.
 
+    ``total_col`` (r11): the per-partition totals action already
+    leaves each column's GRAND total at the driver — naming a total
+    column attaches it as a literal (cast to the engine's own SUM
+    result type), so callers that need ``sum(v) OVER ()`` alongside
+    the running sum stop re-evaluating the input subtree with a
+    separate aggregate + crossJoin (a full second pass over ``df``'s
+    lineage — for tokenize-derived frames, a second tokenization of
+    the corpus).
+
     ``order_cols`` MUST form a total order. For engine-exact results
     use integer/decimal value columns (token counts, byte sizes); a
     double column makes the cumsum order-dependent in the last ulp.
@@ -189,6 +199,11 @@ def global_cumsum(
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(value_cols) != len(out_cols):
         raise ValueError("value_col and out_col lengths differ")
+    total_cols = (
+        [total_col] if isinstance(total_col, str) else list(total_col)
+    ) if total_col is not None else None
+    if total_cols is not None and len(total_cols) != len(value_cols):
+        raise ValueError("total_col and value_col lengths differ")
     # The broadcast offsets must carry each value column's own
     # arithmetic type: Spark's SUM widens integers to long, decimals
     # to precision 38 (same scale), doubles stay double — hardcoding
@@ -243,4 +258,9 @@ def global_cumsum(
     out = with_pid.join(off_df, "_pid")
     for i, (v, o) in enumerate(zip(value_cols, out_cols)):
         out = out.withColumn(o, F.sum(v).over(w) + F.col(f"_off{i}"))
+    if total_cols is not None:
+        # acc now holds each column's grand total (offsets loop ran to
+        # the last partition); attach as typed literals — zero jobs.
+        for i, t in enumerate(total_cols):
+            out = out.withColumn(t, F.lit(acc[i]).cast(off_types[i]))
     return out.drop("_pid", *[f"_off{i}" for i in range(len(value_cols))])

@@ -73,7 +73,8 @@ def pf_ks_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ECDF running counts via operators/ranking.py::global_cumsum —
     range-repartitioned prefix sums, never an empty-PARTITION-BY
     window over the distinct-value stream. The max-gap reduce is a
-    1-row aggregate; the scalar totals ride a 1-row broadcast."""
+    1-row aggregate; the scalar totals are literals from the cumsum's
+    own per-partition totals action (no second pass over v)."""
     from cqdg_etl_spark.operators.ranking import global_cumsum
 
     orders = load(spark, sf_dir, "orders")
@@ -94,18 +95,20 @@ def pf_ks_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c2", F.lit(0)).alias("c2"),
         )
     )
-    # both ECDF running counts in ONE range-repartitioned pass
+    # both ECDF running counts in ONE range-repartitioned pass; the
+    # scalar totals ride out of the cumsum's own totals action as
+    # literal columns (r11 — the separate v.agg + crossJoin re-ran
+    # v's lineage: two orders scans plus the full-outer merge, for
+    # two scalars the cumsum had already computed)
     cum = global_cumsum(
-        v, [F.col("x").asc()], ["c1", "c2"], out_col=["cum1", "cum2"]
-    )
-    totals = v.agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        v, [F.col("x").asc()], ["c1", "c2"], out_col=["cum1", "cum2"],
+        total_col=["n1", "n2"],
     )
     gap = F.abs(
         F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
+        cum
         .groupBy("n1", "n2")
         .agg(F.max(gap).alias("ks_num"))
         .select(

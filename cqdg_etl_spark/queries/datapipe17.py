@@ -850,8 +850,18 @@ def tx_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = global_cumsum(dc, [F.col("doc_id")], "n_tok", "cum").select(
         "doc_id", (F.col("cum") - F.col("n_tok")).alias("off")
     )
-    pos = toks.join(offs, "doc_id").select(
-        "t", (F.col("off") + F.col("pos")).alias("gpos")
+    # The skinny (t, gpos) frame feeds THREE consumers (the corpus
+    # total, first occurrences, decile totals) — unpersisted, each
+    # re-ran the tokenize+posexplode AND the offs join (4 corpus
+    # tokenizations per query; r11). Persist it once: 2 tokenize
+    # passes (dc + pos build), 1 join, and the consumers read cached
+    # (t, gpos) pairs — the narrowest projection of the token stream.
+    from pyspark import StorageLevel
+
+    pos = (
+        toks.join(offs, "doc_id")
+        .select("t", (F.col("off") + F.col("pos")).alias("gpos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = F.broadcast(pos.agg(F.count(F.lit(1)).alias("n")))
     firsts = pos.groupBy("t").agg(F.min("gpos").alias("fpos"))

@@ -107,8 +107,11 @@ def ds_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_cumsum — range-repartition + per-partition prefix sums +
     broadcast offsets, NEVER an empty-PARTITION-BY window (which moves
     the corpus to one task); token counts are integers, so the cumsum
-    is engine-exact. The corpus token total is a 1-row aggregate
-    broadcast onto the frame."""
+    is engine-exact. The corpus token total rides out of the cumsum's
+    own per-partition totals action as a literal column (r11 —
+    previously a separate ``g.agg(sum)`` + broadcast crossJoin, which
+    re-evaluated ``g``'s lineage and RE-TOKENIZED the corpus for one
+    scalar)."""
     from cqdg_etl_spark.functions.text import normalize_ws, tokens
     from cqdg_etl_spark.operators.ranking import global_cumsum
 
@@ -131,10 +134,10 @@ def ds_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("ttr").desc(), F.col("doc_id").asc()],
         "n_toks",
         out_col="cum_tokens",
+        total_col="_total",
     )
-    total = g.agg(F.sum("n_toks").alias("_total"))
     return (
-        c.crossJoin(F.broadcast(total))
+        c
         .filter(
             (F.col("cum_tokens") - F.col("n_toks")).cast("double")
             < F.lit(_BUDGET_FRAC) * F.col("_total").cast("double")

@@ -201,3 +201,43 @@ def test_global_cumsum_decimal_exact_under_tie_skew(spark):
     for r in rows:
         acc += r["v"]
         assert r["cum"] == acc, (r["id"], r["cum"], acc)
+
+def test_global_cumsum_total_col_matches_separate_aggregate(spark):
+    """r11: the grand total attached by ``total_col`` must equal the
+    value (and Spark SUM result type) of a separate agg — long,
+    decimal and double value columns all carry their own widened
+    type."""
+    from decimal import Decimal
+
+    from cqdg_etl_spark.operators.ranking import global_cumsum
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("v"),
+        (F.col("id") % 3).cast("decimal(10,2)").alias("d"),
+        (F.col("id") % 5 / 2.0).alias("x"),
+    ).repartition(9)
+    out = global_cumsum(
+        df,
+        [F.col("k").asc()],
+        ["v", "d", "x"],
+        out_col=["cv", "cd", "cx"],
+        total_col=["tv", "td", "tx"],
+    )
+    exp = df.agg(
+        F.sum("v").alias("tv"), F.sum("d").alias("td"), F.sum("x").alias("tx")
+    )
+    got = out.select("tv", "td", "tx").distinct().collect()
+    assert len(got) == 1
+    e = exp.collect()[0]
+    g = got[0]
+    assert (g["tv"], g["td"]) == (e["tv"], e["td"])
+    assert abs(g["tx"] - e["tx"]) < 1e-9
+    es, gs = exp.schema, out.select("tv", "td", "tx").schema
+    assert [f.dataType for f in gs] == [f.dataType for f in es]
+    # cumsum itself unchanged by the option
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    acc = 0
+    for r in rows:
+        acc += r["v"]
+        assert r["cv"] == acc
