@@ -52,6 +52,14 @@ def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         tokens(normalize_ws(F.col(text_col))).alias("toks"),
     )
+    return _bigrams_from_toked(toked)
+
+
+def _bigrams_from_toked(toked: DataFrame) -> DataFrame:
+    """Pair expansion over an already-tokenized (doc, toks) frame —
+    split out (r11) so callers that need the token arrays for a
+    second derivation (e.g. the vocabulary scalar) can tokenize ONCE
+    and share the frame."""
     toks = F.col("toks")
     pairs = F.when(
         F.size(toks) >= 2,
@@ -75,15 +83,24 @@ def bigram_lm_scores(
     probability under the corpus-trained LM → (id, n_bigrams,
     mean_condp). Documents with fewer than two tokens have no bigrams
     and are omitted (no LM evidence either way)."""
-    # One exchange on the bigram key feeds BOTH the count aggregate and
-    # the scoring join (same hash partitioning) — ReusedExchange, so
-    # the corpus is tokenized exactly once.
-    big = _bigrams(df, text_col, id_col).repartition("w1", "w2")
+    from pyspark import StorageLevel
+
+    # ONE corpus tokenization (r11): the token-array frame is persisted
+    # and feeds BOTH the bigram stream and the vocabulary scalar — the
+    # vocab branch previously re-ran normalize+split over every
+    # document for one countDistinct. The bigram exchange on (w1, w2)
+    # still feeds the count aggregate and the scoring join as a
+    # ReusedExchange.
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_ws(F.col(text_col))).alias("toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    big = _bigrams_from_toked(toked).repartition("w1", "w2")
     bigram_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     # marginal from the aggregated counts: vocabulary-sized input
     prefix_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
-        df.select(F.explode(tokens(normalize_ws(F.col(text_col)))).alias("tok"))
+        toked.select(F.explode("toks").alias("tok"))
         .agg(F.countDistinct("tok").alias("vocab"))
     )
     # Attach the prefix marginal to the COUNT table, not the stream:
