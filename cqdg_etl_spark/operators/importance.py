@@ -77,12 +77,31 @@ def dsir_log_weights(
     weights so the (cheap) scoring pass and the (policy-laden)
     sampling pass stay independent.
     """
-    raw_feats = _feature_stream(raw, text_col, id_col, n_buckets)
+    from pyspark import StorageLevel
+
+    # Evaluation-count discipline (r11): unpersisted, the raw feature
+    # stream ran THREE times (bucket counts, the totals' re-evaluation
+    # of the counts, final scoring join) and the target stream twice —
+    # 5 corpus tokenizations per call. Persist the compact (doc,
+    # bucket) stream (two longs per bigram occurrence — far narrower
+    # than the text it came from) and the ≤ n_buckets-row count
+    # tables; each corpus is now tokenized exactly once.
+    raw_feats = _feature_stream(raw, text_col, id_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tgt_feats = _feature_stream(target, text_col, id_col, n_buckets)
 
     # Bucket count tables: ≤ n_buckets rows each after map-side combine.
-    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw_counts = (
+        raw_feats.groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tgt_counts = (
+        tgt_feats.groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     raw_total = raw_counts.agg(F.sum("cr").alias("nr"))
     tgt_total = tgt_counts.agg(F.sum("ct").alias("nt"))
 

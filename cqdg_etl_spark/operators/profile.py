@@ -135,14 +135,19 @@ def psi_drift(
     drifted current values clamp to the edge bins, deterministically on
     every engine (mirror the same ``greatest(w, 1e-12)`` in oracles).
     """
+    from pyspark import StorageLevel
+
     spark = ref.sparkSession
+    # 1-row frame, persisted (r11): both binned() calls crossJoin it —
+    # unpersisted, each evaluated the min/max aggregate's scan of ref
+    # again (3 reference scans for a 2-pass algorithm).
     bounds = ref.agg(
         F.min(value_col).alias("mn"),
         F.greatest(
             (F.max(value_col) - F.min(value_col)) / F.lit(float(n_bins)),
             F.lit(1e-12),
         ).alias("w"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         b = F.least(
@@ -204,9 +209,14 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     frames meet in broadcast scalar joins. No step materializes more
     than n_keys skinny rows.
     """
+    from pyspark import StorageLevel
+
+    # n_keys-row frame, persisted (r11): totals AND the top-10 branch
+    # consume it — unpersisted, the corpus-sized per-key count
+    # aggregate ran twice.
     cnts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = cnts.agg(
         F.sum("c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),

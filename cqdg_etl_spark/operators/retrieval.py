@@ -52,7 +52,17 @@ def bm25_topk(
         F.col(id_col).alias("doc"),
         F.explode(tokens(normalize_ws(F.col(text_col)))).alias("tok"),
     )
-    dl = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    from pyspark import StorageLevel
+
+    # Persisted (r11): dl feeds BOTH the corpus stats scalar and the
+    # scoring join — unpersisted, each consumer re-ran the tokenize+
+    # explode+per-doc count (3 corpus tokenizations per query; now 2 —
+    # the tf branch's pass plus this one). The narrow (doc, dl) rows
+    # are the classic IR doc-length artifact, far smaller than the
+    # token stream itself.
+    dl = toks.groupBy("doc").agg(F.count("*").alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (

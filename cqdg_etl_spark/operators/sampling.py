@@ -113,11 +113,18 @@ def mixture_weighted_sample(
     w_map = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
     )
+    from pyspark import StorageLevel
+
+    # |domains|-row frame with a corpus-aggregate lineage: persisted
+    # (r11) because BOTH n_target and the threshold projection consume
+    # it — unpersisted, the corpus count aggregate ran twice (plus the
+    # membership scan: 3 corpus passes for a 2-pass algorithm).
     counts = (
         df.groupBy(domain_col)
         .agg(F.count("*").alias("n_domain"))
         .withColumn("w", w_map[F.col(domain_col)])
         .filter(F.col("w").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_target = counts.agg(
         F.min(

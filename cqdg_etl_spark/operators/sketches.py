@@ -110,7 +110,15 @@ def cms_heavy_hitters(
     candidate heap. Here both are computed so the estimate's guarantee
     is checkable row by row.
     """
-    sketch = count_min_sketch(df, token_col, depth, width)
+    from pyspark import StorageLevel
+
+    # Persisted (r11): cms_estimate builds one broadcast per depth row
+    # from this frame — unpersisted, each of the ``depth`` filters
+    # re-ran the full token-stream CMS aggregate (depth+1 corpus
+    # passes for a 2-pass audit). ≤ depth×width rows.
+    sketch = count_min_sketch(df, token_col, depth, width).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     exact = (
         df.groupBy(F.col(token_col).alias("token"))
         .agg(F.count("*").alias("exact_cnt"))

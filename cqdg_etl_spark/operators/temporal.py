@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -207,6 +208,10 @@ def resample_ffill(
         )
         .groupBy("k", "bucket_ts")
         .agg(F.max_by("v", F.col("o")).alias("v_obs"))
+        # Persisted (r11): BOTH the per-key bounds and the grid join
+        # consume this bucketed aggregate — unpersisted, the corpus
+        # scan + max_by shuffle ran twice.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bounds = obs.groupBy("k").agg(
         F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
