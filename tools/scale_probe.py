@@ -452,6 +452,32 @@ WAVE14T = [
     "fd_audit_staged",
 ]
 
+# Wave 15 (--wave15): round-11 OPTIMIZATION re-probe — the changed
+# queries no earlier wave covers (the dedup/LSH/wave-7/8 names keep
+# their original wave assignments and are re-probed there). These all
+# took the batch-5/6/7 multi-consumer persist (pass-count, not
+# curvature, changes) or the bigram single-tokenize — the probe
+# verifies the persisted frames hold at replicated scale (the persist
+# is MEMORY_AND_DISK of compact aggregates; a regression here would
+# read as a superlinear step from spill). The orders-based profile
+# names probe under the TPC-H warehouse fixture (--wave15t).
+WAVE15 = [
+    "tx_bigram_lm_score",
+    "tx_vocab_coverage",
+    "tx_repetition_metrics",
+    "ds_quality_budget_select",
+    "ds_dsir_logweights",
+    "ds_mixture_weighted_sample",
+    "ret_bm25_topk",
+    "ev_resample_ffill",
+]
+
+WAVE15T = [
+    "pf_ks_totalprice_drift",
+    "pf_psi_totalprice_drift",
+    "pf_key_skew_profile",
+]
+
 
 def _dp23_staged(name: str):
     def run(spark, sf_dir: str, scale: int):
@@ -768,6 +794,8 @@ def main() -> int:
     wave13t = "--wave13t" in args
     wave14s = "--wave14s" in args
     wave14t = "--wave14t" in args
+    wave15 = "--wave15" in args
+    wave15t = "--wave15t" in args
     scales = [
         int(a)
         for a in args
@@ -775,7 +803,7 @@ def main() -> int:
                      "--wave7", "--wave8", "--wave8t", "--wave8s",
                      "--wave9s", "--wave9t", "--wave10s", "--wave10t",
                      "--wave11s", "--wave12s", "--wave13", "--wave13t",
-                     "--wave14s", "--wave14t")
+                     "--wave14s", "--wave14t", "--wave15", "--wave15t")
     ] or [1, 2, 5, 10]
     from cqdg_etl_spark.queries import REGISTRY
     from cqdg_etl_spark.session import get_spark
@@ -783,7 +811,11 @@ def main() -> int:
     import os
 
     spark = get_spark(app_name="scale-probe")
-    if wave14t:
+    if wave15t:
+        all_names = WAVE15T
+    elif wave15:
+        all_names = WAVE15
+    elif wave14t:
         all_names = WAVE14T
     elif wave14s:
         all_names = WAVE14S
@@ -831,7 +863,8 @@ def main() -> int:
     for scale in scales:
         sf_dir = (
             build_tpch_scaled_dir(scale)
-            if (wave3 or wave8t or wave9t or wave10t or wave13t or wave14t)
+            if (wave3 or wave8t or wave9t or wave10t or wave13t or wave14t
+                or wave15t)
             else build_scaled_dir(scale)
         )
         for name in all_names:
