@@ -411,9 +411,23 @@ def minhash_verified_pairs(
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
+    # Lossless length filter (PPJoin length bound, applied to the LSH
+    # candidates): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
+    # set sizes differ by more than the threshold ratio cannot verify —
+    # skip its O(|A|+|B|) array_intersect entirely. Integer-exact and
+    # conservative: K = floor(t·1e6) ≤ t·1e6, so a filtered pair has
+    # J ≤ min/max < K/1e6 ≤ t and would fail the jaccard filter anyway.
+    # Sizes are int32; widen before the ×1e6 product.
+    import math
+
+    k = int(math.floor(threshold * 1_000_000))
+    na = F.size("hs_a").cast("long")
+    nb = F.size("hs_b").cast("long")
+    len_ok = F.least(na, nb) * F.lit(1_000_000) >= F.greatest(na, nb) * F.lit(k)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(len_ok)
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

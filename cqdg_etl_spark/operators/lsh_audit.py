@@ -83,35 +83,86 @@ def lsh_param_audit(
     itself in its own arm's cost, bounded by the audit's count-only
     output (no vectors, no texts are ever fetched).
     """
-    arms = []
+    # One tagged banding pass instead of one join pipeline PER layout
+    # (r11 optimization): every layout's (bands, band_idx, band_key)
+    # rows explode from the persisted signature frame in a single
+    # projection, the self-join + pair-distinct + per-layout count run
+    # ONCE over the union of arms, and the `bands` tag keeps arms from
+    # colliding in the join. Same shuffled bytes in total (the tagged
+    # exchange is exactly the concatenation of the per-arm exchanges),
+    # but 3x fewer exchanges/stages and one pass over the cached
+    # signatures instead of len(bands_list).
+    structs = []
     for bands in bands_list:
         rows_per_band = num_perm // bands
-        layout = band_layout(sig, bands, rows_per_band)
-        # shuffle_hash for the same ReusedExchange reasoning as
-        # minhash_lsh_candidates: broadcast-converting one side would
-        # re-compute the banding subtree instead of reusing it.
-        a = layout.alias("a").hint("shuffle_hash")
-        b = layout.alias("b").hint("shuffle_hash")
-        pairs = a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        ).select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
-        )
-        prob = round(collision_probability(ref_jaccard, bands, rows_per_band), 6)
-        arms.append(
-            pairs.distinct()
-            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                F.lit(rows_per_band).cast("int").alias("rows_per_band"),
-                "n_candidate_pairs",
-                F.lit(prob).cast("double").alias("collision_p_ref"),
+        for i in range(bands):
+            structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(i).alias("band_idx"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col("signature")
+                            .getItem(i * rows_per_band + j)
+                            .cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ).alias("band_key"),
+                )
             )
+    layout = sig.select(
+        "doc", F.explode(F.array(*structs)).alias("band")
+    ).select("doc", "band.bands", "band.band_idx", "band.band_key")
+    # shuffle_hash for the same ReusedExchange reasoning as
+    # minhash_lsh_candidates: broadcast-converting one side would
+    # re-compute the banding subtree instead of reusing it.
+    a = layout.alias("a").hint("shuffle_hash")
+    b = layout.alias("b").hint("shuffle_hash")
+    pairs = a.join(
+        b,
+        (F.col("a.bands") == F.col("b.bands"))
+        & (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.bands").alias("bands"),
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+    )
+    counts = pairs.distinct().groupBy("bands").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs")
+    )
+    # Literal per-layout frame: zero-fills a layout with no candidates
+    # (the per-arm form's count-on-empty returned 0, and small-SF
+    # oracles rely on the row existing) and carries the model column.
+    spark = sig.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                pos,
+                bands,
+                num_perm // bands,
+                round(
+                    collision_probability(
+                        ref_jaccard, bands, num_perm // bands
+                    ),
+                    6,
+                ),
+            )
+            for pos, bands in enumerate(bands_list)
+        ],
+        "pos int, bands int, rows_per_band int, collision_p_ref double",
+    )
+    return (
+        meta.join(F.broadcast(counts), "bands", "left")
+        .orderBy("pos")
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+            F.coalesce(F.col("n_candidate_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+            F.col("collision_p_ref").cast("double").alias("collision_p_ref"),
         )
-    out = arms[0]
-    for arm in arms[1:]:
-        out = out.unionByName(arm)
-    return out
+    )

@@ -88,12 +88,14 @@ BNLJ_OK: dict[str, str] = {
     "broadcast into the per-term log-ratio",
     "sk_hll_union_intersection": "cross of three 1-row sketch "
     "estimates (inclusion-exclusion over merged registers)",
-    "pf_ks_totalprice_drift": "single-row (n_ref, n_cur) totals "
-    "broadcast onto the ECDF frame for the exact integer gap",
+    # pf_ks_totalprice_drift left this list in r11: its (n_ref, n_cur)
+    # totals now ride out of the persisted value-merge frame instead of
+    # a scalar crossJoin, so no BNLJ node remains in the plan.
     "mb_association_rules": "single-row basket-total scalar broadcast "
     "onto the rule table for support/lift denominators",
-    "ds_quality_budget_select": "single-row corpus token-total scalar "
-    "broadcast onto the cumsum frame for the budget cutoff",
+    # ds_quality_budget_select left this list in r11: its corpus
+    # token-total now rides out of the global_cumsum totals action
+    # (total_col), so the scalar crossJoin is gone from the plan.
     "pf_psi_totalprice_drift": "single-row reference min/width bounds "
     "broadcast onto both snapshot sides (same two-pass quantization "
     "contract as emb_quantize_int8)",
