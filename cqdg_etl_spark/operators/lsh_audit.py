@@ -27,41 +27,6 @@ def collision_probability(jaccard: float, bands: int, rows: int) -> float:
     return 1.0 - (1.0 - jaccard ** rows) ** bands
 
 
-def band_layout(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(doc, band_idx, band_key) rows for one layout of a signature
-    frame (``doc``, ``signature`` array<bigint>). Same '-'-joined key
-    construction as operators/dedup.minhash_lsh_candidates, reproduced
-    here (not imported) so dedup.py stays out of this closure."""
-    # Static expression tree, not transform() lambdas: bands and
-    # rows_per_band are plan-time constants, and higher-order functions
-    # run as interpreted per-element lambdas outside whole-stage
-    # codegen — the nested transform/slice/concat_ws form measured
-    # 2-3x slower per arm at sf0.1 (r11 probe). getItem/concat_ws/cast
-    # over a literal-built array keep the whole explode in codegen.
-    return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col("signature")
-                                .getItem(i * rows_per_band + j)
-                                .cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_key")
-
-
 def lsh_param_audit(
     sig: DataFrame,
     bands_list: tuple[int, ...],
@@ -71,9 +36,15 @@ def lsh_param_audit(
     """One row per candidate band layout: measured distinct candidate-
     pair volume plus the model collision probability at a reference
     Jaccard. The signature frame is built ONCE by the caller (and
-    should be persisted): each layout re-bands the cached signatures —
-    an O(n·bands) explode + an equi-key self-join per layout, never a
-    re-shingle of the corpus and never a cartesian.
+    should be persisted); ALL layouts band it in one tagged explode
+    (the '-'-joined key construction of
+    operators/dedup.minhash_lsh_candidates, reproduced here — not
+    imported — so dedup.py stays out of this closure) and share one
+    equi-key self-join, never a re-shingle of the corpus and never a
+    cartesian. The banding is a static expression tree, not
+    ``transform()`` lambdas: bands/rows are plan-time constants, and
+    higher-order functions run interpreted outside whole-stage codegen
+    (the nested transform/slice form measured 2-3x slower, r11 probe).
 
     Scale shape: the expensive corpus pass (shingle → hash → 64 mins)
     is shared; each audit arm shuffles only the skinny
