@@ -60,16 +60,29 @@ def bloom_bitmap(
             )
         ).alias("p")
     )
+    # Dense assembly: union an all-words zero stream into the bit
+    # aggregate so every word index exists, then sort the collected
+    # (w, bits) structs once and strip the keys. The previous form
+    # gap-filled with transform(sequence(0, n_words-1), w -> m[w]) —
+    # but Spark map access is a LINEAR scan (ArrayBasedMapData has no
+    # hash index), so the single-row build did n_words × |entries|
+    # comparisons inside one interpreted HOF on one core: measured
+    # 12-16 s at the default 16 Ki words, and O(n_words²) at the
+    # larger bitmap sizes a real dimension table needs. The dense
+    # form is one O(n log n) array_sort + an O(n) field projection.
     words = pos.select(
         (F.col("p") / F.lit(64)).cast("int").alias("w"),
         F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+    ).unionByName(
+        dim.sparkSession.range(n_words).select(
+            F.col("id").cast("int").alias("w"),
+            F.lit(0).cast("long").alias("bit"),
+        )
     ).groupBy("w").agg(F.bit_or("bit").alias("bits"))
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {n_words - 1}), "
-            "w -> coalesce(m[w], 0L))"
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda x: x["bits"],
         ).alias("__bloom")
     )
 

@@ -776,8 +776,17 @@ def fuzzy_self_pairs(
             F.lit(0).cast("long").alias("dist"),
         )
     )
-    # distinct-string representatives carry the index
-    strings = base.select("s").distinct()
+    # distinct-string representatives carry the index. The distinct
+    # output is tiny in bytes, so AQE coalesces its shuffle to one or
+    # two partitions — and the delete-key explode, the index self-join
+    # probe and the levenshtein verify would all inherit that
+    # parallelism (measured: 24 s at sf0.1 with the whole verify on
+    # 1-2 cores). spread_to_parallelism pins the post-distinct stage
+    # to the session's shuffle width (explicit-N repartition, which
+    # AQE never coalesces); at real scale the knob is a no-op.
+    from cqdg_etl_spark.operators.spread import spread_to_parallelism
+
+    strings = spread_to_parallelism(base.select("s").distinct())
     idx = strings.select(
         "s",
         F.explode(
@@ -797,9 +806,15 @@ def fuzzy_self_pairs(
         .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
         .distinct()
     )
-    near_strings = cand.select(
-        "sa", "sb", F.levenshtein("sa", "sb").alias("dist")
-    ).filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+    # Verify with ONE levenshtein call per pair: sa < sb guarantees
+    # sa != sb, so dist >= 1 always and the [1, max_dist] range
+    # collapses to equality with max_dist (= 1, enforced above). The
+    # range form compiled to TWO levenshtein evaluations per candidate
+    # (the pushed-down filter re-expands the aliased column per
+    # conjunct), doubling the verify stage.
+    near_strings = cand.filter(
+        F.levenshtein("sa", "sb") == max_dist
+    ).select("sa", "sb", F.lit(max_dist).cast("int").alias("dist"))
     ga = base.select(F.col("fid").alias("ia"), F.col("s").alias("sa"))
     gb = base.select(F.col("fid").alias("ib"), F.col("s").alias("sb"))
     cross = (

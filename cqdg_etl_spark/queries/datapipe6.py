@@ -294,8 +294,8 @@ _CUSUM_H = 500.0
 def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection on per-user purchase values
     (target 60, alarm threshold 500) — the genuinely-sequential
-    recurrence S_i = max(0, (S_{{i-1}} + x_i) − target) as a
-    grouped-map Pandas op (operators/pandas_ops.py::cusum_drift); the
+    recurrence S_i = max(0, (S_{{i-1}} + x_i) − target) as a JVM
+    aggregate fold (operators/pandas_ops.py::cusum_drift); the
     oracle replays the identical double-op sequence as a recursive
     CTE, so even float state hash-matches."""
     from cqdg_etl_spark.operators.pandas_ops import cusum_drift
