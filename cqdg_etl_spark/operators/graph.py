@@ -334,8 +334,21 @@ def triangle_counts(
     oriented edge set — all shuffle hash joins on vertex keys; the
     per-node rollup explodes each triangle's 3 vertices and
     map-side-combines.
+
+    Persist discipline (r11): ``e`` feeds the degree aggregate AND the
+    orientation join, and ``oriented`` feeds BOTH wedge sides and the
+    closing join — without persists the caller's whole pair-generation
+    subtree (for the registered query: a lineitem self-join + distinct)
+    re-evaluated up to 3×, and exchange reuse cannot cover the closing
+    join because it shuffles on (p, q), not u (verified: 0 reuse nodes
+    on the executed plan). Both frames are skinny 2-column edge lists,
+    the same footprint class as pagerank's persisted adjacency.
     """
-    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = (
         e.select(F.col("x").alias("node"))
         .union(e.select(F.col("y").alias("node")))
@@ -354,7 +367,7 @@ def triangle_counts(
         )
         .otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
         .alias("o")
-    ).select("o.u", "o.v")
+    ).select("o.u", "o.v").persist(StorageLevel.MEMORY_AND_DISK)
     w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
     wedges = w1.join(w2, "u").filter(F.col("p") != F.col("q"))
@@ -402,15 +415,25 @@ def adamic_adar(
     convention) and per-pair sums accumulate the rounded terms in
     DECIMAL(38,6) — associative, partition-order-proof.
     """
-    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    from pyspark import StorageLevel
+
+    # e feeds the symmetrized adjacency (twice) AND the final
+    # existing-edge anti-join; adj feeds the degree aggregate AND the
+    # center join; half feeds both wedge sides. All are skinny 2-3
+    # column frames — persisted (r11) so the caller's pair-generation
+    # subtree evaluates once instead of up to 5× (exchange reuse does
+    # not fire across the differing projections/keys).
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     adj = e.select(F.col("x").alias("w"), F.col("y").alias("n")).union(
         e.select(F.col("y").alias("w"), F.col("x").alias("n"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = adj.groupBy("w").agg(F.count("*").alias("d"))
     centers = deg.filter(
         (F.col("d") >= 2) & (F.col("d") <= max_center_degree)
     ).select("w", F.round(F.lit(1.0) / F.log(F.col("d")), 6).alias("wt"))
-    half = adj.join(centers, "w")
+    half = adj.join(centers, "w").persist(StorageLevel.MEMORY_AND_DISK)
     p1 = half.select("w", F.col("n").alias("u"), "wt")
     p2 = half.select("w", F.col("n").alias("v"))
     wedges = p1.join(p2, "w").filter(F.col("u") < F.col("v"))

@@ -1110,29 +1110,45 @@ def hard_negatives_banded(
         rows_per_band=rows_per_band,
         seed=seed,
     )
-    sym = pairs.select(
-        F.col("doc_a").alias("query_id"),
-        F.col("doc_b").alias("neighbor_id"),
-        "cos",
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("query_id"),
-            F.col("doc_a").alias("neighbor_id"),
-            "cos",
-        )
+    # Labels attach and the mismatch filter runs on the UNDIRECTED
+    # pair frame, BEFORE symmetrization (r11): the filter is symmetric
+    # and labels are per-id, so join-then-explode ≡ explode-then-join
+    # — but the joins and the filter process half the rows, and the
+    # symmetrize is ONE explode instead of a two-branch union that
+    # re-evaluated the banded candidate+verify subtree per branch.
+    lab_a = emb.select(
+        F.col(id_col).alias("doc_a"), F.col(label_col).alias("label_a")
     )
-    q_labels = emb.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
+    lab_b = emb.select(
+        F.col(id_col).alias("doc_b"), F.col(label_col).alias("label_b")
     )
-    n_labels = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
+    enriched = (
+        pairs.join(lab_a, "doc_a")
+        .join(lab_b, "doc_b")
+        .filter(F.col("label_a") != F.col("label_b"))
     )
-    scored = (
-        sym.join(q_labels, "query_id")
-        .join(n_labels, "neighbor_id")
-        .filter(F.col("query_label") != F.col("neighbor_label"))
+    scored = enriched.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("query_id"),
+                    F.col("label_a").alias("query_label"),
+                    F.col("doc_b").alias("neighbor_id"),
+                    F.col("label_b").alias("neighbor_label"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("query_id"),
+                    F.col("label_b").alias("query_label"),
+                    F.col("doc_a").alias("neighbor_id"),
+                    F.col("label_a").alias("neighbor_label"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select(
+        "e.query_id", "e.query_label", "e.neighbor_id",
+        "e.neighbor_label", "e.cos",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1169,48 +1185,116 @@ def label_noise_scores(
     Determinism: neighbors are ranked under the total order
     (cos desc, neighbor_id), so the k-set — and therefore the
     disagreement count — is engine-exact even with tied cosines.
-    Scale shape mirrors ``brute_force_topk`` (broadcast scored side,
-    per-side norm projections); at corpus scale swap the exact pair
-    generator for the banded-SRP candidates and keep the disagreement
-    aggregate unchanged.
+
+    Execution (r11): the old form evaluated the interpreted zip_with/
+    aggregate dot fold once per (query, corpus) PAIR — |Q|·|C| HOF
+    folds (6.4 s at sf0.1). Now a mapInPandas kernel (the
+    ``brute_force_topk_gemm`` local-top-k shape) ships each corpus
+    vector across the Arrow boundary ONCE, computes all dots with
+    d-major vectorized accumulation in the EXACT zero-seeded
+    left-to-right IEEE order of functions/vectors.dot (one
+    single-rounded elementwise add per dimension — bit-identical cos,
+    so the pinned oracle and the tie behaviour are unchanged), and
+    emits k candidates per (partition, query) — a lossless superset
+    of the global top-k under the same total order. Labels then join
+    onto the ≤ |Q|·k survivors instead of the full pair stream. The
+    query block ships in the kernel closure (same bounded-collect
+    class as the previous broadcast side and the IVF centroids); at
+    corpus scale swap the exact pair generator for the banded-SRP
+    candidates and keep the disagreement aggregate unchanged.
     """
-    from cqdg_etl_spark.functions.vectors import dot, l2_norm
+    import numpy as np
+    import pandas as pd
 
     scored_side = emb if query_filter is None else emb.filter(query_filter)
-    q = scored_side.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("label"),
-        F.col(vec_col).alias("q_vec"),
-    ).select(
-        "query_id", "label", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm")
-    )
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("n_label"),
-        F.col(vec_col).alias("c_vec"),
-    ).select(
-        "neighbor_id", "n_label", "c_vec",
-        l2_norm(F.col("c_vec")).alias("c_norm"),
-    )
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "label",
-            "neighbor_id",
-            "n_label",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cos"),
-        )
+    q_rows = scored_side.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    nq = len(q_rows)
+    q_ids = np.asarray([r[0] for r in q_rows])
+    if nq:
+        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+        # exact zero-seeded left-to-right fold of x*x, then sqrt —
+        # the l2_norm op sequence
+        q_norm = np.sqrt(np.add.accumulate(q_mat * q_mat, axis=1)[:, -1])
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def local_topk(batches):
+        run_ids = [[] for _ in range(nq)]
+        run_cos = [[] for _ in range(nq)]
+        for pdf in batches:
+            if pdf.empty or not nq:
+                continue
+            b_ids = pdf["_id"].to_numpy()
+            c_mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            c_norm = np.sqrt(
+                np.add.accumulate(c_mat * c_mat, axis=1)[:, -1]
+            )
+            # chunk so the |chunk|×|Q| score matrix stays ~32 MB
+            step = max(1, (1 << 22) // nq)
+            for s0 in range(0, len(b_ids), step):
+                cc = c_mat[s0 : s0 + step]
+                ii = b_ids[s0 : s0 + step]
+                nn = c_norm[s0 : s0 + step]
+                # d-major accumulation == per-pair left-to-right fold:
+                # acc_0 = p_0 (0.0 + p_0 is exact), acc_d = acc + p_d,
+                # each a single-rounded elementwise double op.
+                acc = cc[:, [0]] * q_mat[:, 0][None, :]
+                for dd in range(1, cc.shape[1]):
+                    acc = acc + cc[:, [dd]] * q_mat[:, dd][None, :]
+                cos = acc / (nn[:, None] * q_norm[None, :])
+                # self-pairs ranked out, never emitted
+                self_mask = ii[:, None] == q_ids[None, :]
+                if self_mask.any():
+                    cos[self_mask] = -np.inf
+                kk = min(k, cc.shape[0])
+                # rows pre-sorted by id asc (parquet order is id-
+                # sorted is NOT assumed): stable argsort of -cos keeps
+                # id-ascending order among exact ties, matching
+                # (cos desc, neighbor_id asc)
+                id_order = np.argsort(ii, kind="stable")
+                cos = cos[id_order]
+                ii = ii[id_order]
+                sel = np.argsort(-cos, axis=0, kind="stable")[:kk, :]
+                for j in range(nq):
+                    cj = cos[sel[:, j], j]
+                    keep = cj > -np.inf
+                    run_ids[j].append(ii[sel[:, j]][keep])
+                    run_cos[j].append(cj[keep])
+        out_i, out_n, out_c = [], [], []
+        for j in range(nq):
+            if not run_ids[j]:
+                continue
+            mi = np.concatenate(run_ids[j])
+            mc = np.concatenate(run_cos[j])
+            best = np.lexsort((mi, -mc))[:k]
+            out_i.extend([q_ids[j]] * len(best))
+            out_n.extend(mi[best])
+            out_c.extend(mc[best])
+        if out_i:
+            yield pd.DataFrame(
+                {"query_id": out_i, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    cand = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(
+        local_topk,
+        f"query_id {id_type}, neighbor_id {id_type}, cos double",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    q_labels = emb.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    n_labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .join(q_labels, "query_id")
+        .join(n_labels, "neighbor_id")
         .groupBy("query_id", "label")
         .agg(
             F.sum(
