@@ -60,6 +60,8 @@ def modularity(
     quantized floor(x·1e6+0.5)/1e6 — bit-identical on any engine
     that evaluates the same expression tree.
     """
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     la = labels.select(
         F.col(node_col).alias("_s"), F.col(label_col).alias("_la")
@@ -67,7 +69,13 @@ def modularity(
     lb = labels.select(
         F.col(node_col).alias("_d"), F.col(label_col).alias("_lb")
     )
-    labeled = e.join(la, "_s").join(lb, "_d")
+    # labeled feeds FOUR aggregates (degree terms, internal edges,
+    # membership, the m scalar) — persisted (r11) so the caller's
+    # edge-generation subtree (for the registered query: a lineitem
+    # self-join + distinct) evaluates once, not once per consumer.
+    labeled = e.join(la, "_s").join(lb, "_d").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # Degree sum per community: each edge contributes 1 to each end's
     # degree — aggregate both endpoint labels in one pass (explode the
