@@ -1276,9 +1276,21 @@ def label_noise_scores(
                 {"query_id": out_i, "neighbor_id": out_n, "cos": out_c}
             )
 
-    cand = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    # Spread the corpus side before the kernel: a single-row-group
+    # parquet arrives as ONE scan partition, serializing the whole
+    # |C|·|Q| score computation on one core (probe read 58.8 s at x10
+    # unspread). Gated by the session spreadInputs knob — a cluster
+    # whose scans are naturally parallel makes this a no-op. Safe:
+    # the kernel is per-partition local-top-k; candidates are a
+    # lossless superset under any partitioning and the global window
+    # re-ranks them.
+    from cqdg_etl_spark.operators.spread import spread_to_parallelism
+
+    cand = spread_to_parallelism(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     ).mapInPandas(
         local_topk,
         f"query_id {id_type}, neighbor_id {id_type}, cos double",

@@ -470,12 +470,21 @@ WAVE15 = [
     "ds_mixture_weighted_sample",
     "ret_bm25_topk",
     "ev_resample_ffill",
+    # sweep-find rewrites (batches 10-11): fold rewrite / batched
+    # exact-order kernel / pre-symmetrize labels — corpus fixture
+    "ev_cusum_drift",
+    "emb_label_noise_scores",
+    "emb_hard_negatives_banded",
 ]
 
 WAVE15T = [
     "pf_ks_totalprice_drift",
     "pf_psi_totalprice_drift",
     "pf_key_skew_profile",
+    # sweep-find rewrites (batch 10): dense bloom bitmap / single-
+    # levenshtein verify — orders/customer, warehouse fixture
+    "j_bloom_filtered_join",
+    "dd_fuzzy_name_pairs",
 ]
 
 
