@@ -163,6 +163,7 @@ def main() -> None:
     anchors = _anchor_mins(sf, valid=set(bench_queries))
     sys_start = _sys_snapshot()
     timings: dict[str, float] = {}
+    colds: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     contended: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -188,6 +189,20 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             spark.catalog.clearCache()
             continue
+        # Cold-cache visibility (VERDICT r11 #3): the warmup above
+        # populates every .persist() built inside q.fn, so the timed
+        # triple below reads warm for in-query persists and the bench
+        # over-credits persist-shaped changes. Additive fix: drop the
+        # cache the warmup built and time ONE recorded cold run (the
+        # persist build cost is inside it), which re-populates the
+        # cache for the warm triple. "queries"/"runs" keep their
+        # historical warm-best-of-3 semantics so round-over-round
+        # comparisons stay valid; the new "cold" map carries the
+        # number the old discipline never saw.
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        colds[name] = round(time.perf_counter() - start, 4)
         runs = []
         for _ in range(3):
             start = time.perf_counter()
@@ -250,6 +265,11 @@ def main() -> None:
         # extra runs — read those numbers as box contention,
         # not plan drift (anchor_min = historical best).
         "contended": contended,
+        # one timed run per query taken right after clearCache (in-query
+        # persists rebuilt inside it) — the cost the warm triple in
+        # "queries"/"runs" excludes. Additive since r12; see
+        # OPTIMIZATION_r12.md.
+        "cold": colds,
         "sf": float(sf) if sf else sf_dir,
     }
     if errors:
