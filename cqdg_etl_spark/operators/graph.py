@@ -329,20 +329,33 @@ def triangle_counts(
     10M² wedges. Each triangle is then found exactly once, at its
     orientation-minimal vertex.
 
-    Plan: one degree aggregate, one orientation projection, a wedge
-    self-join on the source vertex, and a closing equi-join against the
-    oriented edge set — all shuffle hash joins on vertex keys; the
-    per-node rollup explodes each triangle's 3 vertices and
-    map-side-combines.
+    Plan (r12 adjacency-array variant): one degree aggregate, one
+    orientation projection, ONE collect_list aggregate building the
+    per-vertex out-neighbor array, and one equi-join attaching the
+    destination vertex's array to each oriented edge — the triangles
+    through edge (u, v) are ``array_intersect(N+(u), N+(v))``, each
+    found exactly once at its orientation-minimal vertex. N+(u)
+    attaches with ZERO joins (the edge list is re-derived by exploding
+    the adjacency array it rides with). Versus the r11 wedge-join form
+    (wedge self-join on u + closing equi-join on (p, q)): the same
+    O(Σ d⁺²) wedge work moves as primitive array payloads on an
+    m-row exchange instead of as O(Σ d⁺²) shuffled wedge ROWS that the
+    closing sort-merge join must also sort — one wide exchange fewer,
+    and per-wedge cost drops from join machinery to a hash-set probe
+    inside one codegen stage. Out-degrees stay O(√m)-bounded by the
+    orientation, so no adjacency array exceeds O(√m) elements (no
+    giant-row risk at the collect_list).
 
-    Persist discipline (r11): ``e`` feeds the degree aggregate AND the
-    orientation join, and ``oriented`` feeds BOTH wedge sides and the
-    closing join — without persists the caller's whole pair-generation
-    subtree (for the registered query: a lineitem self-join + distinct)
-    re-evaluated up to 3×, and exchange reuse cannot cover the closing
-    join because it shuffles on (p, q), not u (verified: 0 reuse nodes
-    on the executed plan). Both frames are skinny 2-column edge lists,
-    the same footprint class as pagerank's persisted adjacency.
+    Persist discipline: ``e`` feeds the degree aggregate AND the
+    orientation join; ``nbrs`` feeds both sides of the attach join —
+    without persists the caller's whole pair-generation subtree (for
+    the registered query: a lineitem self-join + distinct) re-evaluates
+    per consumer (exchange reuse verified absent across the differing
+    keys). Both are skinny frames, the same footprint class as
+    pagerank's persisted adjacency. They must outlive this call (the
+    result is lazy and their lineage stays reachable from the returned
+    plan); callers running many operators per session clear them with
+    ``spark.catalog.clearCache()`` after the consuming action.
     """
     from pyspark import StorageLevel
 
@@ -367,14 +380,24 @@ def triangle_counts(
         )
         .otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
         .alias("o")
-    ).select("o.u", "o.v").persist(StorageLevel.MEMORY_AND_DISK)
-    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
-    wedges = w1.join(w2, "u").filter(F.col("p") != F.col("q"))
-    close = oriented.select(
-        F.col("u").alias("p"), F.col("v").alias("q")
+    ).select("o.u", "o.v")
+    # per-vertex out-neighbor sets (sorted for determinism; the edge
+    # set is distinct so the arrays are sets)
+    nbrs = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = nbrs.select("u", F.col("nv").alias("nu"), F.explode("nv").alias("v"))
+    right = nbrs.select(F.col("u").alias("v"), F.col("nv").alias("nv2"))
+    per_edge = (
+        left.join(right, "v")
+        .select("u", "v", F.array_intersect("nu", "nv2").alias("cm"))
+        .filter(F.size("cm") > 0)
     )
-    tris = wedges.join(close, ["p", "q"]).select("u", "p", "q")
+    # (u, p, q) triples — identical to the wedge-join form's output:
+    # edge u→p plus q ∈ N+(u) ∩ N+(p) means edges u→q and p→q exist.
+    tris = per_edge.select(
+        "u", F.col("v").alias("p"), F.explode("cm").alias("q")
+    )
     return (
         tris.select(F.explode(F.array("u", "p", "q")).alias("node"))
         .groupBy("node")
