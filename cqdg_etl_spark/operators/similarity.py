@@ -1165,6 +1165,14 @@ def hard_negatives_banded(
     )
 
 
+# Driver-collect ceiling for the label-noise query block: 32M float64
+# elements ≈ 256 MB — the upper end of the broadcast class (guide §3.1;
+# the same class the IVF centroid collects document). Above this the
+# exact-kernel design is wrong, not just slow: use the banded-SRP
+# candidate path instead.
+_LNS_MAX_QUERY_ELEMS = 32 * (1 << 20)
+
+
 def label_noise_scores(
     emb: DataFrame,
     k: int = 5,
@@ -1198,15 +1206,39 @@ def label_noise_scores(
     emits k candidates per (partition, query) — a lossless superset
     of the global top-k under the same total order. Labels then join
     onto the ≤ |Q|·k survivors instead of the full pair stream. The
-    query block ships in the kernel closure (same bounded-collect
-    class as the previous broadcast side and the IVF centroids); at
-    corpus scale swap the exact pair generator for the banded-SRP
-    candidates and keep the disagreement aggregate unchanged.
+    query block is size-GUARDED (r12): building this DataFrame runs a
+    Spark count job on the scored side and raises if |Q|·dim exceeds
+    ``_LNS_MAX_QUERY_ELEMS`` (the broadcast class the kernel assumes —
+    the previous form broadcast the same side implicitly), then the
+    collected block ships to executors via a TorrentBroadcast (once
+    per executor) instead of riding the task closure (once per task).
+    At corpus scale — a scored side past the guard — swap the exact
+    pair generator for the banded-SRP candidates and keep the
+    disagreement aggregate unchanged.
+
+    Zero-norm vectors (r12, ADVICE r11): their cosines are 0/0 = NaN;
+    Spark's window ranks NaN FIRST under ``desc`` while NumPy's argsort
+    ranks NaN last, so the kernel masks NaN → +inf before candidate
+    selection — the candidate SET and the tie order (all-equal → id
+    asc) then match the Spark/oracle NaN-greatest semantics exactly.
+    ``cos`` is a ranking intermediate only (never in the output), so
+    the mask cannot change declared results.
     """
     import numpy as np
     import pandas as pd
 
     scored_side = emb if query_filter is None else emb.filter(query_filter)
+    sized = scored_side.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(vec_col))).alias("dim"),
+    ).collect()[0]
+    if (sized["n"] or 0) * (sized["dim"] or 0) > _LNS_MAX_QUERY_ELEMS:
+        raise ValueError(
+            f"label_noise_scores: scored side has {sized['n']} vectors × "
+            f"dim {sized['dim']} = {sized['n'] * sized['dim']} elements, "
+            f"over the driver-collect ceiling {_LNS_MAX_QUERY_ELEMS}; "
+            "narrow query_filter or use the banded-SRP candidate path"
+        )
     q_rows = scored_side.select(
         F.col(id_col), F.col(vec_col).cast("array<double>")
     ).collect()
@@ -1217,13 +1249,20 @@ def label_noise_scores(
         # exact zero-seeded left-to-right fold of x*x, then sqrt —
         # the l2_norm op sequence
         q_norm = np.sqrt(np.add.accumulate(q_mat * q_mat, axis=1)[:, -1])
+    else:
+        q_mat = np.zeros((0, 0), dtype=np.float64)
+        q_norm = np.zeros(0, dtype=np.float64)
+    # one copy per executor, not one per task closure (guide §4.5)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
     id_type = emb.schema[id_col].dataType.simpleString()
 
     def local_topk(batches):
-        run_ids = [[] for _ in range(nq)]
-        run_cos = [[] for _ in range(nq)]
+        l_ids, l_mat, l_norm = bc.value
+        l_nq = len(l_ids)
+        run_ids = [[] for _ in range(l_nq)]
+        run_cos = [[] for _ in range(l_nq)]
         for pdf in batches:
-            if pdf.empty or not nq:
+            if pdf.empty or not l_nq:
                 continue
             b_ids = pdf["_id"].to_numpy()
             c_mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
@@ -1231,7 +1270,7 @@ def label_noise_scores(
                 np.add.accumulate(c_mat * c_mat, axis=1)[:, -1]
             )
             # chunk so the |chunk|×|Q| score matrix stays ~32 MB
-            step = max(1, (1 << 22) // nq)
+            step = max(1, (1 << 22) // l_nq)
             for s0 in range(0, len(b_ids), step):
                 cc = c_mat[s0 : s0 + step]
                 ii = b_ids[s0 : s0 + step]
@@ -1239,12 +1278,19 @@ def label_noise_scores(
                 # d-major accumulation == per-pair left-to-right fold:
                 # acc_0 = p_0 (0.0 + p_0 is exact), acc_d = acc + p_d,
                 # each a single-rounded elementwise double op.
-                acc = cc[:, [0]] * q_mat[:, 0][None, :]
+                acc = cc[:, [0]] * l_mat[:, 0][None, :]
                 for dd in range(1, cc.shape[1]):
-                    acc = acc + cc[:, [dd]] * q_mat[:, dd][None, :]
-                cos = acc / (nn[:, None] * q_norm[None, :])
+                    acc = acc + cc[:, [dd]] * l_mat[:, dd][None, :]
+                cos = acc / (nn[:, None] * l_norm[None, :])
+                # zero-norm cosines are 0/0 = NaN; Spark ranks NaN
+                # FIRST under desc, argsort ranks it last — mask to
+                # +inf so the candidate set matches NaN-greatest
+                # semantics (cos never reaches the output)
+                nan_mask = np.isnan(cos)
+                if nan_mask.any():
+                    cos[nan_mask] = np.inf
                 # self-pairs ranked out, never emitted
-                self_mask = ii[:, None] == q_ids[None, :]
+                self_mask = ii[:, None] == l_ids[None, :]
                 if self_mask.any():
                     cos[self_mask] = -np.inf
                 kk = min(k, cc.shape[0])
@@ -1256,19 +1302,19 @@ def label_noise_scores(
                 cos = cos[id_order]
                 ii = ii[id_order]
                 sel = np.argsort(-cos, axis=0, kind="stable")[:kk, :]
-                for j in range(nq):
+                for j in range(l_nq):
                     cj = cos[sel[:, j], j]
                     keep = cj > -np.inf
                     run_ids[j].append(ii[sel[:, j]][keep])
                     run_cos[j].append(cj[keep])
         out_i, out_n, out_c = [], [], []
-        for j in range(nq):
+        for j in range(l_nq):
             if not run_ids[j]:
                 continue
             mi = np.concatenate(run_ids[j])
             mc = np.concatenate(run_cos[j])
             best = np.lexsort((mi, -mc))[:k]
-            out_i.extend([q_ids[j]] * len(best))
+            out_i.extend([l_ids[j]] * len(best))
             out_n.extend(mi[best])
             out_c.extend(mc[best])
         if out_i:

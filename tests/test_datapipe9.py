@@ -93,6 +93,51 @@ def test_label_noise_flags_planted_mislabel(spark):
     assert out[10]["noise_score"] == 0.0  # far cluster is unaffected
 
 
+def test_label_noise_query_side_ceiling(spark, monkeypatch):
+    """The kernel collects the scored side to the driver; a scored side
+    over the broadcast-class ceiling must raise (VERDICT r11 #5), not
+    silently OOM the driver."""
+    import cqdg_etl_spark.operators.similarity as sim
+
+    rows = [(i, [1.0, 0.01 * i], 1) for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sim, "_LNS_MAX_QUERY_ELEMS", 8)  # 8 rows x 2 dims = 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ceiling"):
+        sim.label_noise_scores(emb, k=5)
+    # under the ceiling the query still builds and runs
+    monkeypatch.setattr(sim, "_LNS_MAX_QUERY_ELEMS", 16)
+    assert sim.label_noise_scores(emb, k=5).count() == 8
+
+
+def test_label_noise_zero_norm_ranks_nan_first(spark):
+    """Zero-norm vectors produce NaN cosines; Spark's desc window (and
+    the DuckDB oracle's ORDER BY cos DESC) rank NaN FIRST, so the
+    kernel must keep them in every query's top-k (ADVICE r11 #1 — an
+    unmasked np.argsort ranks NaN last and drops them)."""
+    from cqdg_etl_spark.operators.similarity import label_noise_scores
+
+    # 0 is a zero vector labeled 2; 1..3 form a tight cluster labeled 1.
+    # NaN-first semantics: every query's k=2 set includes vec 0 (cos
+    # NaN beats every finite cosine), so each cluster member sees
+    # exactly one disagreeing neighbor of two.
+    rows = [(0, [0.0, 0.0], 2)] + [
+        (i, [1.0, 0.01 * i], 1) for i in range(1, 4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in label_noise_scores(emb, k=2).collect()}
+    assert out[1]["n_diff"] == 1 and out[1]["noise_score"] == 0.5
+    assert out[2]["n_diff"] == 1 and out[2]["noise_score"] == 0.5
+    # the zero vector's own neighbors are all NaN ties -> id asc picks
+    # 1 and 2, both disagreeing with label 2
+    assert out[0]["n_diff"] == 2 and out[0]["noise_score"] == 1.0
+
+
 def test_label_noise_small_corpus_uses_actual_neighbor_count(spark):
     """With fewer than k other vectors the denominator is the actual
     neighbor count: 3 disagreeing neighbors out of 3 scores 1.0, not
