@@ -94,17 +94,30 @@ def cusum_drift(
     """
     from pyspark.sql import functions as F
 
-    t = f"CAST({target!r} AS DOUBLE)"
-    h = f"CAST({threshold!r} AS DOUBLE)"
+    # float() first: repr of np.float64 reads 'np.float64(60.0)' and
+    # would break the SQL literal (ADVICE r11 #4); repr of a plain
+    # float is the shortest round-trip-exact literal.
+    t = f"CAST({float(target)!r} AS DOUBLE)"
+    h = f"CAST({float(threshold)!r} AS DOUBLE)"
     step = f"greatest(0.0D, (acc.s + CAST(x.{value_col} AS DOUBLE)) - {t})"
+    # let-bind the clamped recurrence ONCE per element (ADVICE r11 #4):
+    # HOF lambdas run interpreted, and the previous form interpolated
+    # {step} three times, evaluating it 3x per element. SQL lambdas
+    # have no `let`, so bind via a single-element inner fold: the
+    # outer merge computes step once into `array(step)`, the inner
+    # merge reads it as `s_new`. Identical IEEE sequence (the step
+    # expression itself is unchanged), 1 evaluation instead of 3.
     fold = f"""
         aggregate(
           seq,
           struct(0.0D AS s, 0.0D AS mx, 0L AS alarms),
-          (acc, x) -> struct(
-            {step} AS s,
-            if({step} > acc.mx, {step}, acc.mx) AS mx,
-            acc.alarms + if({step} > {h}, 1L, 0L) AS alarms))
+          (acc, x) -> aggregate(
+            array({step}),
+            acc,
+            (a, s_new) -> struct(
+              s_new AS s,
+              if(s_new > a.mx, s_new, a.mx) AS mx,
+              a.alarms + if(s_new > {h}, 1L, 0L) AS alarms)))
     """
     return (
         df.select(group_col, *order_cols, value_col)

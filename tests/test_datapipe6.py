@@ -148,6 +148,30 @@ def test_cusum_hand_computed(spark):
     assert out["n_alarms"] == 1  # only S=10 exceeds 6
 
 
+def test_cusum_accepts_numpy_scalars(spark):
+    """target/threshold arrive as np.float64 from config arrays in
+    calling code; repr() of those reads 'np.float64(10.0)' and used to
+    break the embedded SQL literal (ADVICE r11 #4)."""
+    import numpy as np
+
+    from cqdg_etl_spark.operators.pandas_ops import cusum_drift
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 15.0, 1),
+            (1, _ts(1), 2.0, 2),
+            (1, _ts(2), 20.0, 3),
+            (1, _ts(3), 1.0, 4),
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    out = cusum_drift(
+        df, "user_id", ["ts", "event_id"], "value",
+        target=np.float64(10.0), threshold=np.float64(6.0),
+    ).collect()[0]
+    assert out["max_s"] == 10.0 and out["n_alarms"] == 1
+
+
 def test_cusum_order_is_pinned_not_arrival(spark):
     from cqdg_etl_spark.operators.pandas_ops import cusum_drift
 
