@@ -54,56 +54,154 @@ def lsh_param_audit(
     itself in its own arm's cost, bounded by the audit's count-only
     output (no vectors, no texts are ever fetched).
     """
-    # One tagged banding pass instead of one join pipeline PER layout
-    # (r11 optimization): every layout's (bands, band_idx, band_key)
-    # rows explode from the persisted signature frame in a single
-    # projection, the self-join + pair-distinct + per-layout count run
-    # ONCE over the union of arms, and the `bands` tag keeps arms from
-    # colliding in the join. Same shuffled bytes in total (the tagged
-    # exchange is exactly the concatenation of the per-arm exchanges),
-    # but 3x fewer exchanges/stages and one pass over the cached
-    # signatures instead of len(bands_list).
-    structs = []
-    for bands in bands_list:
-        rows_per_band = num_perm // bands
-        for i in range(bands):
-            structs.append(
-                F.struct(
-                    F.lit(bands).alias("bands"),
-                    F.lit(i).alias("band_idx"),
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col("signature")
-                            .getItem(i * rows_per_band + j)
-                            .cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    ).alias("band_key"),
-                )
+    # Nested-layout fast path (r12): when every coarser layout's bands
+    # divide the finest's (and all divide num_perm), an 8-row band is
+    # exactly 4 aligned contiguous 2-row bands — a pair collides in a
+    # coarse band IFF it collides in ALL of that band's fine sub-bands.
+    # So ONE self-join on the FINEST banding finds every layout's
+    # candidates: group the colliding fine band indices per pair into a
+    # bitmask (bit_or is map-side combinable, which also DELETES the
+    # pair-distinct exchange the tagged form needed), then each
+    # layout's membership is a run-of-set-bits test on the mask and
+    # the per-layout counts are conditional sums in one aggregate.
+    # Versus the r11 tagged union of arms: banding rows per doc drop
+    # from sum(bands_list) to max(bands_list), the two coarser arms'
+    # join/distinct streams (supersets re-materialized) disappear, and
+    # the whole reduction is partial-aggregated before the shuffle
+    # (guide §2.3/§2.4). Non-nested bands_list falls back to the
+    # tagged single-pass form.
+    sorted_bands = sorted(bands_list)
+    nested = (
+        all(num_perm % bands == 0 for bands in bands_list)
+        and all(
+            sorted_bands[i + 1] % sorted_bands[i] == 0
+            for i in range(len(sorted_bands) - 1)
+        )
+        and max(bands_list) <= 63
+    )
+    if nested:
+        fine = max(bands_list)
+        fine_rows = num_perm // fine
+        structs = [
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col("signature")
+                        .getItem(i * fine_rows + j)
+                        .cast("string")
+                        for j in range(fine_rows)
+                    ],
+                ).alias("band_key"),
             )
-    layout = sig.select(
-        "doc", F.explode(F.array(*structs)).alias("band")
-    ).select("doc", "band.bands", "band.band_idx", "band.band_key")
-    # shuffle_hash for the same ReusedExchange reasoning as
-    # minhash_lsh_candidates: broadcast-converting one side would
-    # re-compute the banding subtree instead of reusing it.
-    a = layout.alias("a").hint("shuffle_hash")
-    b = layout.alias("b").hint("shuffle_hash")
-    pairs = a.join(
-        b,
-        (F.col("a.bands") == F.col("b.bands"))
-        & (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.doc") < F.col("b.doc")),
-    ).select(
-        F.col("a.bands").alias("bands"),
-        F.col("a.doc").alias("doc_a"),
-        F.col("b.doc").alias("doc_b"),
-    )
-    counts = pairs.distinct().groupBy("bands").agg(
-        F.count(F.lit(1)).alias("n_candidate_pairs")
-    )
+            for i in range(fine)
+        ]
+        layout = sig.select(
+            "doc", F.explode(F.array(*structs)).alias("band")
+        ).select("doc", "band.band_idx", "band.band_key")
+        # shuffle_hash for the same ReusedExchange reasoning as
+        # minhash_lsh_candidates: broadcast-converting one side would
+        # re-compute the banding subtree instead of reusing it.
+        a = layout.alias("a").hint("shuffle_hash")
+        b = layout.alias("b").hint("shuffle_hash")
+        masks = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), a.band_idx)")
+                .alias("bit"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.bit_or("bit").alias("m"))
+        )
+        # layout with `bands` bands groups the fine mask into runs of
+        # width = fine // bands; membership = any run fully set.
+        def _has_full_run(width: int):
+            folded = F.col("m")
+            for shift in range(1, width):
+                folded = folded.bitwiseAND(
+                    F.shiftrightunsigned(F.col("m"), shift)
+                )
+            # run starts at multiples of width: mask of those positions
+            starts = sum(1 << (w * width) for w in range(fine // width))
+            return folded.bitwiseAND(F.lit(starts)) != 0
+
+        counts_row = masks.agg(
+            *[
+                F.sum(
+                    F.when(
+                        _has_full_run(fine // bands), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(f"n_{bands}")
+                for bands in bands_list
+            ]
+        )
+        counts = counts_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bands).alias("bands"),
+                            F.coalesce(
+                                F.col(f"n_{bands}"), F.lit(0)
+                            ).cast("bigint").alias("n_candidate_pairs"),
+                        )
+                        for bands in bands_list
+                    ]
+                )
+            ).alias("c")
+        ).select("c.bands", "c.n_candidate_pairs")
+    else:
+        # Tagged single-pass form (r11): every layout's
+        # (bands, band_idx, band_key) rows explode from the persisted
+        # signature frame in one projection; the self-join +
+        # pair-distinct + per-layout count run once over the union of
+        # arms, the `bands` tag keeping arms apart in the join.
+        structs = []
+        for bands in bands_list:
+            rows_per_band = num_perm // bands
+            for i in range(bands):
+                structs.append(
+                    F.struct(
+                        F.lit(bands).alias("bands"),
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("signature")
+                                .getItem(i * rows_per_band + j)
+                                .cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                )
+        layout = sig.select(
+            "doc", F.explode(F.array(*structs)).alias("band")
+        ).select("doc", "band.bands", "band.band_idx", "band.band_key")
+        a = layout.alias("a").hint("shuffle_hash")
+        b = layout.alias("b").hint("shuffle_hash")
+        pairs = a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        )
+        counts = pairs.distinct().groupBy("bands").agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs")
+        )
     # Literal per-layout frame: zero-fills a layout with no candidates
     # (the per-arm form's count-on-empty returned 0, and small-SF
     # oracles rely on the row existing) and carries the model column.

@@ -393,6 +393,33 @@ def test_lsh_param_audit_subsumes_registered_candidates(spark, sf_dir):
     assert n_16 == n_reg
 
 
+def test_lsh_param_audit_nested_path_equals_tagged_path(spark, sf_dir):
+    """The r12 nested-layout fast path (finest-band join + bitmask
+    membership) must return exactly what the tagged union-of-arms form
+    returns. (8, 16, 32) takes the fast path; forcing a NON-nested
+    bands_list — (8, 16, 32, 24): 24 divides neither 64 evenly per the
+    divisibility check — exercises the fallback on the shared 8/16/32
+    rows, which the nested run must match row-for-row."""
+    from cqdg_etl_spark.operators.dedup import minhash_signatures
+    from cqdg_etl_spark.operators.lsh_audit import lsh_param_audit
+    from cqdg_etl_spark.queries.datapipe import load
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "text", "doc_id", num_perm=64).persist()
+    fast = {
+        r["bands"]: r["n_candidate_pairs"]
+        for r in lsh_param_audit(sig, (8, 16, 32), num_perm=64).collect()
+    }
+    slow = {
+        r["bands"]: r["n_candidate_pairs"]
+        for r in lsh_param_audit(
+            sig, (8, 16, 32, 24), num_perm=64
+        ).collect()
+    }
+    sig.unpersist()
+    assert {b: slow[b] for b in (8, 16, 32)} == fast
+
+
 # ------------------------------------------- BPE pre-token profile
 
 
