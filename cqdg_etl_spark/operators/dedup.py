@@ -558,7 +558,15 @@ def simhash_near_pairs(
     volume tracks the true near-dup density instead of a quadratic
     junk floor (see simhash128's docstring for the scale arithmetic).
     """
-    sig = simhash128(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # Persist the signature frame: the two self-join sides would each
+    # re-run the full tokenize+md5+64-sum aggregation otherwise (no
+    # ReusedExchange fires across the join sides — same finding as
+    # similarity.banded_cosine_dup_pairs' skinny persist). 5 narrow
+    # columns per doc, CacheManager-tracked and plan-reachable per the
+    # operators/__init__ cache contract.
+    sig = simhash128(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sig.select(
         "doc",
         "c0",
@@ -578,7 +586,21 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("doc", "c0", "c1", "c2", "c3", "c.chunk_idx", "c.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # Hamming is a pure function of the pair, so the verify filter
+    # commutes with the pair-dedup: evaluate the xor+bit_count AT the
+    # join (the chunk columns are already on both sides) and filter
+    # BEFORE the distinct. The dedup exchange then carries only the
+    # surviving near-dup pairs as 3 narrow columns instead of every
+    # bucket collision as 10 (pair ids + 8 signature chunks) — up to 4
+    # collision rows per true pair collapse after, not before, the
+    # cheap filter.
+    ham = (
+        F.bit_count(F.col("a.c0").bitwiseXOR(F.col("b.c0")))
+        + F.bit_count(F.col("a.c1").bitwiseXOR(F.col("b.c1")))
+        + F.bit_count(F.col("a.c2").bitwiseXOR(F.col("b.c2")))
+        + F.bit_count(F.col("a.c3").bitwiseXOR(F.col("b.c3")))
+    )
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -588,21 +610,10 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            *[F.col(f"a.c{i}").alias(f"ca{i}") for i in range(4)],
-            *[F.col(f"b.c{i}").alias(f"cb{i}") for i in range(4)],
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = (
-        F.bit_count(F.col("ca0").bitwiseXOR(F.col("cb0")))
-        + F.bit_count(F.col("ca1").bitwiseXOR(F.col("cb1")))
-        + F.bit_count(F.col("ca2").bitwiseXOR(F.col("cb2")))
-        + F.bit_count(F.col("ca3").bitwiseXOR(F.col("cb3")))
-    )
-    return (
-        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -21,7 +21,7 @@ def main() -> None:
 
     spark = get_spark(app_name="plan-dump")
     here = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "plans", "r11")
+                        "plans", os.environ.get("CQDG_PLANS_DIR", "r11"))
     os.makedirs(here, exist_ok=True)
     if not names:
         names = [n for n, q in REGISTRY.items() if q.bench]
