@@ -99,10 +99,10 @@ BNLJ_OK: dict[str, str] = {
     "pf_psi_totalprice_drift": "single-row reference min/width bounds "
     "broadcast onto both snapshot sides (same two-pass quantization "
     "contract as emb_quantize_int8)",
-    "emb_label_noise_scores": "kNN label-consistency screen over the "
-    "brute-force baseline shape (broadcast 1-in-5 scored side); the "
-    "100-TB path swaps in banded-SRP candidates per the operator "
-    "docstring",
+    # emb_label_noise_scores left this list in r11/r12: the Arrow
+    # local-top-k GEMM kernel replaced the broadcast-cross, so its plan
+    # no longer carries a BNLJ (the lint's stale-entry check enforces
+    # removal).
     "emb_hard_negatives": "hard-negative mining over the brute-force "
     "baseline shape: broadcast query side crossed with the corpus, "
     "label filter before the rank window; the 100-TB path swaps in "
