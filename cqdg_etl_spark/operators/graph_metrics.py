@@ -168,19 +168,36 @@ def neighbor_jaccard(
     Returns (a, b, common, deg_a, deg_b, jaccard) for pairs with
     jaccard ≥ ``min_jaccard``.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    from pyspark import StorageLevel
+
+    # Multi-consumer persists (r11 adamic_adar pattern, guide §5.4): e
+    # feeds the symmetrized adjacency (twice) AND the existing-edge
+    # anti-join; adj feeds the degree aggregate AND the center join;
+    # w feeds both wedge sides; deg feeds centers AND both score-side
+    # degree joins. Without them the caller's pair-generation subtree
+    # (a lineitem self-join + distinct in the registered query)
+    # re-evaluates up to 5× — exchange reuse does not fire across the
+    # differing projections/keys. All four are skinny 2-column frames.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # No distinct on the symmetrized union: the input contract is
+    # canonical DISTINCT pairs (a < b), so the reversed copies cannot
+    # collide with the forward ones — same reasoning as adamic_adar,
+    # and the oracle's adj is UNION ALL for the same reason. (The
+    # removed distinct was a full exchange over 2|E| rows.)
     adj = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("deg")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     centers = deg.filter(F.col("deg") <= max_center_degree).select(
         F.col("node").alias("u")
     )
     w = adj.select(F.col("a").alias("u"), F.col("b").alias("v")).join(
         centers, "u"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w1 = w.select("u", F.col("v").alias("p"))
     w2 = w.select("u", F.col("v").alias("q"))
     wedges = w1.join(w2, "u").filter(F.col("p") < F.col("q"))
