@@ -592,13 +592,21 @@ def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain equi-join membership, no broadcast hint needed; deg/freq
     are map-side-combinable aggregates over the (occurrence, phrase
     length) frame."""
+    from pyspark import StorageLevel
+
     from cqdg_etl_spark.functions.text import normalize_ws, tokens
 
     docs = load(spark, sf_dir, "documents")
+    # pos feeds BOTH the stopword document-frequency aggregate and the
+    # phrase-marking join — without the persist the scan+tokenize+
+    # posexplode subtree evaluates twice (guide §5.4; exchange reuse
+    # does not fire across the differing keys).
     pos = docs.select(
         "doc_id",
         F.posexplode(tokens(normalize_ws(F.col("text")))).alias("p0", "tok"),
-    ).select("doc_id", "tok", (F.col("p0") + 1).cast("long").alias("pos"))
+    ).select(
+        "doc_id", "tok", (F.col("p0") + 1).cast("long").alias("pos")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
     dfreq = pos.groupBy("tok").agg(
         F.count_distinct("doc_id").cast("long").alias("df")
@@ -625,10 +633,20 @@ def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = phrased.filter(F.col("is_stop") == 0).select(
         "doc_id", "phrase_id", "tok"
     )
-    plen = members.groupBy("doc_id", "phrase_id").agg(
-        F.count("*").cast("long").alias("plen")
+    # Phrase length rides as a count window instead of a groupBy +
+    # join-back (the r11 ppjoin/attribution pattern, guide §2.1): the
+    # (doc_id, phrase_id) clustering is already satisfied by the
+    # phrase_id window's doc_id hash partitioning (subset satisfies
+    # ClusteredDistribution), so BOTH the aggregate exchange and the
+    # join exchanges disappear — one local sort replaces them. Also
+    # collapses the double reference to members (the tokenize+window
+    # subtree evaluated once).
+    occ = members.withColumn(
+        "plen",
+        F.count("*")
+        .over(W.partitionBy("doc_id", "phrase_id"))
+        .cast("long"),
     )
-    occ = members.join(plen, ["doc_id", "phrase_id"])
     scored = occ.groupBy(F.col("tok").alias("word")).agg(
         F.sum("plen").cast("long").alias("deg"),
         F.count("*").cast("long").alias("freq"),
